@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke at sf0.001.
+``queries()`` — name → Callable[(spark, sf_dir), DataFrame], one per
+implemented operator (SURVEY.md §2 + north-star extensions).
+``oracle_sql()`` — name → DuckDB ANSI SQL equivalent (absent only for
+non-SQL-expressible operators → driver runs a rows-only check).
+
+All query logic lives in the ``pim_orc_spark`` package; this module is
+only the contract adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The driver may import this module from anywhere; make the package
+# importable from the repo root.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _modules():
+    from pim_orc_spark.operators import relational
+
+    return [relational]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's whole program (scan → project col → null-skip →
+    partial SUM → final SUM, reader.cc:50-63,156-161) as one Spark agg.
+    """
+    from pim_orc_spark.operators.relational import q01_flagship_sum
+
+    return q01_flagship_sum(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _modules():
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(m.ORACLES)
+    return out

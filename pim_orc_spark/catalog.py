@@ -1,0 +1,56 @@
+"""Fixture-table catalog.
+
+The reference treats one ORC file as its table (orc-parser/reader.cc:34).
+Here the catalog abstracts "directory of columnar files" → named
+DataFrames, schema discovered from file footers exactly as the reference
+reads the ORC footer (reader.cc:37-44) — no schema is ever declared in
+code.
+
+At 100 TB these would be partitioned directories (or Iceberg/Delta
+tables); the loader is path-based so nothing changes except the path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pim_orc_spark.session import ensure_parity_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-cardinality; supplier/part/customer grow with
+# SF but stay orders of magnitude under the fact tables).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_parity_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read path: ts arrives as int64 nanoseconds; floor to
+        # microseconds — identical to DuckDB's nanos→micros truncation.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load the named fixture tables as DataFrames keyed by table name."""
+    return {n: load_table(spark, sf_dir, n) for n in names}

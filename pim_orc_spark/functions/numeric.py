@@ -1,0 +1,47 @@
+"""Deterministic numeric aggregation helpers.
+
+Floating-point SUM is order-dependent; Spark's partial/final aggregation
+(two-phase HashAggregateExec ≈ reference reader.cc:60-63 + 156-160) sums
+in a partition-dependent order, so a double SUM is not bit-comparable
+with any other engine. The fix is the classical one: aggregate in exact
+decimal, then present as double. DECIMAL addition is associative, so the
+result is identical regardless of partitioning — on 32 local threads or
+1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 18 digits / 2 decimal places covers every monetary fixture column;
+# Spark widens the sum to decimal(28,2) internally — no overflow until
+# ~1e26, far past 100 TB of rows.
+_DEC = "decimal(18,2)"
+
+
+def exact_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a 2-decimal monetary double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def exact_sum_sql(expr: str, alias: str) -> str:
+    """DuckDB fragment computing the identical exact sum."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def exact_avg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG: exact decimal sum ÷ count, divided in
+    double (IEEE division is deterministic given identical operands)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def exact_avg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

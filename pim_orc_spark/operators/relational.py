@@ -1,0 +1,534 @@
+"""Reference-parity scan/filter/aggregate operators, generalized to the
+full relational surface (SURVEY.md §2.1-§2.6, §7.2 M0/M2/M3).
+
+The reference executes exactly one pipeline: partitioned columnar scan →
+project first column → NULL-skip → partial SUM → final SUM
+(orc-parser/reader.cc:30-67, 104-161). ``q01_flagship_sum`` is that
+pipeline on the lineitem fact table; every other query here is the
+natural Catalyst closure of the same scan→filter→aggregate shape —
+zero custom physical code, the optimizer plans partial/final
+aggregation, pushdown, broadcast vs sort-merge, and AQE re-planning.
+
+Scale notes per query are in the docstrings: the plans below were
+checked with .explain("formatted") — filters reach PushedFilters,
+projections shrink ReadSchema, small dims broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pim_orc_spark.catalog import load_table
+from pim_orc_spark.functions.numeric import (
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+)
+
+
+# ---------------------------------------------------------------- M0/M2 —
+# reference-parity surface
+
+
+def q01_flagship_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: SUM over the fact table's price column — the reference's
+    whole program (reader.cc:50-63,156-161) re-expressed as one agg.
+
+    Plan: FileSourceScan(ReadSchema=[l_extendedprice]) → partial
+    HashAggregate → single-partition exchange → final HashAggregate.
+    Scan parallelism = input splits (≈ stripes, reader.cc:104-144);
+    the exchange moves one row per partition — O(partitions), not O(rows),
+    identical at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(exact_sum("l_extendedprice", "sum_price"))
+
+
+def q02_null_skip_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-validity filter + sum/count (reader.cc:61's
+    notNull[] check as a predicate instead of relying on SUM semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_extendedprice").isNotNull()).agg(
+        exact_sum("l_extendedprice", "sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q03_pushdown_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + equality predicates that reach the parquet/ORC reader as
+    PushedFilters (P3 — the SARG path the reference links but never
+    invokes, orc-parser/Makefile:37). Row-group statistics skip whole
+    strides, the 100 TB analogue of seekToRow (reader.cc:47)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 25.0)
+            & (F.col("l_returnflag") == "R")
+        )
+        .agg(
+            exact_sum("l_extendedprice", "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped multi-aggregate over the fact table.
+    Map-side partial aggregation keeps the shuffle at
+    O(groups × partitions) — 6 groups here, bounded at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q05_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) answerable from footer metadata (A3 — reference plans
+    from per-stripe row counts, reader.cc:104-112).
+    spark.sql.parquet.aggregatePushdown turns this into a metadata-only
+    scan: zero data bytes read regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q06_projection_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning (P1 — reference consumes only fields[0],
+    reader.cc:50): a 2-column projection whose ReadSchema contains
+    exactly those 2 of lineitem's 11 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_extendedprice")
+        .groupBy("l_orderkey")
+        .agg(exact_sum("l_extendedprice", "order_price"))
+        .orderBy(F.col("order_price").desc(), F.col("l_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- M3 —
+# generalized relational surface (joins / windows / sorts / set ops)
+
+
+def q07_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with explicit broadcast of the
+    fixed-cardinality dims: no shuffle of the big side at any scale —
+    the hash tables ship to every executor once."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", "sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q08_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem (large-large): Catalyst picks sort-merge /
+    shuffled-hash on the join key; AQE splits skewed keys at runtime.
+    Both sides shuffle exactly once on l_orderkey/o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q09_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti — the dedup primitive's join flavors:
+    customers with vs without orders, one tagged output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("bucket"), "n")
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("bucket"), "n")
+    )
+    return with_orders.unionAll(without)
+
+
+def q10_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, no full sort, no full shuffle.
+    Deterministic tie-break on the unique key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+def q11_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over nation-key sets of customers vs
+    suppliers, tagged and unioned into one result."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nk")
+    cust_only = c.distinct().subtract(s.distinct()).select(
+        F.lit("customer_only").alias("tag"), "nk"
+    )
+    all_nk = c.union(s).distinct().select(F.lit("any").alias("tag"), "nk")
+    return both.unionAll(cust_only).unionAll(all_nk)
+
+
+def q12_window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() per customer — latest order wins. One shuffle on the
+    partition key; the window itself is a per-partition sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        )
+    )
+
+
+def q13_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running frame aggregation: cumulative revenue per customer over
+    order time (rows between unbounded preceding and current)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — hierarchical totals in one pass (grouping
+    sets expand map-side; still one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("l_quantity", "sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + conditional aggregation (CASE-gated sums) in one
+    grouped pass; Catalyst plans distinct via expand + two-phase agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        exact_sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+                F.lit(0.0)
+            ),
+            "returned_revenue",
+        ),
+    )
+
+
+def q16_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function coverage (§2.6): string (lower/substring/length/
+    regexp/concat), date (year/month/datediff-style), math (round/abs/
+    pow via exact arithmetic) — all Catalyst built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lower(F.col("p_brand")).alias("brand_lower"),
+            F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+            F.length(F.col("p_name")).alias("name_len"),
+            F.regexp_extract(F.col("p_type"), "^([A-Z]+)", 1).alias("type_head"),
+            F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+            (F.col("p_size") % 7).alias("size_mod"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+def q17_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time bucketing of the events stream table: hourly tumbling
+    buckets via date_trunc — the batch form of the streaming windowed
+    aggregation (streaming/ has the readStream variant)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection (30-min inactivity): lag → gap
+    flag → running session index per user. Two window passes over one
+    shuffle on user_id — the scalable form (no per-user collect)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long"), 1).over(w)
+    )
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("session_idx").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("session_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+QUERIES = {
+    "q01_flagship_sum": q01_flagship_sum,
+    "q02_null_skip_sum": q02_null_skip_sum,
+    "q03_pushdown_range_filter": q03_pushdown_range_filter,
+    "q04_pricing_summary": q04_pricing_summary,
+    "q05_metadata_count": q05_metadata_count,
+    "q06_projection_pruning": q06_projection_pruning,
+    "q07_broadcast_star_join": q07_broadcast_star_join,
+    "q08_fact_join_agg": q08_fact_join_agg,
+    "q09_semi_anti_join": q09_semi_anti_join,
+    "q10_topk": q10_topk,
+    "q11_set_ops": q11_set_ops,
+    "q12_window_latest_order": q12_window_latest_order,
+    "q13_window_running_sum": q13_window_running_sum,
+    "q14_rollup": q14_rollup,
+    "q15_distinct_agg": q15_distinct_agg,
+    "q16_scalar_functions": q16_scalar_functions,
+    "q17_date_buckets": q17_date_buckets,
+    "q18_sessionization": q18_sessionization,
+}
+
+
+ORACLES = {
+    "q01_flagship_sum": f"""
+        SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
+    """,
+    "q02_null_skip_sum": f"""
+        SELECT {exact_sum_sql('l_extendedprice', 'sum_price')},
+               COUNT(*) AS n_rows
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    """,
+    "q03_pushdown_range_filter": f"""
+        SELECT {exact_sum_sql('l_extendedprice', 'revenue')},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_quantity < 25.0
+          AND l_returnflag = 'R'
+    """,
+    "q04_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {exact_sum_sql('l_quantity', 'sum_qty')},
+               {exact_sum_sql('l_extendedprice', 'sum_base_price')},
+               {exact_avg_sql('l_discount', 'avg_disc')},
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q05_metadata_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "q06_projection_pruning": f"""
+        SELECT l_orderkey, {exact_sum_sql('l_extendedprice', 'order_price')}
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY order_price DESC, l_orderkey
+        LIMIT 100
+    """,
+    "q07_broadcast_star_join": f"""
+        SELECT r_name,
+               COUNT(*) AS n_customers,
+               {exact_sum_sql('c_acctbal', 'sum_acctbal')}
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "q08_fact_join_agg": f"""
+        SELECT o_orderpriority,
+               {exact_sum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q09_semi_anti_join": """
+        SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'without_orders' AS bucket, COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "q10_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "q11_set_ops": """
+        SELECT 'both' AS tag, nk FROM
+          (SELECT c_nationkey AS nk FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'customer_only' AS tag, nk FROM
+          (SELECT DISTINCT c_nationkey AS nk FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'any' AS tag, nk FROM
+          (SELECT c_nationkey AS nk FROM customer
+           UNION SELECT s_nationkey FROM supplier)
+    """,
+    "q12_window_latest_order": """
+        SELECT o_custkey,
+               o_orderkey AS latest_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "q13_window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    "q14_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               {exact_sum_sql('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q15_distinct_agg": f"""
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               {exact_sum_sql(
+                   "CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END",
+                   'returned_revenue')}
+        FROM lineitem
+    """,
+    "q16_scalar_functions": """
+        SELECT p_partkey,
+               lower(p_brand) AS brand_lower,
+               substr(p_name, 1, 8) AS name_prefix,
+               length(p_name) AS name_len,
+               coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS type_head,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               round(p_retailprice * 1.1, 2) AS marked_up,
+               p_size % 7 AS size_mod
+        FROM part ORDER BY p_partkey LIMIT 500
+    """,
+    "q17_date_buckets": f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               {exact_sum_sql('value', 'sum_value')}
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q18_sessionization": """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), indexed AS (
+      SELECT user_id, value, event_id,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM ordered
+    ), per_session AS (
+      SELECT user_id, session_idx,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM indexed GROUP BY user_id, session_idx
+    )
+    SELECT user_id,
+           MAX(session_idx) AS n_sessions,
+           SUM(n_events) AS n_events,
+           CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM per_session GROUP BY user_id
+    """,
+}
