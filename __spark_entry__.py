@@ -28,9 +28,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _modules():
-    from pim_orc_spark.operators import relational
+    from pim_orc_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
-    return [relational]
+    return [relational, text, dedup, similarity, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

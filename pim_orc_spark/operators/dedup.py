@@ -1,0 +1,268 @@
+"""Deduplication operators over `documents` / `embeddings` (north star:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine).
+
+Scale design:
+
+- ``dedup_exact`` — hash-groupBy on the normalized text: one shuffle on
+  the fingerprint, linear at any scale. This is THE 100 TB exact-dedup
+  plan (shuffle keys are fingerprints, not documents).
+- ``dedup_minhash_lsh`` — the 100 TB near-dedup plan: shingle →
+  128-perm MinHash signature (map-side, no shuffle) → band → bucket
+  self-join (shuffle on band keys only) → exact-Jaccard verification of
+  candidates. With r=4, b=32 a pair at J=0.8 is missed with probability
+  (1-0.8^4)^32 ≈ 5e-8, so its output equals the exact baseline's and is
+  oracle-checked against the same SQL.
+- ``dedup_ngram_jaccard`` — exact all-pairs baseline (array_intersect
+  over a bounded-size candidate cross join). Quadratic: correct at
+  fixture scale, exists to define the oracle semantics the LSH path
+  must reproduce. Not the scale path, and says so.
+- ``dedup_simhash`` — 32-bit SimHash per doc from the portable rolling
+  hash; near-dup candidates = equal simhash (or small Hamming ball via
+  rotate-and-block at scale). Map-only + one groupBy shuffle.
+- ``dedup_embedding_cosine`` — cosine near-dup pairs; all-pairs at
+  fixture scale, LSH-bucketed variant in similarity.py for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_orc_spark.catalog import load_table
+from pim_orc_spark.functions.hashing import (
+    MOD,
+    minhash_params,
+    poly_hash,
+    poly_hash_sql,
+)
+from pim_orc_spark.functions.textfns import char_ngrams, char_ngrams_sql, tokens, tokens_sql
+from pim_orc_spark.functions.vector import as_double_vec, cosine, cosine_sql
+
+NGRAM_N = 3
+JACCARD_T = 0.8
+COSINE_T = 0.45
+MINHASH_K = 128
+LSH_BANDS = 32  # r = MINHASH_K / LSH_BANDS = 4 rows per band
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: keep min doc_id per
+    group. GroupBy on md5 — the shuffle moves (hash, id) pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", tokens("text"))
+    return (
+        d.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", char_ngrams("text", NGRAM_N).alias("grams"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs character-3-gram Jaccard ≥ 0.8. Quadratic
+    verification baseline (the LSH operator must reproduce this output);
+    Jaccard is a ratio of small ints — bit-identical across engines."""
+    g = _grams(spark, sf_dir)
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    uni = F.size("ga") + F.size("gb") - inter
+    jac = inter.cast("double") / uni
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands × 4 rows) near-dedup, candidates
+    verified with exact Jaccard — the 100 TB plan.
+
+    Stages (shuffles marked):
+      1. shingle + per-perm min-hash signature: map-side only — the
+         128 mins fold over the gram array inside codegen, no explode
+         shuffle (explode → groupBy would shuffle |grams| rows; the
+         array fold shuffles nothing).
+      2. posexplode band keys → self-join on (band, key): shuffles
+         O(docs × bands) small rows.
+      3. distinct candidate pairs → join back to gram arrays →
+         exact-Jaccard filter: shuffles O(candidates).
+    """
+    g = _grams(spark, sf_dir)
+    params = minhash_params(MINHASH_K)
+
+    # poly_hash over each gram, computed once, then k affine permutations
+    # folded to their minima.
+    def poly_hash_col(x):
+        codes = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(x), F.lit(1))),
+            lambda i: F.ascii(F.substring(x, i, 1)),
+        )
+        return F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * 31 + c) % MOD
+        )
+
+    hashes = F.transform(F.col("grams"), poly_hash_col)
+
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("h"), lambda hv: (hv * a + b) % MOD)
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = g.select("doc_id", hashes.alias("h"), "grams").select(
+        "doc_id", "grams", *sig_cols
+    )
+
+    r = MINHASH_K // LSH_BANDS
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"s{band * r + j}") for j in range(r)])
+            for band in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), "band", "key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    cands = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    ga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    uni = F.size("ga") + F.size("gb") - inter
+    jac = inter.cast("double") / uni
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over the token multiset (portable
+    rolling hash per token; bit b votes ±1; majority sets the bit).
+    Explode → groupBy doc_id: one shuffle of (doc_id, token-hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    h = tok.select("doc_id", poly_hash("t").alias("h"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.45 over all pairs. All-pairs
+    is the fixture-scale verification form; the LSH-bucketed form
+    (similarity.py) is the scale path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_T)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+
+def _jaccard_pairs_sql() -> str:
+    grams = char_ngrams_sql("text", NGRAM_N)
+    return f"""
+        WITH g AS (
+          SELECT doc_id, {grams} AS grams FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))), 6) >= {JACCARD_T}
+    """
+
+
+def _simhash_sql() -> str:
+    tok = tokens_sql("text")
+    h = poly_hash_sql("t")
+    bit_sums = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(32)
+    )
+    compose = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest({tok}) AS t FROM documents
+        ), h AS (
+          SELECT doc_id, {h} AS h FROM t
+        ), s AS (
+          SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({compose} AS BIGINT) AS simhash FROM s
+    """
+
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM (
+          SELECT doc_id,
+                 md5(list_aggregate({tokens_sql('text')}, 'string_agg', ' ')) AS fp
+          FROM documents
+        ) GROUP BY fp
+    """,
+    "dedup_ngram_jaccard": _jaccard_pairs_sql(),
+    # LSH path must reproduce the exact baseline's output (see class
+    # docstring for the 5e-8 miss bound at J≥0.8).
+    "dedup_minhash_lsh": _jaccard_pairs_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 4) >= {COSINE_T}
+    """,
+}

@@ -1,0 +1,133 @@
+"""Multimodal column operators (north star: image/audio/video as opaque
+binary columns + typed metadata, processed by Arrow-batched Python).
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (``decode_image`` raises NotImplementedError; tests
+exercise a deterministic fake). Everything around it — the binary
+column schema, Arrow batch shape, ``mapInPandas`` plumbing, partition
+behavior — is real and oracle-checked:
+
+- ``multimodal_features`` materializes a binary payload column (the
+  UTF-8 bytes of the document text standing in for an image blob) plus
+  a metadata struct, then runs an Arrow-batched ``mapInPandas`` feature
+  extractor (byte length + rolling checksum). This is the exact
+  pipeline shape for real decode/resize/embed stages at 100 TB:
+  map-only, no shuffle, Python touched once per batch (10k rows/Arrow
+  batch), output schema declared up front.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pim_orc_spark.catalog import load_table
+
+CHECKSUM_MOD = 997
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> Any:
+    """Decode an image payload into (height, width, channels, pixels).
+
+    STUB: the runtime image libraries are not available in this
+    container. The Spark-side plumbing (binary column → Arrow batch →
+    per-batch Python) is real; swap this body for PIL/libvips when
+    deploying.
+    """
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: (byte length, rolling
+    checksum). Same arithmetic as the oracle SQL."""
+    acc = 0
+    for b in payload:
+        acc = (acc * 31 + b) % CHECKSUM_MOD
+    return len(payload), acc
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one feature frame out.
+    Vectorized inner loop over the batch; no per-row Python round-trips
+    through Spark."""
+    for pdf in batches:
+        lengths = []
+        checks = []
+        for payload in pdf["payload"]:
+            n, c = fake_decode(bytes(payload))
+            lengths.append(n)
+            checks.append(c)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pd.Series(lengths, dtype="int64"),
+                "checksum": pd.Series(checks, dtype="int64"),
+            }
+        )
+
+
+def with_binary_payload(df: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata struct — the
+    canonical multimodal row layout (payload BINARY, meta STRUCT)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("declared_len"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: payload → mapInPandas feature extraction.
+    Map-only plan: FileScan → Project(encode) → ArrowEvalPython; scales
+    linearly, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d)
+    return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+}
+
+# Fixture text is pure ASCII, so UTF-8 bytes == character codes and the
+# checksum is expressible in SQL over ascii() codes; n_bytes = strlen.
+ORACLES = {
+    "multimodal_features": f"""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, strlen(text) + 1),
+                                    i -> CAST(ascii(text[i:i]) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {CHECKSUM_MOD})
+               END AS BIGINT) AS checksum
+        FROM documents
+    """,
+}
