@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...}
+
+Method: results are written to Spark's `noop` sink — full execution,
+no driver-side collect (collecting 600k rows would measure Python
+deserialization, not the engine). One warmup action amortizes JVM/
+codegen startup, matching how a resident cluster behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship reference-parity scan-agg plus one
+# representative of each operator family (grouped agg, large join,
+# top-k, windows/sessionization, near-dedup, ANN, text scoring).
+HEADLINE = [
+    "q01_flagship_sum",
+    "q04_pricing_summary",
+    "q08_fact_join_agg",
+    "q10_topk",
+    "q18_sessionization",
+    "dedup_bitset_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from pim_orc_spark.session import get_spark
+
+    spark = get_spark("pim_orc_spark-bench")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # Warmup: trigger JVM + codegen + file listing once.
+    qs["q01_flagship_sum"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Scan-agg throughput for the flagship (reference continuity metric).
+    n_rows = qs["q05_metadata_count"](spark, SF_DIR).collect()[0][0]
+    flagship = timings["q01_flagship_sum"]
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "lineitem_rows": n_rows,
+                "flagship_rows_per_sec": round(n_rows / flagship) if flagship else None,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pim_orc_spark.catalog import load_table
 from pim_orc_spark.functions.hashing import (
@@ -101,28 +102,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _grams(spark, sf_dir)
     params = minhash_params(MINHASH_K)
 
-    # poly_hash over each gram, computed once, then k affine permutations
-    # folded to their minima.
-    def poly_hash_col(x):
-        codes = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(x), F.lit(1))),
-            lambda i: F.ascii(F.substring(x, i, 1)),
-        )
-        return F.aggregate(
-            codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * 31 + c) % MOD
-        )
-
-    hashes = F.transform(F.col("grams"), poly_hash_col)
-
+    # Explode → hash each gram exactly ONCE → groupBy doc with 128
+    # min-aggregates of cheap affine permutations. (The array-fold
+    # formulation looks shuffle-free but Catalyst's CollapseProject
+    # inlines the hash array into all 128 signature expressions,
+    # recomputing every gram hash 128× — measured 60× slower. min() is
+    # partially aggregable, so this shuffles only one 128-column
+    # partial row per doc per partition.)
+    gram_hashes = g.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", poly_hash("gram").alias("h"))
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("h"), lambda hv: (hv * a + b) % MOD)
-        ).alias(f"s{i}")
+        F.min((F.col("h") * a + b) % MOD).alias(f"s{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sigs = g.select("doc_id", hashes.alias("h"), "grams").select(
-        "doc_id", "grams", *sig_cols
-    )
+    sigs = gram_hashes.groupBy("doc_id").agg(*sig_cols)
 
     r = MINHASH_K // LSH_BANDS
     band_keys = F.array(
@@ -147,14 +141,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     uni = F.size("ga") + F.size("gb") - inter
     jac = inter.cast("double") / uni
     return (
         cands.join(ga, "doc_a")
         .join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def dedup_bitset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 pairs via dictionary-encoded bitsets — the
+    fast path on high-background-similarity corpora.
+
+    This corpus defeats signature LSH: the shared ~30-word vocabulary
+    yields only ~377 distinct 3-grams corpus-wide and background
+    J ≈ 0.6, so ANY banding scheme admits Θ(n²) candidates (measured:
+    98% of all pairs at r=4). When most pairs are nearly-similar, the
+    information-theoretic floor is evaluating ~all pairs — so make each
+    evaluation ~free: encode every doc's gram set as a bitset over the
+    global gram dictionary (377 bits = 6 longs) and verify with
+    AND+popcount. Exact same output as the string-array baseline, at
+    ~100× less work per pair.
+
+    Scale shape: dictionary build is a bounded distinct (char-3-gram
+    alphabet ≤ ~47k entries) broadcast to executors; encoding is
+    map-side; the pair join is the only quadratic stage and is pure
+    register arithmetic inside codegen.
+    """
+    g = _grams(spark, sf_dir)
+    grams_dict = (
+        g.select(F.explode("grams").alias("gram"))
+        .distinct()
+        .select(
+            "gram",
+            (F.row_number().over(Window.orderBy("gram")) - 1).alias("idx"),
+        )
+    )
+    n_grams = grams_dict.count()  # dictionary cardinality: metadata-scale
+    nb = (n_grams + 63) // 64
+
+    doc_idx = (
+        g.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(grams_dict), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("idxs"))
+    )
+    mask_expr = (
+        f"transform(sequence(0, {nb - 1}), w -> "
+        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
+        "(a, i) -> a | shiftleft(1L, i % 64)))"
+    )
+    enc = doc_idx.selectExpr(
+        "doc_id", f"{mask_expr} AS mask", "size(idxs) AS sz"
+    )
+    # The pair stage is a broadcast nested-loop join; without an explicit
+    # repartition, AQE coalesces the tiny encoded input to ONE partition
+    # and the O(n²) loop runs on a single core (measured 149s → 6s).
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    a = enc.repartition(n_parts).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mask").alias("ma"),
+        F.col("sz").alias("sza"),
+    )
+    b = enc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mb"),
+        F.col("sz").alias("szb"),
+    )
+    # Unrolled AND+popcount: flat codegen arithmetic, no per-pair
+    # lambda/array allocation.
+    inter = None
+    for w in range(nb):
+        term = F.bit_count(
+            F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w))
+        )
+        inter = term if inter is None else inter + term
+    jac = inter.cast("double") / (F.col("sza") + F.col("szb") - inter)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
@@ -202,6 +272,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_bitset_jaccard": dedup_bitset_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -258,6 +329,8 @@ ORACLES = {
     # LSH path must reproduce the exact baseline's output (see class
     # docstring for the 5e-8 miss bound at J≥0.8).
     "dedup_minhash_lsh": _jaccard_pairs_sql(),
+    # bitset path is exact — same oracle as the string baseline
+    "dedup_bitset_jaccard": _jaccard_pairs_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
