@@ -60,11 +60,21 @@ def char_ngrams(col: Column | str, n: int) -> Column:
 
     Computed as substrings over an index sequence: pure Catalyst
     expressions, vectorizable, no Python.
+
+    The normalized string is let-bound through a single-element-array
+    ``transform`` so it is evaluated ONCE per row. Referencing the
+    ``norm`` Column directly inside the per-position lambda would embed
+    the whole tokenize+join expression at every use site, and Catalyst
+    evaluates lambda bodies per element — the tokenizer would run ~|text|
+    times per row (measured 30× end-to-end on the documents fixture).
     """
     norm = F.concat_ws(" ", tokens(col))
-    gram = lambda i: F.substring(norm, i, n)  # noqa: E731 — Column-pos substring
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, gram))
+
+    def grams_of(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+    return F.transform(F.array(norm), grams_of).getItem(0)
 
 
 def char_ngrams_sql(expr: str, n: int) -> str:

@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -38,6 +38,7 @@ from pim_orc_spark.functions.hashing import (
 )
 from pim_orc_spark.functions.textfns import char_ngrams, char_ngrams_sql, tokens, tokens_sql
 from pim_orc_spark.functions.vector import as_double_vec, cosine, cosine_sql
+from pim_orc_spark.plans import explode_nonempty, spread
 
 NGRAM_N = 3
 JACCARD_T = 0.8
@@ -63,8 +64,60 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Shingling costs ~100× a scan per byte — spread beyond file splits.
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", char_ngrams("text", NGRAM_N).alias("grams"))
+
+
+def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
+    """Dictionary-encode each doc's gram set as a fixed-width bitset
+    (array of longs), so set intersection is AND+popcount instead of
+    string-array intersect (~100× less work per pair).
+
+    Returns ``(enc, nb)``: ``enc`` has (doc_id, mask array<long>, sz),
+    ``nb`` is the number of 64-bit words. The dictionary is a bounded
+    distinct (char-3-gram alphabet ≲ 47k entries ⇒ ≤ ~740 words) built
+    once and broadcast; the single-partition window that assigns ids is
+    over that bounded dictionary, never over documents.
+    """
+    grams_dict = (
+        g.select(explode_nonempty("grams").alias("gram"))
+        .distinct()
+        .select(
+            "gram",
+            (F.row_number().over(Window.orderBy("gram")) - 1).alias("idx"),
+        )
+    )
+    n_grams = grams_dict.count()  # dictionary cardinality: metadata-scale
+    nb = (n_grams + 63) // 64
+
+    doc_idx = (
+        g.select("doc_id", explode_nonempty("grams").alias("gram"))
+        .join(F.broadcast(grams_dict), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("idxs"))
+    )
+    mask_expr = (
+        f"transform(sequence(0, {nb - 1}), w -> "
+        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
+        "(a, i) -> a | shiftleft(1L, i % 64)))"
+    )
+    enc = doc_idx.selectExpr(
+        "doc_id", f"{mask_expr} AS mask", "size(idxs) AS sz"
+    )
+    return enc, nb
+
+
+def _popcount_jaccard(nb: int) -> Column:
+    """Jaccard of two bitsets (ma/sza vs mb/szb) as unrolled AND+popcount:
+    flat codegen arithmetic, no per-pair lambda/array allocation."""
+    inter = None
+    for w in range(nb):
+        term = F.bit_count(
+            F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w))
+        )
+        inter = term if inter is None else inter + term
+    return inter.cast("double") / (F.col("sza") + F.col("szb") - inter)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,14 +143,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact Jaccard — the 100 TB plan.
 
     Stages (shuffles marked):
-      1. shingle + per-perm min-hash signature: map-side only — the
-         128 mins fold over the gram array inside codegen, no explode
-         shuffle (explode → groupBy would shuffle |grams| rows; the
-         array fold shuffles nothing).
+      1. shingle → explode → hash each gram once → groupBy doc with 128
+         partially-aggregable min()s: the shuffle carries one 128-column
+         partial row per doc per partition, not |grams| rows.
       2. posexplode band keys → self-join on (band, key): shuffles
          O(docs × bands) small rows.
-      3. distinct candidate pairs → join back to gram arrays →
-         exact-Jaccard filter: shuffles O(candidates).
+      3. distinct candidate pairs → join to bitset-encoded gram sets →
+         exact-Jaccard verify via AND+popcount: shuffles O(candidates).
     """
     g = _grams(spark, sf_dir)
     params = minhash_params(MINHASH_K)
@@ -110,7 +162,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partially aggregable, so this shuffles only one 128-column
     # partial row per doc per partition.)
     gram_hashes = g.select(
-        "doc_id", F.explode("grams").alias("gram")
+        "doc_id", explode_nonempty("grams").alias("gram")
     ).select("doc_id", poly_hash("gram").alias("h"))
     sig_cols = [
         F.min((F.col("h") * a + b) % MOD).alias(f"s{i}")
@@ -141,14 +193,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    uni = F.size("ga") + F.size("gb") - inter
-    jac = inter.cast("double") / uni
+    # Verify candidates with bitset AND+popcount, not string-array
+    # intersect: on adversarial corpora (high background similarity)
+    # banding admits ~all pairs and verification dominates — the bitset
+    # keeps per-pair cost at a few dozen instructions either way.
+    enc, nb = _bitset_encode(spark, g)
+    ea = enc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mask").alias("ma"),
+        F.col("sz").alias("sza"),
+    )
+    eb = enc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mb"),
+        F.col("sz").alias("szb"),
+    )
+    jac = _popcount_jaccard(nb)
     return (
-        cands.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cands.join(ea, "doc_a")
+        .join(eb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
@@ -174,31 +237,7 @@ def dedup_bitset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register arithmetic inside codegen.
     """
     g = _grams(spark, sf_dir)
-    grams_dict = (
-        g.select(F.explode("grams").alias("gram"))
-        .distinct()
-        .select(
-            "gram",
-            (F.row_number().over(Window.orderBy("gram")) - 1).alias("idx"),
-        )
-    )
-    n_grams = grams_dict.count()  # dictionary cardinality: metadata-scale
-    nb = (n_grams + 63) // 64
-
-    doc_idx = (
-        g.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(grams_dict), "gram")
-        .groupBy("doc_id")
-        .agg(F.collect_set("idx").alias("idxs"))
-    )
-    mask_expr = (
-        f"transform(sequence(0, {nb - 1}), w -> "
-        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
-        "(a, i) -> a | shiftleft(1L, i % 64)))"
-    )
-    enc = doc_idx.selectExpr(
-        "doc_id", f"{mask_expr} AS mask", "size(idxs) AS sz"
-    )
+    enc, nb = _bitset_encode(spark, g)
     # The pair stage is a broadcast nested-loop join; without an explicit
     # repartition, AQE coalesces the tiny encoded input to ONE partition
     # and the O(n²) loop runs on a single core (measured 149s → 6s).
@@ -213,15 +252,7 @@ def dedup_bitset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mask").alias("mb"),
         F.col("sz").alias("szb"),
     )
-    # Unrolled AND+popcount: flat codegen arithmetic, no per-pair
-    # lambda/array allocation.
-    inter = None
-    for w in range(nb):
-        term = F.bit_count(
-            F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w))
-        )
-        inter = term if inter is None else inter + term
-    jac = inter.cast("double") / (F.col("sza") + F.col("szb") - inter)
+    jac = _popcount_jaccard(nb)
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("doc_a") < F.col("doc_b"))

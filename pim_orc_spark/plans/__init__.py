@@ -1,0 +1,53 @@
+"""Plan-shape helpers: small wrappers whose only job is to make Catalyst
+produce the physical plan we want. Each one documents the optimizer
+behavior it exists to steer — these are load-bearing at 100 TB, where a
+single mis-shaped plan (an inferred filter that re-derives an expensive
+expression, a one-partition stage on a 32-core box) turns a linear
+operator into a quadratic one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def explode_nonempty(col: Column | str) -> Column:
+    """``explode`` for arrays the caller guarantees are non-empty.
+
+    Uses ``explode_outer``, which is row-for-row identical to ``explode``
+    on non-empty arrays, to keep Catalyst's ``InferFiltersFromGenerate``
+    rule from firing. That rule synthesizes ``size(arr) > 0 AND arr IS
+    NOT NULL`` from an inner explode; predicate pushdown then substitutes
+    the *entire* array expression into the filter at the scan. When the
+    array is expensive to derive (e.g. char n-grams: tokenize + join +
+    per-position substring), the inferred filter re-computes it once per
+    row with every sub-expression inlined — measured 30× slower than the
+    generate itself on the documents fixture.
+
+    Only use when the array provably has ≥1 element (our n-gram arrays
+    always do: ``sequence(1, greatest(len-2, 1))`` yields ≥1 position).
+    For possibly-empty arrays, plain ``explode`` keeps its drop-row
+    semantics and the inferred filter is the price of correctness.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.explode_outer(c)
+
+
+def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition a CPU-bound input up to cluster parallelism if the
+    file source under-partitioned it.
+
+    File sources split by *bytes* (``spark.sql.files.maxPartitionBytes``),
+    which is the right unit for scan-bound work. Kernels whose cost per
+    byte is orders of magnitude above a scan (n-gram shingling, MinHash,
+    per-token stats) inherit that split, so a small-but-expensive table
+    lands in one task and serializes a 32-core box. At real scale the
+    input has thousands of splits and this is a no-op — the repartition
+    only happens when partitions < defaultParallelism, so no shuffle is
+    added to an already-parallel plan.
+    """
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
