@@ -35,8 +35,10 @@ def _modules():
         similarity,
         text,
     )
+    from pim_orc_spark.sources import orc_io
+    from pim_orc_spark.streaming import stream_events
 
-    return [relational, text, dedup, similarity, multimodal]
+    return [relational, text, dedup, similarity, multimodal, orc_io, stream_events]
 
 
 def entry(spark: SparkSession) -> DataFrame:

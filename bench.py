@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_bitset_jaccard",
     "ann_cosine_topk",
     "text_quality",
+    "orc_roundtrip_sum",
+    "stream_windowed_counts",
 ]
 
 
@@ -48,13 +50,21 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # Warmup: trigger JVM + codegen + file listing once.
+    # Warmup: trigger JVM + codegen + file listing once, and materialize
+    # the one-time ORC copy of lineitem so orc_roundtrip_sum times the
+    # scan, not the write.
     qs["q01_flagship_sum"](spark, SF_DIR).collect()
+    from pim_orc_spark.sources.orc_io import orc_table
 
+    orc_table(spark, SF_DIR, "lineitem")
+
+    # Timed span = plan construction + full execution. Streaming queries
+    # run to completion inside the callable (memory sink); batch queries
+    # execute in the noop write — timing both phases covers each shape.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
         t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

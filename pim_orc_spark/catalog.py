@@ -37,15 +37,24 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """nanosAsLong read path: ts arrives as int64 nanoseconds; floor to
+    microseconds — identical to DuckDB's nanos→micros truncation. Shared
+    by the batch loader and the streaming source (same parquet files)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_parity_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong read path: ts arrives as int64 nanoseconds; floor to
-        # microseconds — identical to DuckDB's nanos→micros truncation.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

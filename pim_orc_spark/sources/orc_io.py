@@ -1,0 +1,179 @@
+"""ORC read/write path with the reference's storage parameters.
+
+The reference's entire data layer is "an ORC file on local disk,
+Snappy-compressed in 32 KB blocks, row-indexed every 10,000 rows":
+
+- codec: Snappy (snappy/snappy.cc:1403-1420 decompresses Snappy blocks;
+  the test file's postscript declares ``compression=SNAPPY``).
+- compression block size 32 KB: ``BLOCK_SIZE = 32 * 1024`` at
+  orc-parser/Makefile:17 and snappy/CMakeLists.txt:251-252 — uniform
+  block size is what made the reference's per-block decompression
+  offload schedulable; here it is a write-path option.
+- row-index stride 10,000: README.md:20, consumed as the scan batch
+  size at reader.cc:43.
+
+``orc_metadata`` mirrors the reference's planning loop (reader.cc:104-107:
+``getNumberOfStripes()`` / ``getStripe(s)->getNumberOfRows()``): it reads
+ONLY file footers — no row data — through the ORC library Spark bundles.
+
+At 100 TB: ORC directories are written per-partition by executors (the
+``df.write`` path below is already distributed); footers are a few KB per
+file, so ``orc_metadata`` is driver-side metadata work exactly like
+Spark's own split planning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_orc_spark.catalog import load_table
+from pim_orc_spark.functions.numeric import exact_sum, exact_sum_sql
+from pim_orc_spark.session import ensure_parity_confs
+
+# Write-path parity knobs (see module docstring for reference citations).
+REFERENCE_ORC_OPTIONS: dict[str, str] = {
+    "compression": "snappy",
+    "orc.compress.size": "32768",
+    "orc.row.index.stride": "10000",
+}
+
+# Local materialization root for ORC copies of the parquet fixtures.
+_ORC_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_ORC_CACHE", "/tmp/pim_orc_spark/orc"
+)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Write a DataFrame as ORC with the reference's storage parameters."""
+    df.write.mode("overwrite").options(**REFERENCE_ORC_OPTIONS).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC table; schema comes from the file footer, never from
+    code (reader.cc:37-44 opens with default ReaderOptions)."""
+    ensure_parity_confs(spark)
+    return spark.read.orc(path)
+
+
+def orc_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The parquet fixture table, materialized once as reference-parity
+    ORC and read back. Idempotent per (sf_dir, table): the write happens
+    only if the ORC copy is absent, so repeated queries pay footer reads
+    only."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_orc(load_table(spark, sf_dir, name), path)
+    return read_orc(spark, path)
+
+
+def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
+    """Footer-only stripe inventory of an ORC file/directory — the Spark
+    analogue of the reference's planning metadata (reader.cc:104-107):
+    per file: stripe count, rows per stripe, total rows, compression
+    kind, compression block size, row-index stride.
+
+    Reads footers through the ORC library bundled with Spark; row data
+    is never touched, so this is O(files), not O(rows).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    files = []
+    if fs.getFileStatus(hpath).isDirectory():
+        it = fs.listStatus(hpath)
+        files = [
+            s.getPath()
+            for s in it
+            if s.getPath().getName().endswith(".orc")
+        ]
+    else:
+        files = [hpath]
+    out: list[dict] = []
+    for f in files:
+        reader = jvm.org.apache.orc.OrcFile.createReader(
+            f, jvm.org.apache.orc.OrcFile.readerOptions(conf)
+        )
+        stripes = reader.getStripes()
+        out.append(
+            {
+                "file": f.getName(),
+                "num_stripes": stripes.size(),
+                "stripe_rows": [
+                    stripes.get(i).getNumberOfRows()
+                    for i in range(stripes.size())
+                ],
+                "num_rows": reader.getNumberOfRows(),
+                "compression": reader.getCompressionKind().toString(),
+                "compression_block_size": reader.getCompressionSize(),
+                "row_index_stride": reader.getRowIndexStride(),
+            }
+        )
+    return out
+
+
+# ------------------------------------------------------------------ queries
+
+
+def orc_roundtrip_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship scan-aggregate (reader.cc:50-63,156-161) executed
+    against a reference-parity ORC copy of lineitem. Oracle is the SUM
+    over the parquet source — equality proves the ORC round-trip is
+    lossless and the ORC scan path (vectorized reader, Snappy blocks,
+    stride batches) produces identical results."""
+    li = orc_table(spark, sf_dir, "lineitem")
+    return li.agg(exact_sum("l_extendedprice", "sum_price"))
+
+
+def orc_pushdown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown into the ORC reader (the SARG module the
+    reference links but never invokes, orc-parser/Makefile:37):
+    the filters appear as PushedFilters in the ORC scan and skip row
+    groups via column statistics at stride granularity."""
+    li = orc_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") < 10.0) & (F.col("l_returnflag") == "A")
+        ).agg(
+            exact_sum("l_extendedprice", "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def orc_metadata_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT satisfied without reading data columns (A3: the reference
+    derives total rows from per-stripe counts without scanning,
+    reader.cc:104-112). The scan plans with an empty ReadSchema —
+    zero column bytes decoded, only batch row counts — and on the DSv2
+    scan path (spark.sql.orc.aggregatePushdown with ORC removed from
+    spark.sql.sources.useV1SourceList) becomes a pure footer read.
+    ``orc_metadata`` is the explicit footer-only equivalent."""
+    li = orc_table(spark, sf_dir, "lineitem")
+    return li.selectExpr("count(*) AS n_rows")
+
+
+QUERIES = {
+    "orc_roundtrip_sum": orc_roundtrip_sum,
+    "orc_pushdown_filter": orc_pushdown_filter,
+    "orc_metadata_rowcount": orc_metadata_rowcount,
+}
+
+# Oracles run on the parquet fixtures (DuckDB has no ORC reader): the
+# Spark side reads its ORC materialization of the same rows, so value
+# equality certifies the ORC write/read path end-to-end.
+ORACLES = {
+    "orc_roundtrip_sum": (
+        f"SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
+    ),
+    "orc_pushdown_filter": (
+        f"SELECT {exact_sum_sql('l_extendedprice', 'revenue')},"
+        " COUNT(*) AS n_rows FROM lineitem"
+        " WHERE l_quantity < 10.0 AND l_returnflag = 'A'"
+    ),
+    "orc_metadata_rowcount": "SELECT COUNT(*) AS n_rows FROM lineitem",
+}

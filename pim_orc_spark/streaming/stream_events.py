@@ -1,0 +1,161 @@
+"""Structured Streaming operators over `events`.
+
+The reference is batch-only (its one program runs and exits,
+orc-parser/reader.cc:69-170); its *internal* decompression request
+engine is a micro-batching producer/consumer loop
+(snappy/pim-snappy/pim_snappy.c:21-23,330 — dispatch when enough
+requests wait or a 5 ms timer fires), which is exactly the shape of
+Spark's micro-batch streaming engine. These operators are the
+query-level streaming surface the north star asks for.
+
+Harness design: each operator reads the events parquet as a FILE STREAM
+(`readStream`), processes it with `Trigger.AvailableNow`, and runs to
+completion into an in-memory sink, returning the final table. On a
+finite input this makes the streaming result comparable row-for-row
+with a batch/DuckDB oracle — the streaming analogue of the differential
+test the reference implies with its CPU-vs-PIM builds (README.md:5-7).
+
+Scale stance (100 TB / continuous):
+- the memory sink is the TEST harness only; production writes
+  `writeStream.format("delta"|"parquet"|"kafka")` with checkpointing —
+  the transformation DataFrames are identical.
+- windowed aggregations in complete mode here (so the finite run flushes
+  every window); a continuous deployment uses append mode +
+  `withWatermark` so state is bounded — the trade documented per
+  operator.
+- streaming dropDuplicates holds one state row per key; continuous
+  deployments bound it with dropDuplicatesWithinWatermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_orc_spark.catalog import normalize_event_ts
+from pim_orc_spark.functions.numeric import exact_sum, exact_sum_sql
+from pim_orc_spark.session import ensure_parity_confs
+
+WINDOW = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. Schema comes from a
+    batch footer read (streams must declare schemas up front); the
+    nanos→micros ts normalization matches the batch catalog exactly."""
+    ensure_parity_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # File streams take a directory; select just the events file from the
+    # fixture dir. A production deployment points at a growing directory
+    # (or Kafka) — everything downstream is unchanged.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(stream)
+
+
+def run_to_completion(
+    stream_df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with AvailableNow into a
+    memory sink and return the resulting (batch) table. AvailableNow
+    processes everything currently in the source then stops — the
+    streaming equivalent of the reference's one-shot main()."""
+    spark = stream_df.sparkSession
+    # memory-sink table names are session-global; make them unique per
+    # invocation so repeated runs (tests, driver sweeps) don't collide.
+    existing = {q.name for q in spark.streams.active if q.name}
+    i = 0
+    while f"{name}_{i}" in existing or spark.catalog.tableExists(
+        f"{name}_{i}"
+    ):
+        i += 1
+    qname = f"{name}_{i}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def stream_grouped_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous grouped aggregation: per event_type count + exact sum,
+    complete mode. The plan is the same partial/final HashAggregate as
+    batch with a state store between micro-batches; state is one row per
+    group (bounded by the event_type alphabet), so it holds at any
+    scale."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "sum_value"),
+    )
+    return run_to_completion(agg, "stream_grouped_totals", "complete")
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts (10-minute windows aligned to
+    the epoch, exactly DuckDB's time_bucket). Complete mode so the
+    finite run emits every window; a continuous deployment adds
+    ``withWatermark("ts", <delay>)`` + append mode to bound state and
+    emit windows as they finalize."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_completion(agg, "stream_windowed_counts", "complete")
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first occurrence per (user_id, event_type),
+    append mode — the streaming form of the dedup_exact operator. State
+    is one row per distinct key; unbounded key spaces use
+    dropDuplicatesWithinWatermark to evict state older than the
+    watermark (trading exactness outside the horizon, documented)."""
+    ev = read_events_stream(spark, sf_dir)
+    first_seen = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_completion(first_seen, "stream_dedup_keys", "append")
+
+
+QUERIES = {
+    "stream_grouped_totals": stream_grouped_totals,
+    "stream_windowed_counts": stream_windowed_counts,
+    "stream_dedup_keys": stream_dedup_keys,
+}
+
+ORACLES = {
+    "stream_grouped_totals": f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {exact_sum_sql("value", "sum_value")}
+        FROM events GROUP BY event_type
+    """,
+    "stream_windowed_counts": f"""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type, COUNT(*) AS n_events,
+               {exact_sum_sql("value", "sum_value")}
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_dedup_keys": (
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ),
+}

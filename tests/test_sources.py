@@ -1,0 +1,81 @@
+"""ORC storage layer: oracle parity, write-path knobs, footer metadata,
+and the reference's own checked-in fixture (SURVEY.md §2.1, §5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pim_orc_spark.oracle import compare
+from pim_orc_spark.sources import orc_io
+
+# The reference repo's smoke fixture: TPC-DS store_sales, 1 row,
+# 1 stripe, SNAPPY, stride 10,000 (reference README.md:16-22).
+REF_FIXTURE = "/root/reference/testfiles/store_sales-scale0-parts1.snappy.orc"
+
+
+@pytest.mark.parametrize("name", sorted(orc_io.QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = orc_io.QUERIES[name](spark, sf_dir)
+    ok, msg = compare(df, orc_io.ORACLES[name], sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_write_path_knobs(spark, sf_dir):
+    """The materialized ORC copy carries the reference's storage
+    parameters in its own footer: SNAPPY codec (snappy.cc:1403-1420),
+    32 KB compression blocks (orc-parser/Makefile:17), 10k row-index
+    stride (README.md:20)."""
+    orc_io.orc_table(spark, sf_dir, "lineitem")  # ensure materialized
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORC_CACHE", "/tmp/pim_orc_spark/orc"),
+        sf_tag,
+        "lineitem",
+    )
+    meta = orc_io.orc_metadata(spark, path)
+    assert meta, "no ORC files written"
+    total_rows = sum(m["num_rows"] for m in meta)
+    import duckdb
+
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert total_rows == expected
+    for m in meta:
+        assert m["compression"] == "SNAPPY"
+        assert m["compression_block_size"] == 32768
+        assert m["row_index_stride"] == 10000
+        # stripe row counts must partition the file's rows
+        assert sum(m["stripe_rows"]) == m["num_rows"]
+
+
+def test_reference_fixture_parity(spark):
+    """Run the reference's exact query — SUM of the first column, nulls
+    skipped (reader.cc:50-63,156-161) — on its checked-in ORC fixture,
+    and check the fixture's declared layout matches the survey."""
+    if not os.path.exists(REF_FIXTURE):
+        pytest.skip("reference fixture not present")
+    from pyspark.sql import functions as F
+
+    df = orc_io.read_orc(spark, REF_FIXTURE)
+    first = df.columns[0]
+    row = df.agg(
+        F.sum(first).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    # scale-0 fixture: exactly one row; SUM semantics skip NULLs just as
+    # the reference's notNull[] check does (reader.cc:61).
+    assert row["n"] == 1
+    import duckdb  # noqa: F401  (DuckDB cannot read ORC; assert vs metadata)
+
+    meta = orc_io.orc_metadata(spark, REF_FIXTURE)[0]
+    assert meta["num_rows"] == 1
+    assert meta["num_stripes"] == 1
+    assert meta["compression"] == "SNAPPY"
+    assert meta["row_index_stride"] == 10000
+    # cross-check the aggregate against the raw value via a projection
+    vals = df.select(first).collect()
+    expected = sum(v[0] for v in vals if v[0] is not None)
+    assert row["s"] == expected
