@@ -44,9 +44,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # Integer division: `/` would promote the int64 nanos to double,
+        # whose 53-bit mantissa cannot hold a 2024 epoch-nanos value —
+        # the result is occasionally off by 1µs vs DuckDB's exact
+        # truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -137,9 +137,37 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(first_seen, "stream_dedup_keys", "append")
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap, the
+    streaming-native form of q18_sessionization. ``session_window``
+    merges an event into the current session iff it arrives strictly
+    less than 30 minutes after the previous one (break at gap ≥ 30 min);
+    session_end = last event + gap. State is one open session per user;
+    complete mode flushes all sessions on the finite run (continuous
+    deployments use watermark + append so closed sessions emit as the
+    watermark passes their end)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_to_completion(agg, "stream_session_windows", "complete")
+
+
 QUERIES = {
     "stream_grouped_totals": stream_grouped_totals,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": stream_dedup_keys,
 }
 
@@ -158,4 +186,31 @@ ORACLES = {
     "stream_dedup_keys": (
         "SELECT DISTINCT user_id, event_type FROM events"
     ),
+    # Gaps-and-islands with session_window's exact semantics: break when
+    # the µs gap is >= 30 min; end = last event + 30 min. Tie order
+    # within equal ts is irrelevant (gap 0 always merges).
+    "stream_session_windows": f"""
+        WITH ordered AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           >= 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ), idx AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sidx
+          FROM ordered
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               {exact_sum_sql("value", "session_value")}
+        FROM idx GROUP BY user_id, sidx
+    """,
 }
