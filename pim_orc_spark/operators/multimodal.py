@@ -111,8 +111,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA)
 
 
+# Sized so fixture documents (≤ ~600 bytes) produce several frames each;
+# a video deployment would use real frame boundaries from the container
+# format instead of fixed byte windows.
+FRAME_BYTES = 64
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def _sample_frames(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: split each payload into fixed-size frames,
+    keep every FRAME_STRIDE-th, emit per-frame features. The streaming
+    shape of video frame-sampling: one row in, ~len/(bytes×stride) rows
+    out, all inside one Arrow batch."""
+    for pdf in batches:
+        doc_ids, idxs, lens, checks = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                chunk = data[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                _, c = fake_decode(chunk)
+                doc_ids.append(int(doc_id))
+                idxs.append(fi)
+                lens.append(len(chunk))
+                checks.append(c)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "n_bytes": pd.Series(lens, dtype="int64"),
+                "checksum": pd.Series(checks, dtype="int64"),
+            }
+        )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline over the opaque payload column: fan each
+    binary blob out into strided fixed-size frames with per-frame
+    features. Map-only (the fan-out happens inside the Arrow batch);
+    at 100 TB the same kernel wraps a real video decoder and the
+    partitioning/schema/batch shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d)
+    return payloads.mapInPandas(_sample_frames, FRAME_SCHEMA)
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 # Fixture text is pure ASCII, so UTF-8 bytes == character codes and the
@@ -129,5 +186,32 @@ ORACLES = {
                    (a, b) -> (a * 31 + b) % {CHECKSUM_MOD})
                END AS BIGINT) AS checksum
         FROM documents
+    """,
+    # Frames = strided fixed-size byte windows; ASCII text ⇒ substr on
+    # characters == slicing bytes, so the frame checksum is the same
+    # rolling hash over the chunk's character codes.
+    "multimodal_frame_sample": f"""
+        WITH frames AS (
+          SELECT doc_id, text,
+                 unnest(range(0,
+                   CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT),
+                   {FRAME_STRIDE})) AS frame_idx
+          FROM documents
+        ), chunks AS (
+          SELECT doc_id, frame_idx,
+                 substr(text, frame_idx * {FRAME_BYTES} + 1,
+                        {FRAME_BYTES}) AS chunk
+          FROM frames
+        )
+        SELECT doc_id, frame_idx,
+               CAST(strlen(chunk) AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN strlen(chunk) = 0 THEN 0 ELSE
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, strlen(chunk) + 1),
+                                    i -> CAST(ascii(chunk[i:i]) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {CHECKSUM_MOD})
+               END AS BIGINT) AS checksum
+        FROM chunks
     """,
 }

@@ -121,8 +121,89 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k, restructured for 100 TB: Arrow-batched numpy matmul
+    with per-partition PARTIAL top-k, then a final top-k over the tiny
+    candidate set.
+
+    The window formulation (``ann_cosine_topk``) shuffles every
+    (query, corpus-row) similarity — O(|corpus| × |queries|) rows —
+    into per-query partitions before ranking. Here each Arrow batch
+    computes its own top-k per query inside numpy (one BLAS matmul),
+    so the shuffle carries ≤ partitions × |queries| × k candidate rows,
+    independent of corpus size. Same result set as the exact baseline
+    and the same oracle.
+
+    The query set is collected to the driver and closed over (bounded:
+    a query workload, not a table). Float64 accumulation order differs
+    from the sequential fold by ≲1 ulp — far below the 4-dp rounding
+    the contract exposes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+    qrows = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def partial_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T  # (batch, queries)
+            frames = []
+            for j in range(len(q_ids)):
+                s = S[:, j]
+                mask = ids != q_ids[j]
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                # partial top-k: k best by (sim desc, vec_id asc)
+                order = np.lexsort((ids[cand_idx], -s[cand_idx]))
+                take = cand_idx[order[:TOP_K]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(take.size, q_ids[j]),
+                            "neighbor_id": ids[take],
+                            "sim": s[take],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cands = v.mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_lsh_bucketed": ann_lsh_bucketed,
 }
 
@@ -143,8 +224,7 @@ def _bucket_sql(vec_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-ORACLES = {
-    "ann_cosine_topk": f"""
+_ANN_EXACT_SQL = f"""
         WITH v AS (SELECT vec_id, embedding FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
               WHERE vec_id < {N_QUERIES}),
@@ -161,7 +241,12 @@ ORACLES = {
         SELECT query_id, vec_id AS neighbor_id, rank,
                round(sim, 4) AS cos_sim
         FROM ranked WHERE rank <= {TOP_K}
-    """,
+    """
+
+ORACLES = {
+    "ann_cosine_topk": _ANN_EXACT_SQL,
+    # the vectorized plan must reproduce the exact baseline's output
+    "ann_cosine_topk_vectorized": _ANN_EXACT_SQL,
     "ann_lsh_bucketed": f"""
         WITH v AS (
           SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
