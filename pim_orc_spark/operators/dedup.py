@@ -87,6 +87,7 @@ def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
             "gram",
             (F.row_number().over(Window.orderBy("gram")) - 1).alias("idx"),
         )
+        .cache()  # bounded (≲47k rows); reused by the encode join below
     )
     n_grams = grams_dict.count()  # dictionary cardinality: metadata-scale
     nb = (n_grams + 63) // 64

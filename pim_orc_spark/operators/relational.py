@@ -351,6 +351,26 @@ def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access (§2.6): pull a typed value out of
+    the JSON `props` string and aggregate it. get_json_object evaluates
+    inside codegen — no Python, no UDF — so the JSON hot path scans at
+    column speed; at scale, frequently-accessed keys would be promoted
+    to real columns at write time."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q02_null_skip_sum": q02_null_skip_sum,
@@ -370,6 +390,7 @@ QUERIES = {
     "q16_scalar_functions": q16_scalar_functions,
     "q17_date_buckets": q17_date_buckets,
     "q18_sessionization": q18_sessionization,
+    "q19_json_extract": q19_json_extract,
 }
 
 
@@ -530,5 +551,17 @@ ORACLES = {
            SUM(n_events) AS n_events,
            CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM per_session GROUP BY user_id
+    """,
+    "q19_json_extract": """
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ) GROUP BY event_type
     """,
 }

@@ -164,11 +164,76 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "stream_session_windows", "complete")
 
 
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, exact total in cents) held in explicit
+    GroupState, one snapshot row emitted per group per micro-batch.
+
+    This is the extension point for stateful logic Spark's built-ins
+    can't express (per-key models, CUSUM/anomaly scores, decaying
+    counters): Arrow-batched pandas in, explicit state tuple, append
+    output. Money is accumulated as integer cents so state is exact
+    and order-independent. The final snapshot per user equals the batch
+    aggregate — the oracle below — so the operator is fully
+    differential-tested despite being imperative code.
+
+    Scale: state is one 3-int tuple per user in the state store;
+    snapshots are O(active users) per batch. Continuous deployments add
+    a state TTL (GroupStateTimeout) to retire idle keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, cents, seq = state.get
+        else:
+            n, cents, seq = 0, 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        seq += 1
+        state.update((n, cents, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "batch_seq": [seq],
+            }
+        )
+
+    snap = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_cents long, batch_seq long",
+        "n long, cents long, seq long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_completion(snap, "stream_stateful_user_stats", "append")
+    # one snapshot per (user, batch) — keep each user's last
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_seq").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_cents") / 100.0).alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "stream_grouped_totals": stream_grouped_totals,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": stream_dedup_keys,
+    "stream_stateful_user_stats": stream_stateful_user_stats,
 }
 
 ORACLES = {
@@ -212,5 +277,12 @@ ORACLES = {
                COUNT(*) AS n_events,
                {exact_sum_sql("value", "session_value")}
         FROM idx GROUP BY user_id, sidx
+    """,
+    # final GroupState snapshot per user == the batch aggregate; cents
+    # accumulation matches decimal(18,2) exactly for 2-dp inputs
+    "stream_stateful_user_stats": f"""
+        SELECT user_id, COUNT(*) AS n_events,
+               {exact_sum_sql("value", "total_value")}
+        FROM events GROUP BY user_id
     """,
 }
