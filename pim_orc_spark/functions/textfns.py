@@ -78,7 +78,10 @@ def char_ngrams(col: Column | str, n: int) -> Column:
 
 
 def char_ngrams_sql(expr: str, n: int) -> str:
-    norm = f"list_aggregate({tokens_sql(expr)}, 'string_agg', ' ')"
+    # coalesce: DuckDB's list_aggregate over an empty token list is NULL
+    # where Spark's concat_ws is '' — normalize to '' so both engines
+    # emit the same single-empty-gram array for token-free input.
+    norm = f"coalesce(list_aggregate({tokens_sql(expr)}, 'string_agg', ' '), '')"
     return (
         f"list_distinct(list_transform(range(1, greatest(len({norm}) - {n - 1}, 1) + 1),"
         f" i -> {norm}[i:i+{n - 1}]))"

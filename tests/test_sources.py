@@ -52,6 +52,26 @@ def test_write_path_knobs(spark, sf_dir):
         assert sum(m["stripe_rows"]) == m["num_rows"]
 
 
+@pytest.mark.parametrize(
+    "table",
+    ["region", "nation", "events", "documents", "embeddings"],
+)
+def test_orc_roundtrip_all_types(spark, sf_dir, table):
+    """ORC↔Parquet round-trip across the fixture type system (M1):
+    strings, timestamps (µs-normalized events.ts), doubles, and
+    array<float> embeddings must survive the ORC write/read path
+    value-identically."""
+    from pim_orc_spark.catalog import load_table
+
+    src = load_table(spark, sf_dir, table)
+    rt = orc_io.orc_table(spark, sf_dir, table)
+    assert rt.schema == src.schema
+    key = src.columns[0]
+    a = [tuple(r) for r in src.orderBy(key).collect()]
+    b = [tuple(r) for r in rt.orderBy(key).collect()]
+    assert a == b
+
+
 def test_reference_fixture_parity(spark):
     """Run the reference's exact query — SUM of the first column, nulls
     skipped (reader.cc:50-63,156-161) — on its checked-in ORC fixture,
