@@ -254,9 +254,19 @@ def dedup_bitset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").alias("szb"),
     )
     jac = _popcount_jaccard(nb)
+    # Size-ratio prefilter: |A∩B| ≤ min(|A|,|B|), so J ≥ t requires
+    # min/max ≥ t. Evaluated as part of the join condition it discards a
+    # pair on two comparisons before any popcount work.
+    from fractions import Fraction
+
+    fr = Fraction(JACCARD_T).limit_denominator(1000)
+    t_num, t_den = fr.numerator, fr.denominator  # integer math in the gate
+    size_gate = (F.col("sza") * t_den >= F.col("szb") * t_num) & (
+        F.col("szb") * t_den >= F.col("sza") * t_num
+    )
     return (
         a.crossJoin(F.broadcast(b))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_gate)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
@@ -283,6 +293,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
+HAMMING_T = 3  # near-dup = simhash Hamming distance ≤ 3
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within SimHash Hamming distance ≤ 3 via
+    block-pigeonhole candidates — the scale path promised by the module
+    docstring.
+
+    Pigeonhole: split the 32-bit fingerprint into HAMMING_T+1 = 4 byte
+    blocks; two hashes within distance 3 must agree EXACTLY on ≥1 block.
+    Candidates = equi-join per (block index, block value) — a shuffle on
+    8-bit-block keys, never an all-pairs product — then verify with one
+    XOR+popcount. At 100 TB the same shape holds: candidate volume is
+    bounded by block-collision rates, and skewed blocks (common
+    prefixes) are split by AQE skew handling."""
+    sim = dedup_simhash(spark, sf_dir)
+    n_blocks = HAMMING_T + 1
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+            for i in range(n_blocks)
+        ]
+    )
+    banded = sim.select(
+        "doc_id", "simhash", F.posexplode(blocks).alias("blk", "v")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "blk", "v"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk", "v"
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        left.join(right, ["blk", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .distinct()
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45 over all pairs. All-pairs
     is the fixture-scale verification form; the LSH-bucketed form
@@ -306,6 +358,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_bitset_jaccard": dedup_bitset_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -364,6 +417,15 @@ ORACLES = {
     # bitset path is exact — same oracle as the string baseline
     "dedup_bitset_jaccard": _jaccard_pairs_sql(),
     "dedup_simhash": _simhash_sql(),
+    # all-pairs XOR+popcount ground truth; the block-pigeonhole plan is
+    # lossless for distance ≤ HAMMING_T so outputs must be identical
+    "dedup_simhash_pairs": f"""
+        WITH s AS ({_simhash_sql()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+    """,
     "dedup_embedding_cosine": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim

@@ -137,6 +137,23 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(first_seen, "stream_dedup_keys", "append")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows: 10-minute windows every 5 minutes,
+    so each event lands in exactly two windows. Same complete-mode
+    flush rationale as the tumbling variant; state is 2× tumbling."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", WINDOW, "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_completion(agg, "stream_sliding_counts", "complete")
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap, the
     streaming-native form of q18_sessionization. ``session_window``
@@ -231,6 +248,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_grouped_totals": stream_grouped_totals,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_stateful_user_stats": stream_stateful_user_stats,
@@ -251,6 +269,19 @@ ORACLES = {
     "stream_dedup_keys": (
         "SELECT DISTINCT user_id, event_type FROM events"
     ),
+    # each event belongs to the two 5-min-aligned windows covering it:
+    # the one starting at its 5-min bucket and the one 5 min earlier
+    "stream_sliding_counts": """
+        WITH hits AS (
+          SELECT event_type,
+                 unnest([time_bucket(INTERVAL '5 minutes', ts),
+                         time_bucket(INTERVAL '5 minutes', ts)
+                           - INTERVAL '5 minutes']) AS window_start
+          FROM events
+        )
+        SELECT window_start, event_type, COUNT(*) AS n_events
+        FROM hits GROUP BY 1, 2
+    """,
     # Gaps-and-islands with session_window's exact semantics: break when
     # the µs gap is >= 30 min; end = last event + 30 min. Tie order
     # within equal ts is irrelevant (gap 0 always merges).
