@@ -24,17 +24,25 @@ def poly_hash(col: Column | str) -> Column:
     Catalyst-only (sequence/transform/aggregate) — runs in codegen.
     """
     c = F.col(col) if isinstance(col, str) else col
-    codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
-        lambda i: F.ascii(F.substring(c, i, 1)),
-    )
-    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
-        F.aggregate(
-            codes,
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % MOD,
+
+    # Let-bind the input through a single-element-array transform so an
+    # EXPRESSION argument (e.g. the normalized-text concat) is evaluated
+    # once per row — referenced directly inside the per-character lambda
+    # it would be re-evaluated |s| times (see textfns.char_ngrams).
+    def hash_of(s: Column) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.ascii(F.substring(s, i, 1)),
         )
-    )
+        return F.when(F.length(s) == 0, F.lit(0)).otherwise(
+            F.aggregate(
+                codes,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: (acc * 31 + x) % MOD,
+            )
+        )
+
+    return F.transform(F.array(c), hash_of).getItem(0)
 
 
 def poly_hash_sql(expr: str) -> str:

@@ -36,6 +36,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled over a known dimension: ``dim``
+    multiply-adds of flat codegen arithmetic. The HOF form (``dot``)
+    interprets ~3 expression nodes per element per evaluation; unrolled,
+    a 12M-pair cosine join at dim=64 drops from interpreted lambda
+    stepping to straight-line arithmetic. Only valid when every vector
+    has exactly ``dim`` elements (fixture contract)."""
+    acc = None
+    for i in range(dim):
+        term = a.getItem(i) * b.getItem(i)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def unit_vec(a: Column, dim: int) -> Column:
+    """L2-normalized copy of ``a``, norm evaluated ONCE per row: the
+    scalar 1/‖a‖ is let-bound through a single-element-array transform
+    (referenced directly inside the per-element lambda it would be
+    re-folded per element — see textfns.char_ngrams)."""
+    inv = 1.0 / F.sqrt(dot_unrolled(a, a, dim))
+    return F.transform(
+        F.array(inv), lambda s: F.transform(a, lambda x: x * s)
+    ).getItem(0)
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB fragment; list_dot_product on DOUBLE[] matches the Spark
     fold to within summation-order rounding."""

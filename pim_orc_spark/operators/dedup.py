@@ -37,12 +37,18 @@ from pim_orc_spark.functions.hashing import (
     poly_hash_sql,
 )
 from pim_orc_spark.functions.textfns import char_ngrams, char_ngrams_sql, tokens, tokens_sql
-from pim_orc_spark.functions.vector import as_double_vec, cosine, cosine_sql
+from pim_orc_spark.functions.vector import (
+    as_double_vec,
+    cosine_sql,
+    dot_unrolled,
+    unit_vec,
+)
 from pim_orc_spark.plans import explode_nonempty, spread
 
 NGRAM_N = 3
 JACCARD_T = 0.8
 COSINE_T = 0.45
+EMB_DIM = 64  # fixture embedding dimension (TESTDATA.md)
 MINHASH_K = 128
 LSH_BANDS = 32  # r = MINHASH_K / LSH_BANDS = 4 rows per band
 
@@ -338,14 +344,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45 over all pairs. All-pairs
     is the fixture-scale verification form; the LSH-bucketed form
-    (similarity.py) is the scale path."""
+    (similarity.py) is the scale path.
+
+    Per-pair work is one unrolled 64-term dot product: vectors are
+    L2-normalized ONCE per row before the join (norms computed per pair
+    would re-fold 2×64 terms on every one of the O(n²) pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    v = e.select("vec_id", as_double_vec("embedding").alias("v")).select(
+        "vec_id", unit_vec(F.col("v"), EMB_DIM).alias("u")
+    )
+    # Repartition the probe side: the fixture parquet is one split, and
+    # a 1×1-partition cartesian runs its O(n²) loop on a single core
+    # (same trap as the bitset pair stage).
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    a = v.repartition(n_parts).select(
+        F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")
+    )
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    cos = dot_unrolled(F.col("ua"), F.col("ub"), EMB_DIM)
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_T)

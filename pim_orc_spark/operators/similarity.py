@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pim_orc_spark.catalog import load_table
-from pim_orc_spark.functions.vector import as_double_vec, cosine, cosine_sql
+from pim_orc_spark.functions.vector import (
+    as_double_vec,
+    cosine_sql,
+    dot_unrolled,
+    unit_vec,
+)
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -64,13 +69,16 @@ def _bucket_col(vec: F.Column, planes: list[list[float]]) -> F.Column:
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for each query vector (vec_id<5),
-    self excluded; deterministic tie-break on neighbor id."""
+    self excluded; deterministic tie-break on neighbor id. Vectors are
+    unit-normalized once per row; per pair = one unrolled 64-term dot."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+    v = e.select("vec_id", as_double_vec("embedding").alias("v0")).select(
+        "vec_id", unit_vec(F.col("v0"), DIM).alias("v")
+    )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    sim = cosine(F.col("qv"), F.col("v"))
+    sim = dot_unrolled(F.col("qv"), F.col("v"), DIM)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )
@@ -91,18 +99,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-restricted top-k: each query only scans its own hyperplane
-    bucket. Join on bucket id, then per-query window top-k."""
+    bucket. Join on bucket id, then per-query window top-k. Bucket
+    assignment uses the RAW vector (sign of dot with each hyperplane is
+    scale-invariant, so unit-normalizing first would not change it)."""
     planes = _hyperplanes()
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double_vec("embedding").alias("v")).withColumn(
-        "bucket", _bucket_col(F.col("v"), planes)
+    v = (
+        e.select("vec_id", as_double_vec("embedding").alias("v0"))
+        .withColumn("bucket", _bucket_col(F.col("v0"), planes))
+        .select("vec_id", unit_vec(F.col("v0"), DIM).alias("v"), "bucket")
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket"),
     )
-    sim = cosine(F.col("qv"), F.col("v"))
+    sim = dot_unrolled(F.col("qv"), F.col("v"), DIM)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_orc_spark.catalog import load_table
+from pim_orc_spark.plans import spread
 from pim_orc_spark.functions.hashing import MOD, poly_hash, poly_hash_sql
 from pim_orc_spark.functions.textfns import (
     STOPWORDS,
@@ -33,7 +34,7 @@ BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), aggregated per
     source: the per-corpus token-budget accounting query."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     ws = F.size(F.filter(F.split(F.col("text"), " +"), lambda x: x != F.lit("")))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
     return (
@@ -52,7 +53,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: token count, mean token length,
     stopword ratio, and a deterministic composite score — ratios of
     integers divided in double (bit-identical across engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = tokens("text")
     n_tok = F.size(tok)
     total_len = F.aggregate(tok, F.lit(0), lambda a, x: a + F.length(x))
@@ -73,7 +74,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free language ID heuristic: argmax of stoplist hits over
     {en,de,fr,es}, fixed priority order on ties, 'und' when zero hits."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = tokens("text")
     hits = {lang: stopword_hits(tok, lang) for lang in STOPWORDS}
     mx = F.greatest(*hits.values())
@@ -92,7 +93,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text plus the
     31-polynomial rolling hash (functions/hashing.py) — the join key for
     exact dedup at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     norm = F.concat_ws(" ", tokens("text"))
     return d.select(
         "doc_id",
