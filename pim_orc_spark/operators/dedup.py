@@ -137,9 +137,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     uni = F.size("ga") + F.size("gb") - inter
     jac = inter.cast("double") / uni
+    # Lossless size gate (J ≥ t ⇒ min/max set-size ratio ≥ t): skips the
+    # string-array intersect for pairs that cannot pass.
+    from fractions import Fraction
+
+    fr = Fraction(JACCARD_T).limit_denominator(1000)
+    gate = (F.size("ga") * fr.denominator >= F.size("gb") * fr.numerator) & (
+        F.size("gb") * fr.denominator >= F.size("ga") * fr.numerator
+    )
     return (
         a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & gate)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )

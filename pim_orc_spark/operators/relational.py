@@ -371,6 +371,39 @@ def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    one pass — partial aggregation expands grouping sets map-side, one
+    shuffle regardless of the number of sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+def q21_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery, expressed in SQL so Catalyst's
+    decorrelation rewrites it to a left-semi join — orders having at
+    least one high-value line item, counted per order priority."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 50000
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q02_null_skip_sum": q02_null_skip_sum,
@@ -391,6 +424,8 @@ QUERIES = {
     "q17_date_buckets": q17_date_buckets,
     "q18_sessionization": q18_sessionization,
     "q19_json_extract": q19_json_extract,
+    "q20_cube": q20_cube,
+    "q21_correlated_exists": q21_correlated_exists,
 }
 
 
@@ -563,5 +598,19 @@ ORACLES = {
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
     ) GROUP BY event_type
+    """,
+    "q20_cube": f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           {exact_sum_sql('l_extendedprice', 'sum_price')}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q21_correlated_exists": """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 50000
+    )
+    GROUP BY o_orderpriority
     """,
 }
