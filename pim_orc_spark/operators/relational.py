@@ -404,6 +404,60 @@ def q21_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (custom temporal operator — absent from both the
+    reference and Spark's built-ins): each event picks the customer's
+    latest order at-or-before the event time.
+
+    Scalable form = union + carry-forward window, NOT a range join: tag
+    both inputs, sort each key's timeline once (orders before events at
+    equal timestamps), and carry the last seen order forward with
+    ``last(ignoreNulls)``. One shuffle on the key, O(n log n) in the
+    partition — no candidate-range explosion at 100 TB. Orders are
+    pre-deduplicated to unique (key, time) via max_by so the as-of pick
+    is deterministic in both engines; oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t")
+        )
+        .agg(
+            F.max("o_orderkey").alias("order_key"),
+            F.max_by("o_totalprice", "o_orderkey").alias("order_price"),
+        )
+    )
+    o_tagged = orders.select(
+        "k", "t", F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "order_key", "order_price",
+    )
+    e_tagged = ev.select(
+        "k", "t", F.lit(1).alias("is_event"), "event_id",
+        F.lit(None).cast("long").alias("order_key"),
+        F.lit(None).cast("double").alias("order_price"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = o_tagged.unionByName(e_tagged).select(
+        "k", "t", "is_event", "event_id",
+        F.last("order_key", ignorenulls=True).over(w).alias("order_key"),
+        F.last("order_price", ignorenulls=True).over(w).alias("order_price"),
+    )
+    return carried.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "order_key",
+        "order_price",
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q02_null_skip_sum": q02_null_skip_sum,
@@ -426,6 +480,7 @@ QUERIES = {
     "q19_json_extract": q19_json_extract,
     "q20_cube": q20_cube,
     "q21_correlated_exists": q21_correlated_exists,
+    "q22_asof_join": q22_asof_join,
 }
 
 
@@ -612,5 +667,16 @@ ORACLES = {
       WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 50000
     )
     GROUP BY o_orderpriority
+    """,
+    "q22_asof_join": """
+    WITH o AS (
+      SELECT o_custkey AS k, o_orderdate AS t,
+             max(o_orderkey) AS order_key,
+             max_by(o_totalprice, o_orderkey) AS order_price
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, o.order_key, o.order_price
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.k AND e.ts >= o.t
     """,
 }
