@@ -65,3 +65,14 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Load the named fixture tables as DataFrames keyed by table name."""
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register every fixture table as a temp view so the full engine
+    surface is reachable through plain ``spark.sql(...)`` — the same
+    table names the DuckDB oracle uses, so any oracle SQL in this repo
+    is also directly runnable against Spark."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -116,6 +116,44 @@ def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def partitioned_table(
+    spark: SparkSession, sf_dir: str, name: str, part_col: str
+) -> DataFrame:
+    """The fixture table re-written as a Hive-partitioned parquet
+    directory (one subdirectory per ``part_col`` value) and read back.
+    Partition pruning — the directory-level analogue of the reference's
+    stripe skipping — then turns an equality predicate on ``part_col``
+    into "never open the other directories at all": the scan shows it
+    under PartitionFilters, with zero data or footer reads outside the
+    selected partition. Idempotent per (sf_dir, table, column)."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, f"{name}_by_{part_col}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def partition_pruned_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over ONE partition of the partitioned layout: the
+    l_returnflag = 'A' predicate is satisfied by directory pruning
+    (PartitionFilters), so only ~1/3 of the files are ever listed or
+    opened — the 100 TB pattern for any high-selectivity dimension."""
+    li = partitioned_table(spark, sf_dir, "lineitem", "l_returnflag")
+    return (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -161,6 +199,7 @@ QUERIES = {
     "orc_roundtrip_sum": orc_roundtrip_sum,
     "orc_pushdown_filter": orc_pushdown_filter,
     "orc_metadata_rowcount": orc_metadata_rowcount,
+    "partition_pruned_sum": partition_pruned_sum,
 }
 
 # Oracles run on the parquet fixtures (DuckDB has no ORC reader): the
@@ -176,4 +215,9 @@ ORACLES = {
         " WHERE l_quantity < 10.0 AND l_returnflag = 'A'"
     ),
     "orc_metadata_rowcount": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "partition_pruned_sum": (
+        f"SELECT l_linestatus, COUNT(*) AS n_rows,"
+        f" {exact_sum_sql('l_extendedprice', 'sum_price')}"
+        " FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus"
+    ),
 }

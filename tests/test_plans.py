@@ -34,6 +34,35 @@ def test_star_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_partition_pruning_in_plan(spark, sf_dir):
+    """The partitioned layout must satisfy the predicate at directory
+    level: PartitionFilters populated, and the pushed-down data filter
+    list must NOT need the partition column."""
+    from pim_orc_spark.sources.orc_io import partition_pruned_sum
+
+    plan = explain_profile(partition_pruned_sum(spark, sf_dir), execute=False)
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*l_returnflag[^\]]*\]", plan)
+    assert m, f"no partition filter on l_returnflag:\n{plan[:1200]}"
+
+
+def test_sql_surface_over_views(spark, sf_dir):
+    """register_views exposes every fixture table to plain spark.sql —
+    the oracle SQL dialect's table names resolve in Spark too."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name LIMIT 1
+        """
+    ).collect()[0]
+    assert row["n"] > 0
+
+
 def test_profile_includes_runtime_plan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     text = explain_profile(li.agg(F.sum("l_quantity").alias("s")))
