@@ -63,6 +63,54 @@ def test_sql_surface_over_views(spark, sf_dir):
     assert row["n"] > 0
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing both join sides on the key co-locates matching rows at
+    WRITE time, so the sort-merge join plans with zero Exchange under
+    the join — the pre-shuffled layout a 100 TB star schema would use
+    for its recurring fact-fact joins."""
+    from pim_orc_spark.catalog import load_table
+
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tbl = f"bkt_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{warehouse}/{tbl}")
+            .saveAsTable(tbl)
+        )
+    # join only (no aggregate), so a correctly-bucketed plan contains NO
+    # Exchange anywhere. Disable auto-broadcast for the assertion: the
+    # fixture-sized orders table would otherwise broadcast, which is
+    # shuffle-free for a different (non-scalable-to-fact-fact) reason.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.sql(
+            """
+            SELECT l.l_orderkey, o.o_orderpriority
+            FROM bkt_lineitem l JOIN bkt_orders o
+              ON l.l_orderkey = o.o_orderkey
+            """
+        )
+        plan = explain_profile(joined, execute=False)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan[:1500]
+        import duckdb
+
+        exp = duckdb.sql(
+            f"""
+            SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+            """
+        ).fetchone()[0]
+        assert joined.count() == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_profile_includes_runtime_plan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     text = explain_profile(li.agg(F.sum("l_quantity").alias("s")))
