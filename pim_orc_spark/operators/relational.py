@@ -458,6 +458,55 @@ def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: ordered pairs of same-user events at
+    most 60 s apart.
+
+    A naive inequality join is O(n²) per user. The scalable plan bands
+    time into join-key buckets: each RIGHT event registers under its own
+    60 s bucket AND the previous one, so every qualifying pair meets in
+    an EQUI-join on (user, bucket) — one hash shuffle, candidates
+    bounded by bucket occupancy — then the exact band filter runs on
+    candidates only. Same technique as the MinHash band join: turn a
+    range predicate into equality keys, keep the inequality as a cheap
+    post-filter."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    band_us = 60_000_000  # 60 s in µs
+    us = F.unix_micros(F.col("ts"))
+    left = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("k"),
+        us.alias("ts_a"),
+        (us / F.lit(band_us)).cast("long").alias("bucket"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("k"),
+        us.alias("ts_b"),
+        F.explode(
+            F.array(
+                (us / F.lit(band_us)).cast("long"),
+                (us / F.lit(band_us)).cast("long") - 1,
+            )
+        ).alias("bucket"),
+    )
+    ordered = (F.col("ts_b") > F.col("ts_a")) | (
+        (F.col("ts_b") == F.col("ts_a")) & (F.col("id_b") > F.col("id_a"))
+    )
+    return (
+        left.join(right, ["k", "bucket"])
+        .filter(ordered & (F.col("ts_b") - F.col("ts_a") <= band_us))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("k").alias("user_id"),
+            (F.col("ts_b") - F.col("ts_a")).alias("gap_us"),
+        )
+        # no distinct needed: b registers under two ADJACENT buckets and
+        # a under one, so a qualifying pair meets exactly once
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q02_null_skip_sum": q02_null_skip_sum,
@@ -481,6 +530,7 @@ QUERIES = {
     "q20_cube": q20_cube,
     "q21_correlated_exists": q21_correlated_exists,
     "q22_asof_join": q22_asof_join,
+    "q23_range_join": q23_range_join,
 }
 
 
@@ -678,5 +728,13 @@ ORACLES = {
     SELECT e.event_id, e.user_id, o.order_key, o.order_price
     FROM events e
     ASOF LEFT JOIN o ON e.user_id = o.k AND e.ts >= o.t
+    """,
+    "q23_range_join": """
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
     """,
 }
