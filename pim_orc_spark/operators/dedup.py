@@ -357,7 +357,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-pair work is one unrolled 64-term dot product: vectors are
     L2-normalized ONCE per row before the join (norms computed per pair
     would re-fold 2×64 terms on every one of the O(n²) pairs)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread BEFORE unit_vec so normalization parallelizes (the fixture
+    # parquet is one split; after the later repartition it's too late)
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", as_double_vec("embedding").alias("v")).select(
         "vec_id", unit_vec(F.col("v"), EMB_DIM).alias("u")
     )

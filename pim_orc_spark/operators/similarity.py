@@ -28,6 +28,18 @@ from pim_orc_spark.functions.vector import (
     dot_unrolled,
     unit_vec,
 )
+from pim_orc_spark.plans import spread
+
+
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as L2-normalized double vectors, spread past the
+    single file split BEFORE normalization so the per-row unit_vec work
+    parallelizes (computed after a later repartition it would run on
+    one core)."""
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    return e.select("vec_id", as_double_vec("embedding").alias("v0")).select(
+        "vec_id", unit_vec(F.col("v0"), DIM).alias("v")
+    )
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -71,10 +83,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for each query vector (vec_id<5),
     self excluded; deterministic tie-break on neighbor id. Vectors are
     unit-normalized once per row; per pair = one unrolled 64-term dot."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double_vec("embedding").alias("v0")).select(
-        "vec_id", unit_vec(F.col("v0"), DIM).alias("v")
-    )
+    v = _unit_vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -103,7 +112,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment uses the RAW vector (sign of dot with each hyperplane is
     scale-invariant, so unit-normalizing first would not change it)."""
     planes = _hyperplanes()
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
     v = (
         e.select("vec_id", as_double_vec("embedding").alias("v0"))
         .withColumn("bucket", _bucket_col(F.col("v0"), planes))
@@ -154,7 +163,7 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", as_double_vec("embedding").alias("v"))
     qrows = (
         v.filter(F.col("vec_id") < N_QUERIES)
