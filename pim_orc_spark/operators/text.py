@@ -106,11 +106,36 @@ def _tok_sql() -> str:
     return tokens_sql("text")
 
 
+SAMPLE_PCT = 10  # keep ~10% of documents
+
+
+def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated sampling — the reproducible way to cut
+    train/eval splits at 100 TB. ``df.sample`` draws from a
+    partition-dependent RNG stream (unreproducible across engines,
+    partitionings, and reruns); gating on a portable content hash
+    (poly_hash of the doc id rendered as text, mod 100) keeps the SAME
+    documents everywhere, forever, with no coordination. Map-only plan;
+    per-source counts prove the gate is unbiased across strata."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    gate = poly_hash(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT
+    return (
+        d.filter(gate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_hash_sample": text_hash_sample,
 }
 
 
@@ -170,5 +195,12 @@ ORACLES = {
         SELECT doc_id, md5(norm) AS md5_fp,
                {poly_hash_sql('norm')} AS roll_fp
         FROM n
+    """,
+    "text_hash_sample": f"""
+        SELECT source, COUNT(*) AS n_sampled,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM documents
+        WHERE ({poly_hash_sql("CAST(doc_id AS VARCHAR)")}) % 100 < {SAMPLE_PCT}
+        GROUP BY source
     """,
 }
