@@ -116,6 +116,51 @@ def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def text_format_table(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str
+) -> DataFrame:
+    """The fixture table materialized once as CSV or JSON and read back
+    with the SOURCE schema (no inference — schema-on-read from the
+    catalog, the same way the ORC path trusts footers). Text formats
+    carry no type metadata, so the declared schema is what makes the
+    round-trip lossless for scalar columns; timestamps are written as
+    ISO-8601 with µs precision."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, f"{name}_{fmt}")
+    src = load_table(spark, sf_dir, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true").option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            )
+        w.format(fmt).save(path)
+    r = spark.read.schema(src.schema)
+    if fmt == "csv":
+        r = r.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        )
+    return r.format(fmt).load(path)
+
+
+def csv_roundtrip_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan-aggregate over a CSV materialization of lineitem —
+    value equality with the parquet oracle proves the text round-trip
+    (schema-on-read, µs timestamps) is lossless."""
+    li = text_format_table(spark, sf_dir, "lineitem", "csv")
+    return li.agg(
+        exact_sum("l_extendedprice", "sum_price"),
+    )
+
+
+def json_roundtrip_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same check over JSON-lines (nested-capable text format)."""
+    li = text_format_table(spark, sf_dir, "lineitem", "json")
+    return li.agg(
+        exact_sum("l_extendedprice", "sum_price"),
+    )
+
+
 def partitioned_table(
     spark: SparkSession, sf_dir: str, name: str, part_col: str
 ) -> DataFrame:
@@ -200,6 +245,8 @@ QUERIES = {
     "orc_pushdown_filter": orc_pushdown_filter,
     "orc_metadata_rowcount": orc_metadata_rowcount,
     "partition_pruned_sum": partition_pruned_sum,
+    "csv_roundtrip_sum": csv_roundtrip_sum,
+    "json_roundtrip_sum": json_roundtrip_sum,
 }
 
 # Oracles run on the parquet fixtures (DuckDB has no ORC reader): the
@@ -219,5 +266,11 @@ ORACLES = {
         f"SELECT l_linestatus, COUNT(*) AS n_rows,"
         f" {exact_sum_sql('l_extendedprice', 'sum_price')}"
         " FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus"
+    ),
+    "csv_roundtrip_sum": (
+        f"SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
+    ),
+    "json_roundtrip_sum": (
+        f"SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
     ),
 }
