@@ -507,6 +507,28 @@ def q23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct count (HyperLogLog++): sketch values are
+    engine-specific so the sketch itself cannot be oracle-compared;
+    instead the query emits the exact count plus a boolean asserting
+    the approximation landed within 10% (rsd=0.01, so the bound holds
+    with overwhelming margin). The oracle emits the exact count and a
+    literal TRUE — a value mismatch means the sketch went out of
+    tolerance. At 100 TB the HLL is the only option: fixed-size state,
+    map-side mergeable, no distinct shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        < 0.10
+    )
+    return row.select("exact_distinct", within.alias("within_10pct"))
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q02_null_skip_sum": q02_null_skip_sum,
@@ -531,6 +553,7 @@ QUERIES = {
     "q21_correlated_exists": q21_correlated_exists,
     "q22_asof_join": q22_asof_join,
     "q23_range_join": q23_range_join,
+    "q24_approx_distinct": q24_approx_distinct,
 }
 
 
@@ -736,5 +759,10 @@ ORACLES = {
       ON a.user_id = b.user_id
      AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
      AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+    """,
+    "q24_approx_distinct": """
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct,
+           TRUE AS within_10pct
+    FROM lineitem
     """,
 }
