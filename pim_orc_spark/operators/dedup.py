@@ -387,6 +387,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph — the
+    final dedup step: every document labeled with its cluster's minimum
+    doc_id (the canonical survivor), singletons labeling themselves.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes. Rounds are bounded by component diameter — near-dup
+    clusters are clique-like, so a handful of rounds; each round is one
+    join + one groupBy (shuffles on doc_id). ``localCheckpoint``
+    truncates the iteration's growing lineage. At larger scale the
+    large-star/small-star variant (alternating min-propagation that
+    provably converges in O(log n) rounds) drops in without changing
+    this operator's contract.
+
+    Oracle: recursive SQL reachability — the label set of a node is
+    every id with a path to it, whose MIN is the component minimum.
+    """
+    pairs = dedup_bitset_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    for _ in range(20):  # diameter bound; fixture clusters converge in ~3
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -395,6 +448,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
 }
 
 
@@ -451,6 +505,23 @@ ORACLES = {
     "dedup_minhash_lsh": _jaccard_pairs_sql(),
     # bitset path is exact — same oracle as the string baseline
     "dedup_bitset_jaccard": _jaccard_pairs_sql(),
+    # recursive reachability: a node's label set is every id with a path
+    # to it; MIN over that set is the component minimum
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+          {_jaccard_pairs_sql()}
+        ), edges AS (
+          SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION
+          SELECT doc_b AS s, doc_a AS t FROM pairs
+        ), walk(doc_id, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.t, w.label
+          FROM walk w JOIN edges e ON e.s = w.doc_id
+        )
+        SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+    """,
     "dedup_simhash": _simhash_sql(),
     # all-pairs XOR+popcount ground truth; the block-pigeonhole plan is
     # lossless for distance ≤ HAMMING_T so outputs must be identical
