@@ -12,6 +12,7 @@ fragments keep the oracle bit-compatible).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -130,12 +131,34 @@ def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source median document length via a GROUPED_AGG pandas
+    UDF — the Arrow-batched UDAF surface (§2.8). Exact medians aren't a
+    Spark built-in (percentile_approx is a sketch); the group's values
+    arrive as one pandas Series per group, so this is also the template
+    for any custom per-group statistic. Group cardinality is the only
+    scale bound (one group's values must fit an Arrow batch) — at
+    100 TB, heavy groups switch to a two-pass count/offset median."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        median_udaf("n_chars").alias("median_chars"),
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_hash_sample": text_hash_sample,
+    "text_median_len": text_median_len,
 }
 
 
@@ -202,5 +225,10 @@ ORACLES = {
         FROM documents
         WHERE ({poly_hash_sql("CAST(doc_id AS VARCHAR)")}) % 100 < {SAMPLE_PCT}
         GROUP BY source
+    """,
+    "text_median_len": """
+        SELECT source,
+               CAST(median(n_chars) AS DOUBLE) AS median_chars
+        FROM documents GROUP BY source
     """,
 }
