@@ -143,17 +143,29 @@ def q07_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ lineitem (large-large): Catalyst picks sort-merge /
     shuffled-hash on the join key; AQE splits skewed keys at runtime.
-    Both sides shuffle exactly once on l_orderkey/o_orderkey."""
+    Both sides shuffle exactly once on l_orderkey/o_orderkey.
+
+    Revenue is computed entirely in decimal: casting the DOUBLE product
+    price*(1-disc) to decimal(18,2) leaves ties within 1e-9 of a
+    half-cent that Spark (HALF_UP) and DuckDB (half-even) round apart
+    (round-1 driver hash FAIL). Casting each factor first makes the
+    product exact decimal — deterministic, nothing to round."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,2)"
+    revenue = (
+        F.sum(
+            F.col("l_extendedprice").cast(dec)
+            * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            exact_sum(
-                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
-                "revenue",
-            ),
+            revenue,
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("o_orderpriority")
@@ -388,19 +400,25 @@ def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS subquery, expressed in SQL so Catalyst's
     decorrelation rewrites it to a left-semi join — orders having at
-    least one high-value line item, counted per order priority."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    least one high-value line item, counted per order priority.
+
+    DataFrames are passed as spark.sql template parameters, not
+    session-global temp views, so two sf_dirs queried in one session
+    can't observe each other's tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders
-        FROM v_orders o
+        FROM {orders} o
         WHERE EXISTS (
-          SELECT 1 FROM v_lineitem l
+          SELECT 1 FROM {lineitem} l
           WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 50000
         )
         GROUP BY o_orderpriority
-        """
+        """,
+        orders=orders,
+        lineitem=lineitem,
     )
 
 
@@ -602,9 +620,11 @@ ORACLES = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name
     """,
-    "q08_fact_join_agg": f"""
+    "q08_fact_join_agg": """
         SELECT o_orderpriority,
-               {exact_sum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
                COUNT(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -709,9 +729,11 @@ ORACLES = {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM indexed GROUP BY user_id, session_idx
     )
+    -- session_idx is a windowed SUM → HUGEINT in DuckDB, and
+    -- SUM(BIGINT) → HUGEINT; cast both to BIGINT to match Spark's types
     SELECT user_id,
-           MAX(session_idx) AS n_sessions,
-           SUM(n_events) AS n_events,
+           CAST(MAX(session_idx) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
            CAST(SUM(CAST(session_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM per_session GROUP BY user_id
     """,

@@ -59,8 +59,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(tok)
     total_len = F.aggregate(tok, F.lit(0), lambda a, x: a + F.length(x))
     sw = stopword_hits(tok, "en")
-    mean_len = total_len.cast("double") / n_tok
-    sw_ratio = sw.cast("double") / n_tok
+    # Explicit zero-token guard: both engines emit NULL ratios for an
+    # empty document instead of relying on each engine's x/0 behavior.
+    mean_len = F.when(n_tok > 0, total_len.cast("double") / n_tok)
+    sw_ratio = F.when(n_tok > 0, sw.cast("double") / n_tok)
     len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
     score = F.round(sw_ratio * 0.3 + len_score * 0.4 + F.lit(0.3), 6)
     return d.select(
@@ -186,8 +188,9 @@ ORACLES = {
     "text_tokens": f"""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))) AS total_ws_tokens,
-               SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS total_bpe_tokens
+               -- DuckDB SUM(BIGINT) → HUGEINT; cast back to match Spark
+               CAST(SUM(len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT) AS total_bpe_tokens
         FROM documents GROUP BY source ORDER BY source
     """,
     "text_quality": f"""
@@ -201,18 +204,26 @@ ORACLES = {
           FROM t
         )
         SELECT doc_id, n_tokens,
-               round(CAST(total_len AS DOUBLE) / n_tokens, 6) AS mean_token_len,
-               round(CAST(sw AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-               round((CAST(sw AS DOUBLE) / n_tokens) * 0.3
-                     + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-                     + 0.3, 6) AS quality_score
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(total_len AS DOUBLE) / n_tokens, 6) END
+                 AS mean_token_len,
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(sw AS DOUBLE) / n_tokens, 6) END
+                 AS stopword_ratio,
+               CASE WHEN n_tokens > 0
+                    THEN round((CAST(sw AS DOUBLE) / n_tokens) * 0.3
+                               + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                               + 0.3, 6) END
+                 AS quality_score
         FROM s
     """,
     "text_langid": _langid_sql(),
     "text_fingerprint": f"""
         WITH n AS (
+          -- list_aggregate over an empty token list is NULL in DuckDB;
+          -- Spark's concat_ws yields '' — coalesce to match
           SELECT doc_id,
-                 list_aggregate({_tok_sql()}, 'string_agg', ' ') AS norm
+                 coalesce(list_aggregate({_tok_sql()}, 'string_agg', ' '), '') AS norm
           FROM documents
         )
         SELECT doc_id, md5(norm) AS md5_fp,

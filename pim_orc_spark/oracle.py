@@ -19,8 +19,12 @@ import duckdb
 
 from pim_orc_spark.catalog import TABLE_NAMES
 
-REL_TOL = 1e-9
-ABS_TOL = 1e-9
+# Tight enough to catch cross-engine decimal-rounding divergences the
+# driver's exact hash would flag (round 1's q08 bug was 5e-10 relative
+# and slipped under 1e-9), while still absorbing summation-order noise
+# in intentionally-floating kernels (cosine: ~1e-16 relative).
+REL_TOL = 1e-12
+ABS_TOL = 1e-12
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:

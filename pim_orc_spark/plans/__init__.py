@@ -44,10 +44,22 @@ def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
     per-token stats) inherit that split, so a small-but-expensive table
     lands in one task and serializes a 32-core box. At real scale the
     input has thousands of splits and this is a no-op — the repartition
-    only happens when partitions < defaultParallelism, so no shuffle is
-    added to an already-parallel plan.
+    only happens when the file count is below parallelism, so no shuffle
+    is added to an already-parallel plan.
+
+    The parallelism probe is ``df.inputFiles()`` — pure plan metadata.
+    (``df.rdd.getNumPartitions()`` would be exact but converts the
+    analyzed plan to an RDD on every call: planning overhead per query
+    construction and incompatible with DSv2-only plan features.) A
+    single file larger than maxPartitionBytes under-counts its splits
+    and takes a redundant repartition; for the CPU-bound kernels this
+    wraps, that shuffle is noise next to the kernel itself.
     """
     target = spark.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0  # non-file plan: assume narrow, spread it
+    if n_inputs < target:
         return df.repartition(target)
     return df
