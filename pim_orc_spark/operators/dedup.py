@@ -51,6 +51,8 @@ COSINE_T = 0.45
 EMB_DIM = 64  # fixture embedding dimension (TESTDATA.md)
 MINHASH_K = 128
 LSH_BANDS = 32  # r = MINHASH_K / LSH_BANDS = 4 rows per band
+LSH_SALT = 8  # sub-buckets a hot band key is split into
+LSH_HOT_BUCKET = 1000  # band-bucket size above which salting kicks in
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,6 +155,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_band_candidates(
+    banded: DataFrame,
+    salt: int = LSH_SALT,
+    hot_threshold: int = LSH_HOT_BUCKET,
+) -> DataFrame:
+    """Self-join ``banded`` (doc_id, band, key) on (band, key) with hot
+    band keys salted, yielding candidate pairs (doc_a, doc_b), doc_a <
+    doc_b (a pair repeats once per band it collides in).
+
+    A degenerate band key — every boilerplate page sharing one template
+    hashes its 4-row band identically — puts its whole bucket into ONE
+    join task: the straggler that decides the job's wall clock at 100 TB.
+    Salting bounds it explicitly (AQE skew-join splitting helps for
+    sort-merge plans but is best-effort and disabled inside streaming):
+
+    1. One partial-aggregated pass counts bucket sizes; only keys with
+       > ``hot_threshold`` docs are kept. The hot set is small by
+       construction (each entry represents ≥ threshold docs), so the
+       tag join broadcasts at runtime.
+    2. Left side of the self-join gets salt = xxhash64(doc_id) % salt
+       for hot keys (0 otherwise); right side explodes all ``salt``
+       values for hot keys (single 0 otherwise). Every pair still meets
+       on exactly one (band, key, salt) — output is IDENTICAL to the
+       unsalted join — but a hot bucket's work now spreads across
+       ``salt`` tasks, each holding ~1/salt of the bucket's left rows.
+
+    Cost when nothing is hot: the count pass (partial-agg, metadata-
+    sized shuffle) and a broadcast join against an empty set.
+    """
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    hot = sizes.filter(F.col("n") > hot_threshold).select(
+        "band", "key", F.lit(True).alias("is_hot")
+    )
+    tagged = banded.join(F.broadcast(hot), ["band", "key"], "left")
+    left = tagged.select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "key",
+        F.when(
+            F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(salt))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    )
+    right = tagged.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "key",
+        F.explode(
+            F.when(
+                F.col("is_hot"), F.sequence(F.lit(0), F.lit(salt - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("salt"),
+    )
+    return (
+        left.join(right, ["band", "key", "salt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) near-dedup, candidates
     verified with exact Jaccard — the 100 TB plan.
@@ -161,8 +225,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. shingle → explode → hash each gram once → groupBy doc with 128
          partially-aggregable min()s: the shuffle carries one 128-column
          partial row per doc per partition, not |grams| rows.
-      2. posexplode band keys → self-join on (band, key): shuffles
-         O(docs × bands) small rows.
+      2. posexplode band keys → salted self-join on (band, key)
+         (``_salted_band_candidates``): shuffles O(docs × bands) small
+         rows, with hot buckets split across salt sub-keys so no
+         single task owns a degenerate band key.
       3. join candidates to bitset-encoded gram sets → exact-Jaccard
          verify via AND+popcount → distinct on the SURVIVORS. Verifying
          before deduplicating is deliberate: a candidate pair costs a
@@ -202,17 +268,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), "band", "key"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", "key"
-    )
-    cands = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
+    cands = _salted_band_candidates(banded)
 
     # Verify candidates with bitset AND+popcount, not string-array
     # intersect: on adversarial corpora (high background similarity)
@@ -494,8 +550,10 @@ ORACLES = {
     "dedup_exact": f"""
         SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         FROM (
+          -- coalesce: empty token list aggregates to NULL in DuckDB but
+          -- '' under Spark's concat_ws
           SELECT doc_id,
-                 md5(list_aggregate({tokens_sql('text')}, 'string_agg', ' ')) AS fp
+                 md5(coalesce(list_aggregate({tokens_sql('text')}, 'string_agg', ' '), '')) AS fp
           FROM documents
         ) GROUP BY fp
     """,

@@ -25,3 +25,74 @@ def test_minhash_lsh_equals_exact_baseline(spark, sf_dir):
         for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
     }
     assert lsh == exact
+
+
+def _skewed_banded(spark, n_docs=400, hot_frac=0.6):
+    """Synthetic (doc_id, band, key) where one band key holds >50% of
+    docs — the degenerate-template corpus shape."""
+    from pyspark.sql import functions as F
+
+    n_hot = int(n_docs * hot_frac)
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    return d.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.when(F.col("doc_id") < n_hot, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), F.col("doc_id")))
+        .alias("key"),
+    )
+
+
+def test_salted_band_candidates_identical_output(spark):
+    """Salting must not change the candidate set: every pair meets on
+    exactly one (band, key, salt)."""
+    banded = _skewed_banded(spark)
+    salted = {
+        tuple(r)
+        for r in dedup._salted_band_candidates(
+            banded, salt=8, hot_threshold=50
+        ).collect()
+    }
+    unsalted = {
+        tuple(r)
+        for r in dedup._salted_band_candidates(
+            banded, salt=8, hot_threshold=10**9
+        ).collect()
+    }
+    n_hot = 240
+    assert len(unsalted) == n_hot * (n_hot - 1) // 2
+    assert salted == unsalted
+
+
+def test_salted_band_candidates_bounds_bucket(spark):
+    """With salting, no (band, key, salt) group on the probe side holds
+    more than ~1/salt of a hot bucket (binomial spread), so the hot
+    key's join work is split across `salt` tasks instead of one."""
+    from pyspark.sql import functions as F
+
+    banded = _skewed_banded(spark)
+    salt, hot_threshold = 8, 50
+    left_groups = (
+        banded.join(
+            F.broadcast(
+                banded.groupBy("band", "key")
+                .count()
+                .filter(F.col("count") > hot_threshold)
+                .select("band", "key")
+            ),
+            ["band", "key"],
+        )
+        .select(
+            "band",
+            "key",
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt)).alias("salt"),
+        )
+        .groupBy("band", "key", "salt")
+        .count()
+        .collect()
+    )
+    n_hot = 240
+    max_group = max(r["count"] for r in left_groups)
+    assert len(left_groups) == salt  # hot bucket actually split 8 ways
+    # binomial(240, 1/8) stays well under half the bucket
+    assert max_group < n_hot // 2, max_group
