@@ -35,7 +35,11 @@ HEADLINE = [
     "q10_topk",
     "q18_sessionization",
     "dedup_bitset_jaccard",
-    "ann_cosine_topk",
+    # vectorized variant is the scale plan (partial top-k per Arrow
+    # batch, shuffle O(parts×q×k)); the window-ranked exact form stays
+    # as its oracle baseline in queries()
+    "ann_cosine_topk_vectorized",
+    "ann_ivf_topk",
     "text_quality",
     "orc_roundtrip_sum",
     "stream_windowed_counts",

@@ -443,57 +443,115 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edge_signature(e: DataFrame) -> tuple[int, int]:
+    """Cheap order-insensitive fingerprint of an edge set (count +
+    XOR-fold of per-edge hashes — overflow-free under ANSI, exact as a
+    set hash since edges are distinct) for the star-contraction
+    fixed-point test. One partial-aggregated pass; a collision would
+    need two distinct edge sets with equal count AND equal 64-bit XOR."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def star_contraction_components(
+    edges: DataFrame, max_rounds: int = 30
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds regardless of component diameter, where
+    min-label propagation needs diameter-many rounds (a 1M-long chain of
+    shingled near-dups would take 1M rounds; this takes ~20).
+
+    Round = two groupBy/join passes, each shuffling on node id:
+      - large-star(u): attach every neighbor v > u to m = min(Γ(u)∪{u});
+        afterwards every edge points strictly downward.
+      - small-star(u): collapse u's (all-smaller) neighbors and u itself
+        onto their minimum.
+    Fixed point (edge set unchanged) ⇔ the graph is a union of stars,
+    each centered at its component's minimum node. ``localCheckpoint``
+    truncates per-round lineage.
+
+    Returns (star edges (src=node, dst=component min), rounds taken).
+    Raises RuntimeError if ``max_rounds`` was not enough — unconverged
+    labels are silently-wrong cluster ids, never returned (2·log₂(n)+2
+    rounds suffice w.h.p., so 30 covers any feasible corpus).
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for rounds in range(1, max_rounds + 1):
+        both = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            both.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        large = (
+            both.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # after large-star every edge has dst < src
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        moved = (
+            large.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        contracted = (
+            moved.union(mins2.select("src", F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _edge_signature(contracted)
+        e = contracted
+        if sig == prev_sig:
+            return e, rounds
+        prev_sig = sig
+    raise RuntimeError(
+        f"star contraction did not converge in {max_rounds} rounds — "
+        "refusing to return unconverged cluster labels"
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup pair graph — the
     final dedup step: every document labeled with its cluster's minimum
     doc_id (the canonical survivor), singletons labeling themselves.
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels; converged when no
-    label changes. Rounds are bounded by component diameter — near-dup
-    clusters are clique-like, so a handful of rounds; each round is one
-    join + one groupBy (shuffles on doc_id). ``localCheckpoint``
-    truncates the iteration's growing lineage. At larger scale the
-    large-star/small-star variant (alternating min-propagation that
-    provably converges in O(log n) rounds) drops in without changing
-    this operator's contract.
+    Components come from ``star_contraction_components`` (large-star /
+    small-star, O(log n) rounds independent of component diameter);
+    non-convergence raises instead of returning wrong labels. The final
+    star edges map each non-root node to its component minimum; a left
+    join labels roots and singletons with themselves.
 
     Oracle: recursive SQL reachability — the label set of a node is
     every id with a path to it, whose MIN is the component minimum.
     """
     pairs = dedup_bitset_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    stars, _rounds = star_contraction_components(
+        pairs.toDF("src", "dst")
+    )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    edges = edges.localCheckpoint()
-    for _ in range(20):  # diameter bound; fixture clusters converge in ~3
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return d.join(
+        stars.select(F.col("src").alias("doc_id"), F.col("dst").alias("root")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id")
+    )
 
 
 QUERIES = {

@@ -222,10 +222,119 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_STRIDE = 61  # coarse quantizer: centroids = vec_id % 61 == 0
+N_PROBE = 2  # each query probes its N_PROBE nearest centroids
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN beside the hyperplane LSH: corpus vectors
+    are assigned to their nearest centroid (the inverted lists); each
+    query scans only its ``N_PROBE`` nearest centroids' lists.
+
+    The coarse quantizer here is a deterministic corpus sample
+    (vec_id % CENTROID_STRIDE == 0 → ~n/61 centroids, scaling with the
+    corpus like the sqrt(n) rule of thumb). In a production IVF system
+    the quantizer is k-means-trained OFFLINE and shipped as an artifact
+    (the train step is never part of the query); this operator consumes
+    its centroid set exactly that way — a bounded driver-side collect,
+    like the query set. Deterministic centroids also make the operator's
+    contract (and its oracle) reproducible across engines.
+
+    Scale shape: one map-side pass over the corpus (Arrow-batched numpy:
+    one (batch × centroids) matmul assigns, one slice per probed list
+    scores), partial top-k per batch, final top-k over
+    ≤ partitions × queries × k candidate rows — the same
+    corpus-size-independent shuffle as ``ann_cosine_topk_vectorized``.
+    Recall < 1 by design (unprobed lists are never scored); ties in
+    assignment break to the smaller centroid id in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+
+    crows = (
+        v.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    c_ids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    # Multi-probe routing table: centroid id -> query indices probing it.
+    # argsort columns are c_ids-ascending, so lexsort's tie-break matches
+    # the oracle's (csim DESC, cid ASC).
+    qc = Qn @ Cn.T
+    probe: dict[int, list[int]] = {}
+    for j in range(len(q_ids)):
+        for ci in np.lexsort((c_ids, -qc[j]))[:N_PROBE]:
+            probe.setdefault(int(c_ids[ci]), []).append(j)
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def ivf_partial_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # assignment: argmax over centroid sims; np.argmax returns
+            # the FIRST max and columns are cid-ascending → ties to the
+            # smaller cid, matching the oracle's window order
+            assigned = c_ids[np.argmax(Vn @ Cn.T, axis=1)]
+            frames = []
+            for cid, qjs in probe.items():
+                lmask = assigned == cid
+                if not lmask.any():
+                    continue
+                sub_ids = ids[lmask]
+                sub = Vn[lmask]
+                for j in qjs:
+                    s = sub @ Qn[j]
+                    cand = np.nonzero(sub_ids != q_ids[j])[0]
+                    if cand.size == 0:
+                        continue
+                    order = np.lexsort((sub_ids[cand], -s[cand]))
+                    take = cand[order[:TOP_K]]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(take.size, q_ids[j]),
+                                "neighbor_id": sub_ids[take],
+                                "sim": s[take],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cands = v.mapInPandas(ivf_partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 
@@ -264,10 +373,55 @@ _ANN_EXACT_SQL = f"""
         FROM ranked WHERE rank <= {TOP_K}
     """
 
+_ANN_IVF_SQL = f"""
+        WITH c AS (
+          SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id % {CENTROID_STRIDE} = 0
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {cosine_sql('v.embedding', 'c.ce')} DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings v CROSS JOIN c
+          ) WHERE rn = 1
+        ),
+        probe AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {cosine_sql('q.embedding', 'c.ce')} DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings q CROSS JOIN c WHERE q.vec_id < {N_QUERIES}
+          ) WHERE rn <= {N_PROBE}
+        ),
+        sims AS (
+          SELECT p.query_id, a.vec_id,
+                 {cosine_sql('q.embedding', 'a.embedding')} AS sim
+          FROM probe p
+          JOIN assigned a ON a.cid = p.cid
+          JOIN embeddings q ON q.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, vec_id AS neighbor_id, rank,
+               round(sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
     # the vectorized plan must reproduce the exact baseline's output
     "ann_cosine_topk_vectorized": _ANN_EXACT_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_lsh_bucketed": f"""
         WITH v AS (
           SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket

@@ -44,6 +44,13 @@ PARITY_RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.orc.compression.codec": "snappy",
     "spark.sql.orc.aggregatePushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # ORC on the DSv2 scan path (default V1 list minus orc): aggregate
+    # pushdown only plans there, turning COUNT into a pure footer read —
+    # the reference answers counts from stripe metadata the same way
+    # (reader.cc:104-112). Parquet stays V1: bucketed-table scans (the
+    # Exchange-free fact-fact join layout) are a V1 feature, and parquet
+    # is the fixture path every oracle-audited plan shape was verified on.
+    "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,parquet,text",
     # Adaptive execution: coalesce small shuffles, split skewed joins.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -229,12 +229,13 @@ def orc_pushdown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orc_metadata_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT satisfied without reading data columns (A3: the reference
+    """COUNT satisfied from file metadata alone (A3: the reference
     derives total rows from per-stripe counts without scanning,
-    reader.cc:104-112). The scan plans with an empty ReadSchema —
-    zero column bytes decoded, only batch row counts — and on the DSv2
-    scan path (spark.sql.orc.aggregatePushdown with ORC removed from
-    spark.sql.sources.useV1SourceList) becomes a pure footer read.
+    reader.cc:104-112). ORC plans on the DSv2 scan path (session.py
+    removes orc from spark.sql.sources.useV1SourceList), so
+    spark.sql.orc.aggregatePushdown plans this as
+    ``PushedAggregation: [COUNT(*)]`` — a pure footer read, zero data
+    bytes decoded (asserted in tests/test_plans.py).
     ``orc_metadata`` is the explicit footer-only equivalent."""
     li = orc_table(spark, sf_dir, "lineitem")
     return li.selectExpr("count(*) AS n_rows")

@@ -27,6 +27,34 @@ def test_minhash_lsh_equals_exact_baseline(spark, sf_dir):
     assert lsh == exact
 
 
+def test_star_contraction_chain_is_log_rounds(spark):
+    """A 256-node chain is the worst case for min-label propagation
+    (256 diameter-bound rounds); star contraction must finish in
+    O(log n) and still land every node on the component minimum."""
+    from pyspark.sql import functions as F
+
+    n = 256
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stars, rounds = dedup.star_contraction_components(edges)
+    got = {(r["src"], r["dst"]) for r in stars.collect()}
+    assert got == {(i, 0) for i in range(1, n)}
+    assert rounds <= 12, rounds
+
+
+def test_star_contraction_raises_when_capped(spark):
+    """Unconverged labels are never returned (silent wrong cluster ids);
+    an insufficient round budget must raise."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(255).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.star_contraction_components(edges, max_rounds=2)
+
+
 def _skewed_banded(spark, n_docs=400, hot_frac=0.6):
     """Synthetic (doc_id, band, key) where one band key holds >50% of
     docs — the degenerate-template corpus shape."""

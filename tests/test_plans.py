@@ -111,6 +111,20 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_orc_count_pushes_aggregate_to_footer(spark, sf_dir):
+    """A3 as pure metadata work: with ORC on the DSv2 path and
+    aggregatePushdown on, COUNT(*) must appear as a pushed aggregate in
+    the scan — answered from stripe footers (reader.cc:104-112), no data
+    column in the read schema."""
+    from pim_orc_spark.sources.orc_io import orc_metadata_rowcount
+
+    plan = explain_profile(orc_metadata_rowcount(spark, sf_dir), execute=False)
+    assert "PushedAggregation: [COUNT(*)]" in plan, plan[:1200]
+    assert "BatchScan orc" in plan
+    # the scan's output is the count itself, not any data column
+    assert "ReadSchema: struct<count(*):bigint>" in plan
+
+
 def test_profile_includes_runtime_plan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     text = explain_profile(li.agg(F.sum("l_quantity").alias("s")))
