@@ -27,6 +27,17 @@ def test_minhash_lsh_equals_exact_baseline(spark, sf_dir):
     assert lsh == exact
 
 
+def test_clusters_edge_source_has_no_cross_join(spark, sf_dir):
+    """The clusters pipeline's edge stage must be the bucketed LSH plan:
+    a 100 TB run dies on any all-pairs product, so the physical plan of
+    the pair source may not contain a cartesian/broadcast-nested-loop
+    join (those are reserved for the labeled quadratic baselines)."""
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_star_contraction_chain_is_log_rounds(spark):
     """A 256-node chain is the worst case for min-label propagation
     (256 diameter-bound rounds); star contraction must finish in
