@@ -13,6 +13,20 @@ def test_similarity_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_ivf_stride_bounds_centroid_count():
+    """The quantizer's driver-side footprint must be bounded at ANY
+    corpus size: centroid count ≤ IVF_MAX_CENTROIDS (+1 for the 0th
+    id), and at fixture scale the stride stays 61 so results (and the
+    oracle) are unchanged."""
+    import math
+
+    for n in (0, 1, 500, 3_000, 249_856, 10**6, 10**9, 10**12):
+        stride = similarity._ivf_stride(n)
+        n_centroids = math.ceil(n / stride) if n else 0
+        assert n_centroids <= similarity.IVF_MAX_CENTROIDS + 1, (n, stride)
+    assert similarity._ivf_stride(3_000) == similarity.CENTROID_STRIDE
+
+
 def test_lsh_recall_vs_exact(spark, sf_dir):
     """LSH top-k is a subset constraint check: every LSH neighbor must
     appear in the same bucket as its query, and its similarity must be
