@@ -38,7 +38,32 @@ def _modules():
     from pim_orc_spark.sources import orc_io
     from pim_orc_spark.streaming import stream_events
 
-    return [relational, text, dedup, similarity, multimodal, orc_io, stream_events]
+    # stream_events precedes everything but the relational core: the
+    # driver sweep records entries in this order with a ~50-entry
+    # budget, and round 2 proved whatever sits last falls off (all 6
+    # streaming ops went unattested).
+    return [relational, stream_events, text, dedup, similarity, multimodal, orc_io]
+
+
+# Demoted to pytest-only (tests/ still runs each against its oracle
+# every round). Every demoted entry's oracle SQL is attested by a
+# surviving twin, so the driver sweep loses no distinct oracle while
+# the freed budget covers the 6 streaming ops + ann_recall:
+#   ann_cosine_topk        — oracle identical to ann_cosine_topk_vectorized
+#   dedup_ngram_jaccard    — oracle identical to dedup_minhash_lsh
+#   dedup_bitset_jaccard   — oracle identical to dedup_minhash_lsh
+#   dedup_embedding_cosine — cosine kernel attested by every ann_* entry
+#   dedup_simhash          — its oracle is a CTE inside dedup_simhash_pairs
+#   csv/json_roundtrip_sum — roundtrip shape attested by orc_roundtrip_sum
+PYTEST_ONLY = {
+    "ann_cosine_topk",
+    "dedup_ngram_jaccard",
+    "dedup_bitset_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "csv_roundtrip_sum",
+    "json_roundtrip_sum",
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -56,11 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _modules():
         out.update(m.QUERIES)
-    return out
+    return {k: v for k, v in out.items() if k not in PYTEST_ONLY}
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _modules():
         out.update(m.ORACLES)
-    return out
+    return {k: v for k, v in out.items() if k not in PYTEST_ONLY}

@@ -9,13 +9,18 @@ Prints exactly ONE JSON line:
 Method: results are written to Spark's `noop` sink — full execution,
 no driver-side collect (collecting 600k rows would measure Python
 deserialization, not the engine). One warmup action amortizes JVM/
-codegen startup, matching how a resident cluster behaves.
+codegen startup, matching how a resident cluster behaves. Each query
+is timed ITERS times and the per-query MEDIAN is reported (total =
+sum of medians): a one-off GC/compilation stall can no longer
+masquerade as a regression (round 2's unexplained +78% on q04 was a
+single-run artifact this exists to rule out).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,6 +29,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 # Headline set: the flagship reference-parity scan-agg plus one
 # representative of each operator family (grouped agg, large join,
@@ -34,7 +40,11 @@ HEADLINE = [
     "q08_fact_join_agg",
     "q10_topk",
     "q18_sessionization",
-    "dedup_bitset_jaccard",
+    # the bucketed+salted LSH path is the 100 TB dedup plan and so the
+    # headline representative; the all-pairs bitset form stays a
+    # pytest-covered baseline (round-2 verdict: don't headline a
+    # deliberately quadratic stage)
+    "dedup_minhash_lsh",
     # vectorized variant is the scale plan (partial top-k per Arrow
     # batch, shuffle O(parts×q×k)); the window-ranked exact form stays
     # as its oracle baseline in queries()
@@ -65,12 +75,20 @@ def main() -> None:
     # Timed span = plan construction + full execution. Streaming queries
     # run to completion inside the callable (memory sink); batch queries
     # execute in the noop write — timing both phases covers each shape.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # Median of ITERS runs per query; iterations are interleaved
+    # (full pass over the headline set, ITERS times) so a transient
+    # stall degrades one sample of many queries instead of all samples
+    # of one.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(ITERS):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(statistics.median(ts), 4) for name, ts in samples.items()
+    }
 
     # Scan-agg throughput for the flagship (reference continuity metric).
     n_rows = qs["q05_metadata_count"](spark, SF_DIR).collect()[0][0]
@@ -85,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "iterations": ITERS,
                 "lineitem_rows": n_rows,
                 "flagship_rows_per_sec": round(n_rows / flagship) if flagship else None,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
