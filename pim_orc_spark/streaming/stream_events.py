@@ -30,6 +30,7 @@ Scale stance (100 TB / continuous):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +70,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = "8"
 
 
+# Serializes the shuffle-partition set/restore below: two concurrent
+# run_to_completion calls would otherwise clobber each other's restore
+# value. NOTE the remaining shared-session hazard: the conf is session-
+# global, so a BATCH query planned concurrently in another thread while
+# a streaming run is in flight silently plans with 8 shuffle partitions.
+# The bench/tests/driver all execute serially; a concurrent deployment
+# should plan streaming queries on a dedicated `spark.newSession()`
+# clone instead (per-query conf isolation, shared executors).
+_CONF_LOCK = threading.Lock()
+
+
 def run_to_completion(
     stream_df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
@@ -86,20 +98,51 @@ def run_to_completion(
     ):
         i += 1
     qname = f"{name}_{i}"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
+    with _CONF_LOCK:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(qname)
+
+
+def windowed_counts_append(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts for APPEND mode — the
+    continuous-deployment form of ``stream_windowed_counts`` (SURVEY
+    §8.5 open thread). ``withWatermark`` bounds state: a window's state
+    row is EVICTED (and the finalized row emitted) once the watermark —
+    max event time seen minus ``delay`` — passes the window end. Append
+    mode therefore emits each window exactly once, late data beyond
+    ``delay`` is dropped, and state held at any instant is only the
+    windows inside the watermark horizon — the property that makes the
+    operator runnable forever at 100 TB/day where complete mode's
+    ever-growing result table cannot.
+
+    Returns the transformed streaming DataFrame; the caller picks
+    trigger/sink (tests drive it file-by-file with maxFilesPerTrigger
+    to force multi-batch watermark advancement)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
 
 
 def stream_grouped_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,3 +23,89 @@ def test_repeat_invocation_isolated(spark, sf_dir):
     a = stream_events.stream_grouped_totals(spark, sf_dir).count()
     b = stream_events.stream_grouped_totals(spark, sf_dir).count()
     assert a == b == 5
+
+
+def test_watermark_append_evicts_state_and_emits_complete_windows(
+    spark, tmp_path
+):
+    """The continuous-deployment path (SURVEY §8.5): withWatermark +
+    append mode over a multi-batch run must (a) actually EVICT window
+    state as the watermark passes, (b) emit exactly the closed windows,
+    and (c) emit them COMPLETE — counts spanning micro-batch boundaries
+    must equal the batch ground truth, proving state persisted until
+    finalization, not a batch at a time."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(minutes):
+        return [
+            (t0 + dt.timedelta(minutes=m), "click", float(m)) for m in minutes
+        ]
+
+    # Three files = three micro-batches (maxFilesPerTrigger=1, ordered
+    # by mtime). Window W0=[00:00,00:10) spans batches 1 and 2 — its
+    # count is only right if state carries across batches. Batch 3 sits
+    # 10 h ahead: the watermark (max_ts - 10 min) passes every earlier
+    # window end, so W0..W2 must finalize; batch 3's own window stays
+    # open and must NOT be emitted.
+    batches = [
+        rows([0, 3]),  # W0 partial
+        rows([7, 12, 25]),  # W0 rest, W1=[10,20), W2=[20,30)
+        rows([600]),  # advances the watermark far past W0..W2
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = stream_events.windowed_counts_append(stream, delay="10 minutes")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_append_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("wm_append_test").collect()
+    }
+    # (b)+(c): exactly the closed windows, with cross-batch-complete counts
+    expect = {
+        (t0, "click"): 3,  # 0, 3 | 7 — spans batches 1 and 2
+        (t0 + dt.timedelta(minutes=10), "click"): 1,  # 12
+        (t0 + dt.timedelta(minutes=20), "click"): 1,  # 25
+    }
+    assert got == expect, got
+    # (a): the state store reported evicted rows for the closed windows
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= len(expect), [
+        p.get("stateOperators") for p in progress
+    ]
