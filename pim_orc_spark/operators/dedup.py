@@ -516,9 +516,15 @@ def star_contraction_components(
             .localCheckpoint()
         )
         sig = _edge_signature(contracted)
+        # The (count, XOR-hash) signature is probabilistic; the exact-
+        # convergence contract is confirmed with ONE set-difference
+        # check that runs only at the apparent fixed point. Counts
+        # already match (part of the signature) and both sides are
+        # distinct, so an empty one-way difference proves equality. On
+        # the astronomical collision, the loop simply continues.
+        if sig == prev_sig and contracted.exceptAll(e).isEmpty():
+            return contracted, rounds
         e = contracted
-        if sig == prev_sig:
-            return e, rounds
         prev_sig = sig
     raise RuntimeError(
         f"star contraction did not converge in {max_rounds} rounds — "

@@ -59,7 +59,17 @@ def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
     try:
         n_inputs = len(df.inputFiles())
     except Exception:
-        n_inputs = 0  # non-file plan: assume narrow, spread it
+        n_inputs = 0
+    if n_inputs == 0:
+        # Non-file plan (or a scan listing no files): probe the RDD
+        # partition count instead of assuming narrow — an already-wide
+        # in-memory plan must not take a silent extra shuffle. The RDD
+        # conversion cost is acceptable here because this branch never
+        # fires for the file scans all current call sites pass.
+        try:
+            n_inputs = df.rdd.getNumPartitions()
+        except Exception:
+            return df
     if n_inputs < target:
         return df.repartition(target)
     return df

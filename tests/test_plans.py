@@ -129,3 +129,25 @@ def test_profile_includes_runtime_plan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     text = explain_profile(li.agg(F.sum("l_quantity").alias("s")))
     assert "HashAggregate" in text
+
+
+def test_stage_profile_bins_flagship(spark, sf_dir):
+    """S8 parity: the stage-binned runtime profile (the engine's
+    analogue of the reference's stackcollapse breakdown,
+    parse_stackcollapse.py:5-10) must attribute the flagship's metrics
+    to scan/exchange/agg bins whose times and fractions are
+    self-consistent (bins sum to the reported total, fractions to 1)."""
+    from pim_orc_spark.operators.relational import q01_flagship_sum
+    from pim_orc_spark.plans.profile import stage_profile
+
+    prof = stage_profile(q01_flagship_sum(spark, sf_dir))
+    bins = prof["bins"]
+    assert bins["scan"]["nodes"] >= 1
+    assert bins["agg"]["nodes"] >= 2  # partial + final HashAggregate
+    assert bins["exchange"]["nodes"] >= 1
+    assert bins["scan"]["rows"] > 0
+    assert prof["binned_total_ms"] > 0
+    total = sum(r["time_ms"] for r in bins.values())
+    assert abs(total - prof["binned_total_ms"]) < 1e-3
+    assert abs(sum(r["frac"] for r in bins.values()) - 1.0) < 1e-9
+    assert prof["wall_sec"] > 0
