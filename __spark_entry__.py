@@ -61,6 +61,7 @@ PYTEST_ONLY = {
     "dedup_bitset_jaccard",
     "dedup_embedding_cosine",
     "dedup_simhash",
+    "dedup_incremental",  # anti-join over the same md5 fingerprint dedup_exact attests
     "csv_roundtrip_sum",
     "json_roundtrip_sum",
 }
