@@ -60,6 +60,7 @@ PYTEST_ONLY = {
     "dedup_ngram_jaccard",
     "dedup_bitset_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",  # bucket semantics attested via ann_lsh_bucketed
     "dedup_simhash",
     "dedup_incremental",  # anti-join over the same md5 fingerprint dedup_exact attests
     "csv_roundtrip_sum",

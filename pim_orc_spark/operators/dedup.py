@@ -455,6 +455,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path the all-pairs
+    ``dedup_embedding_cosine`` baseline promises: candidates are only
+    pairs sharing a hyperplane-LSH bucket (the same deterministic
+    planes as ``ann_lsh_bucketed``), so the join shuffles on bucket id
+    and per-bucket work replaces the O(n²) product. Recall < 1 is the
+    operator contract (a near-dup pair split by a hyperplane is
+    missed); the oracle models the identical buckets, so the output is
+    deterministic and hash-comparable. Skewed buckets at scale are
+    split by AQE skew handling (or more planes: 16–20 at 100 TB)."""
+    from pim_orc_spark.operators.similarity import _bucket_col, _hyperplanes
+
+    planes = _hyperplanes()
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    v = (
+        e.select("vec_id", as_double_vec("embedding").alias("v0"))
+        .withColumn("bucket", _bucket_col(F.col("v0"), planes))
+        .select("vec_id", unit_vec(F.col("v0"), EMB_DIM).alias("u"), "bucket")
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "bucket"
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), "bucket"
+    )
+    cos = dot_unrolled(F.col("ua"), F.col("ub"), EMB_DIM)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_T)
+    )
+
+
 INCR_BATCH_MIN_ID = 400  # doc_id >= this = the "new" batch; below = corpus
 
 
@@ -611,6 +645,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_incremental": dedup_incremental,
 }
@@ -715,3 +750,23 @@ ORACLES = {
         WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 4) >= {COSINE_T}
     """,
 }
+
+
+def _embedding_lsh_sql() -> str:
+    # deferred: _bucket_sql regenerates the shared hyperplanes, and the
+    # import is local to dodge a module cycle at import time
+    from pim_orc_spark.operators.similarity import _bucket_sql
+
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 4) >= {COSINE_T}
+    """
+
+
+ORACLES["dedup_embedding_lsh"] = _embedding_lsh_sql()

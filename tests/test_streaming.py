@@ -25,6 +25,82 @@ def test_repeat_invocation_isolated(spark, sf_dir):
     assert a == b == 5
 
 
+def test_dedup_within_watermark_bounds_state_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the state bound the
+    stream_dedup_keys docstring prescribes for unbounded key spaces:
+    duplicates inside the watermark horizon are dropped, a key's state
+    is EVICTED once the watermark passes, and a later re-occurrence is
+    re-emitted (the documented exactness trade outside the horizon).
+    This drives all three behaviors across micro-batches."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(minutes, uid):
+        return (t0 + dt.timedelta(minutes=minutes), uid)
+
+    batches = [
+        [ev(0, "u1"), ev(1, "u1"), ev(0, "u2")],  # in-batch dup of u1
+        [ev(5, "u1")],  # dup within the 10-min horizon → dropped
+        [ev(600, "u3")],  # watermark jumps past u1/u2 expiry
+        # eviction runs at END of batch: this batch still sees u1's
+        # expired-but-present state and dedups against it...
+        [ev(605, "u1")],
+        # ...and only now, with the state evicted, does u1 re-emit
+        [ev(610, "u1")],
+    ]
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "ts timestamp, user_id string"
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("wm_dedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    rows = sorted(
+        (r["user_id"], r["ts"]) for r in spark.table("wm_dedup_test").collect()
+    )
+    assert rows == [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(minutes=610)),
+        ("u2", t0),
+        ("u3", t0 + dt.timedelta(minutes=600)),
+    ], rows
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 2, [p.get("stateOperators") for p in progress]
+
+
 def test_watermark_append_evicts_state_and_emits_complete_windows(
     spark, tmp_path
 ):
