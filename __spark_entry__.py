@@ -56,6 +56,7 @@ def _modules():
 #   dedup_simhash          — its oracle is a CTE inside dedup_simhash_pairs
 #   csv/json_roundtrip_sum — roundtrip shape attested by orc_roundtrip_sum
 PYTEST_ONLY = {
+    "q25_percentiles",  # newest; first to promote when the sweep budget grows
     "ann_cosine_topk",
     "dedup_ngram_jaccard",
     "dedup_bitset_jaccard",

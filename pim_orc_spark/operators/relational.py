@@ -555,6 +555,27 @@ def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select("exact_distinct", within.alias("within_10pct"))
 
 
+def q25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark's ``percentile``
+    (NOT the approximate t-digest ``percentile_approx``) computes the
+    same linear-interpolated quantile as DuckDB's ``quantile_cont``, so
+    p50/p95 are deterministic and hash-comparable. Scale: exact
+    percentile buffers the group's values — right for bounded-cardinality
+    groups like these 3 flags; unbounded groups switch to
+    ``percentile_approx`` (fixed-size mergeable sketch), losing the
+    cross-engine oracle (q24 documents that trade)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q02_null_skip_sum": q02_null_skip_sum,
@@ -580,6 +601,7 @@ QUERIES = {
     "q22_asof_join": q22_asof_join,
     "q23_range_join": q23_range_join,
     "q24_approx_distinct": q24_approx_distinct,
+    "q25_percentiles": q25_percentiles,
 }
 
 
@@ -795,5 +817,14 @@ ORACLES = {
     SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct,
            TRUE AS within_10pct
     FROM lineitem
+    """,
+    # quantile_cont == Spark's exact interpolated percentile
+    "q25_percentiles": """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }

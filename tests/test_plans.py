@@ -131,6 +131,20 @@ def test_profile_includes_runtime_plan(spark, sf_dir):
     assert "HashAggregate" in text
 
 
+def test_spread_skips_already_wide_nonfile_plans(spark):
+    """spread()'s non-file fallback must not force a repartition
+    shuffle onto a plan that is already at cluster parallelism
+    (advisory: the old 0-default did exactly that)."""
+    from pim_orc_spark.plans import spread
+
+    wide = spark.range(0, 1000).repartition(64)
+    assert spread(spark, wide) is wide
+    narrow = spark.range(0, 1000).coalesce(1)
+    spread_n = spread(spark, narrow)
+    assert spread_n is not narrow
+    assert spread_n.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
 def test_stage_profile_bins_flagship(spark, sf_dir):
     """S8 parity: the stage-binned runtime profile (the engine's
     analogue of the reference's stackcollapse breakdown,
