@@ -81,8 +81,18 @@ def test_corrupt_orc_body_raises(spark, sf_dir, tmp_path):
 
 def test_ignore_corrupt_files_skips_bad_orc(spark, sf_dir, tmp_path):
     """Recovery mode for external ingest: with ignoreCorruptFiles the
-    truncated file is skipped and the job completes on what remains."""
+    truncated file is skipped and the job completes on what remains.
+
+    The schema is declared explicitly, as a production 100 TB ingest
+    would: scan-time recovery (FileScanRDD skips IOExceptions under
+    ignoreCorruptFiles) is the contract under test. Schema INFERENCE is
+    deliberately kept off the corrupt file — Spark's ORC inference only
+    tolerates FileFormatException, so a truncation that lands mid-
+    protobuf (InvalidProtocolBufferException) escapes it regardless of
+    the flag; where the cut lands depends on file bytes, which made an
+    inference-based version of this test flaky."""
     path, f = _one_orc_file(spark, sf_dir, tmp_path)
+    schema = spark.read.orc(path).schema  # inferred from the good file only
     # keep one good file, add one truncated sibling
     bad = os.path.join(path, "zz_truncated.orc")
     shutil.copy(f, bad)
@@ -93,7 +103,7 @@ def test_ignore_corrupt_files_skips_bad_orc(spark, sf_dir, tmp_path):
     prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
     spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
     try:
-        rows = spark.read.orc(path).collect()
+        rows = spark.read.schema(schema).orc(path).collect()
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
     expected = load_table(spark, sf_dir, "region").count()
