@@ -15,6 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pim_orc_spark.catalog import load_table
 from pim_orc_spark.plans import spread
@@ -154,6 +155,123 @@ def text_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_ngrams(tok: F.Column, n: int) -> F.Column:
+    """Word n-grams of a token array: positions 1..size-n+1 joined with
+    single spaces. Guarded with ``when`` because Spark's ``sequence(1,
+    0)`` DESCENDS ([1, 0]) instead of returning empty — an unguarded
+    short document would emit junk grams."""
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_sql(tok_expr: str, n: int) -> str:
+    """DuckDB fragment producing the identical word n-gram list
+    (range() is end-exclusive; list_slice is 1-based inclusive)."""
+    return (
+        f"CASE WHEN len({tok_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({tok_expr}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({tok_expr}, i, i + {n - 1}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+NGRAM_TOP_K = 25
+
+
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k word bigrams/trigrams — the boilerplate /
+    template-text detector a training-data pipeline runs before dedup
+    (repeated high-frequency n-grams flag scraped navigation chrome,
+    license headers, SEO spam).
+
+    Scale shape: one scan; both gram sizes are generated in a single
+    ``explode`` (an array of (n, gram) structs per doc), counted with
+    map-side partial aggregation on (n, gram), and the final top-k per n
+    ranks only the distinct-gram table — the full gram stream is never
+    shuffled row-per-gram without combining first. Tokens are let-bound
+    through a select so the tokenizer runs once per row, not once per
+    gram (see char_ngrams)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    t = d.select(tokens("text").alias("tok"))
+    def _tag(n: int):
+        # single-argument lambda: a two-arg one would be given
+        # (element, INDEX) by F.transform and shadow n with the index
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("ngram"))
+
+    tagged = F.concat(
+        *[F.transform(word_ngrams(F.col("tok"), n), _tag(n)) for n in (2, 3)]
+    )
+    w = Window.partitionBy("n").orderBy(
+        F.col("cnt").desc(), F.col("ngram").asc()
+    )
+    return (
+        t.select(F.explode(tagged).alias("s"))
+        .select("s.n", "s.ngram")
+        .groupBy("n", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NGRAM_TOP_K)
+    )
+
+
+BENCH_MOD = 50  # doc_id % 50 == 0 → the "benchmark" (eval-set) documents
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents contain
+    an eval-set document's content? For each (corpus doc, benchmark doc)
+    pair, containment = |shared distinct word trigrams| / |benchmark
+    trigrams|; pairs at ≥ 0.5 are flagged (the fixture corpus separates
+    cleanly: true contaminations sit at 1.0, background overlap ≤ 0.08).
+    The threshold compares integers (2·n_shared ≥ n_bench), never a
+    rounded float at the boundary.
+
+    Scale shape — the decontamination pattern for a 100 TB corpus vs a
+    bounded eval suite: the benchmark postings list (bench_id, gram) is
+    BROADCAST (eval suites are MBs), so corpus postings never shuffle —
+    the map-side join emits only matching (doc, bench, gram) hits, and
+    the only shuffle is the count aggregation on (doc_id, bench_id),
+    bounded by true-overlap volume. n_bench joins in as a second
+    broadcast. No all-pairs stage exists at any size."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    tri = d.select(
+        "doc_id",
+        F.array_distinct(
+            word_ngrams(tokens("text"), 3)
+        ).alias("g"),
+    )
+    bench = tri.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), F.explode("g").alias("gram")
+    )
+    n_bench = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench")
+    )
+    corpus = tri.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(n_bench), "bench_id")
+        .filter(F.col("n_shared") * 2 >= F.col("n_bench"))
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            "n_bench",
+            F.round(
+                F.col("n_shared") / F.col("n_bench").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -161,6 +279,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_hash_sample": text_hash_sample,
     "text_median_len": text_median_len,
+    "text_ngram_topk": text_ngram_topk,
+    "text_contamination": text_contamination,
 }
 
 
@@ -241,5 +361,46 @@ ORACLES = {
         SELECT source,
                CAST(median(n_chars) AS DOUBLE) AS median_chars
         FROM documents GROUP BY source
+    """,
+    "text_ngram_topk": f"""
+        WITH t AS (SELECT {_tok_sql()} AS tok FROM documents),
+        g AS (
+          SELECT 2 AS n, unnest({word_ngrams_sql('tok', 2)}) AS ngram FROM t
+          UNION ALL
+          SELECT 3 AS n, unnest({word_ngrams_sql('tok', 3)}) AS ngram FROM t
+        ), c AS (
+          SELECT n, ngram, COUNT(*) AS cnt FROM g GROUP BY n, ngram
+        ), r AS (
+          SELECT n, ngram, cnt,
+                 CAST(row_number() OVER (
+                   PARTITION BY n ORDER BY cnt DESC, ngram ASC
+                 ) AS INTEGER) AS rnk
+          FROM c
+        )
+        SELECT n, ngram, cnt, rnk FROM r WHERE rnk <= {NGRAM_TOP_K}
+    """,
+    "text_contamination": f"""
+        WITH tri AS (
+          SELECT doc_id,
+                 list_distinct({word_ngrams_sql(_tok_sql(), 3)}) AS g
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id AS bench_id, unnest(g) AS gram FROM tri
+          WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        nb AS (SELECT bench_id, COUNT(*) AS n_bench FROM b GROUP BY bench_id),
+        c AS (
+          SELECT doc_id, unnest(g) AS gram FROM tri
+          WHERE doc_id % {BENCH_MOD} <> 0
+        ),
+        sh AS (
+          SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+          FROM c JOIN b USING (gram) GROUP BY c.doc_id, b.bench_id
+        )
+        SELECT doc_id, bench_id, n_shared, n_bench,
+               round(n_shared / CAST(n_bench AS DOUBLE), 6) AS containment
+        FROM sh JOIN nb USING (bench_id)
+        WHERE n_shared * 2 >= n_bench
     """,
 }
