@@ -91,7 +91,14 @@ def get_spark(app_name: str = "pim_orc_spark", cpus: int | None = None) -> Spark
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode: the driver heap IS the executor memory — all
+        # `cpus` task slots, shuffle/state stores, AND Arrow batch
+        # allocations share it. 8g on a 32-thread box caused measurable
+        # GC pressure (Arrow-heavy ANN queries degraded subsequent
+        # shuffle queries ~1.5×); 24g restores steady-state timings.
+        # On a real cluster this knob is irrelevant — executor memory
+        # is sized per-node and the driver only coordinates.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
