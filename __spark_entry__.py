@@ -57,6 +57,12 @@ def _modules():
 #   csv/json_roundtrip_sum — roundtrip shape attested by orc_roundtrip_sum
 PYTEST_ONLY = {
     "q25_percentiles",  # newest; first to promote when the sweep budget grows
+    # sliding windows are tumbling windows with an overlap parameter —
+    # the window/agg state machinery stays driver-attested by
+    # stream_windowed_counts + stream_session_windows; the freed slot
+    # admits stream_enriched_totals (stream-static broadcast join, a
+    # genuinely new streaming shape):
+    "stream_sliding_counts",
     # r3 swaps: two entries whose operator family stays driver-attested
     # by a surviving twin made room for text_ngram_topk and
     # text_contamination (new first-class pipeline ops):

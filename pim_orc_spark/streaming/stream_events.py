@@ -303,6 +303,46 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to a
+    static dimension (customer ⋈ nation, pre-joined and broadcast), then
+    aggregated per nation — the canonical streaming-ETL shape (enrich
+    each event with slowly-changing reference data, then aggregate) that
+    none of the other stream ops exercise.
+
+    The static side is a batch DataFrame; Spark re-plans it at every
+    micro-batch, so a dimension table that changes between batches is
+    picked up automatically (the standard slowly-changing-dim pattern).
+    ``F.broadcast`` keeps the join shuffle-free on the stream side:
+    events flow map-side through BroadcastHashJoin into the windowless
+    grouped aggregation, whose state is one row per nation — bounded by
+    the dimension's cardinality, so the operator runs forever at any
+    event volume. The reference has no streaming surface (its one-shot
+    main(), orc-parser/reader.cc:69-170); this extends the micro-batch
+    engine its request loop resembles (pim_snappy.c:21-23,330).
+    """
+    from pim_orc_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+    )
+    return run_to_completion(agg, "stream_enriched_totals", "complete")
+
+
 QUERIES = {
     "stream_grouped_totals": stream_grouped_totals,
     "stream_windowed_counts": stream_windowed_counts,
@@ -310,6 +350,7 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_stateful_user_stats": stream_stateful_user_stats,
+    "stream_enriched_totals": stream_enriched_totals,
 }
 
 ORACLES = {
@@ -373,5 +414,13 @@ ORACLES = {
         SELECT user_id, COUNT(*) AS n_events,
                {exact_sum_sql("value", "total_value")}
         FROM events GROUP BY user_id
+    """,
+    "stream_enriched_totals": f"""
+        SELECT n_name, COUNT(*) AS n_events,
+               {exact_sum_sql("value", "sum_value")}
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name
     """,
 }
