@@ -38,17 +38,31 @@ BROADCAST_DIMS = ("region", "nation")
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """nanosAsLong read path: ts arrives as int64 nanoseconds; floor to
-    microseconds — identical to DuckDB's nanos→micros truncation. Shared
-    by the batch loader and the streaming source (same parquet files)."""
-    if dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    """Normalize ``events.ts`` to TIMESTAMP (session tz, pinned UTC) no
+    matter how the fixture stored it. Shared by the batch loader and the
+    streaming source (same parquet files). Two storage forms seen across
+    fixture generations:
 
+    - int64 TIMESTAMP(NANOS): the nanosAsLong read path hands us raw
+      nanoseconds; floor to microseconds — identical to DuckDB's
+      nanos→micros truncation.
+    - TIMESTAMP(MICROS) with isAdjustedToUTC=false: inferTimestampNTZ
+      reads it as TIMESTAMP_NTZ; cast to TIMESTAMP interprets the naive
+      value in the session tz (UTC) — the same instant DuckDB's naive
+      ``epoch()`` arithmetic produces, and downstream epoch casts
+      (``cast(ts as long)``, ``unix_micros``) need the instant type.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    from pyspark.sql import functions as F
+
+    if dtype == "bigint":
         # Integer division: `/` would promote the int64 nanos to double,
         # whose 53-bit mantissa cannot hold a 2024 epoch-nanos value —
         # the result is occasionally off by 1µs vs DuckDB's exact
         # truncation.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
