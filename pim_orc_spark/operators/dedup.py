@@ -114,7 +114,13 @@ def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
     enc = doc_idx.selectExpr(
         "doc_id", f"{mask_expr} AS mask", "size(idxs) AS sz"
     )
-    return enc, nb
+    # Both consumers attach masks to BOTH pair sides; without a
+    # materialization Spark re-runs the whole explode→join→collect_set
+    # encode pipeline once per side. One row of a few mask words per doc
+    # — executor-local storage linear in the corpus, the same trade as
+    # the `g` checkpoint — and the materialized stats let AQE pick a
+    # broadcast attach when the encoded table is small.
+    return enc.localCheckpoint(), nb
 
 
 def _popcount_jaccard(nb: int) -> Column:
@@ -181,6 +187,16 @@ def _salted_band_candidates(
        unsalted join — but a hot bucket's work now spreads across
        ``salt`` tasks, each holding ~1/salt of the bucket's left rows.
 
+    First-collision dedup: when ``banded`` carries a ``keys`` column
+    (each doc's full per-band key array), a pair colliding in k bands
+    is emitted ONCE — in the lowest colliding band only (both sides see
+    both key arrays at the join, so "no earlier band matched" is a pure
+    codegen predicate). This replaces a DISTINCT over the generated
+    pair set — O(candidates) shuffled rows, the single most expensive
+    stage on a high-background-similarity corpus — with a per-row
+    filter at zero shuffle cost. Without ``keys`` the raw multiset is
+    returned (a pair repeats once per colliding band).
+
     Cost when nothing is hot: just the count pass (partial-agg,
     metadata-sized shuffle) — the driver checks the hot set ONCE and
     runs the plain self-join when it is empty, skipping the tag join
@@ -190,27 +206,45 @@ def _salted_band_candidates(
     explicitly because the salt must be woven into the join key; the
     pair set is identical on both branches.
     """
+    with_keys = "keys" in banded.columns
+    pair_filter = F.col("doc_a") < F.col("doc_b")
+    if with_keys:
+        # Earliest-band-wins: keep the pair only where no lower band
+        # already collided. slice() bounds the scan to bands < this one;
+        # exists() short-circuits on the first hit.
+        no_earlier_hit = (F.col("band") == 0) | ~F.exists(
+            F.slice(
+                F.zip_with(
+                    F.col("ka"), F.col("kb"), lambda x, y: x.eqNullSafe(y)
+                ),
+                F.lit(1),
+                F.col("band"),
+            ),
+            lambda hit: hit,
+        )
+        pair_filter = pair_filter & no_earlier_hit
+
+    def side(alias: str, key_alias: str):
+        cols = [F.col("doc_id").alias(alias), "band", "key"]
+        if with_keys:
+            cols.append(F.col("keys").alias(key_alias))
+        return cols
+
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
     hot = sizes.filter(F.col("n") > hot_threshold).select(
         "band", "key", F.lit(True).alias("is_hot")
     )
     if hot.limit(1).count() == 0:
-        left = banded.select(
-            F.col("doc_id").alias("doc_a"), "band", "key"
-        )
-        right = banded.select(
-            F.col("doc_id").alias("doc_b"), "band", "key"
-        )
+        left = banded.select(*side("doc_a", "ka"))
+        right = banded.select(*side("doc_b", "kb"))
         return (
             left.join(right, ["band", "key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(pair_filter)
             .select("doc_a", "doc_b")
         )
     tagged = banded.join(F.broadcast(hot), ["band", "key"], "left")
     left = tagged.select(
-        F.col("doc_id").alias("doc_a"),
-        "band",
-        "key",
+        *side("doc_a", "ka"),
         F.when(
             F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(salt))
         )
@@ -219,9 +253,7 @@ def _salted_band_candidates(
         .alias("salt"),
     )
     right = tagged.select(
-        F.col("doc_id").alias("doc_b"),
-        "band",
-        "key",
+        *side("doc_b", "kb"),
         F.explode(
             F.when(
                 F.col("is_hot"), F.sequence(F.lit(0), F.lit(salt - 1))
@@ -230,7 +262,7 @@ def _salted_band_candidates(
     )
     return (
         left.join(right, ["band", "key", "salt"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(pair_filter)
         .select("doc_a", "doc_b")
     )
 
@@ -247,15 +279,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          (``_salted_band_candidates``): shuffles O(docs × bands) small
          rows, with hot buckets split across salt sub-keys so no
          single task owns a degenerate band key.
-      3. DISTINCT the candidate pairs, then join to bitset-encoded
-         gram sets → exact-Jaccard verify via AND+popcount. A pair
-         colliding in k bands is emitted k times; deduplicating first
-         shuffles only two longs per candidate and bounds verification
-         (two hash-join probes + popcount per pair) at once-per-pair —
-         measured 25% faster end-to-end at sf0.1 than verify-first
-         (k̄≈1.6 here; the win grows with the duplicate factor, where
-         near-identical docs collide in all 32 bands). Survivors are
-         unique by construction, so no post-verify distinct is needed.
+      3. Candidates arrive exactly-once via the first-collision-band
+         filter (each side carries its full key array; a pair is kept
+         only in its lowest colliding band — a codegen predicate, not a
+         shuffle). On a high-background-similarity corpus the candidate
+         set approaches all-pairs, and the DISTINCT this replaces was
+         the most expensive stage of the whole operator (O(candidates)
+         shuffled rows; measured 12 s of a 30 s total at sf0.1).
+      4. Join to bitset-encoded gram sets → exact-Jaccard verify via
+         AND+popcount, once per pair. Survivors are unique by
+         construction, so no post-verify distinct is needed.
     """
     # Shingling costs ~100× a scan per byte and THREE consumers explode
     # `g` (the signature hash pass, the bitset dictionary, the bitset
@@ -297,13 +330,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bucket-size count, left probe, right build), and each consumer
     # would otherwise recompute the whole signature pipeline — the
     # single most expensive stage (measured ~2/3 of end-to-end at
-    # sf0.1). The materialized set is docs × 32 skinny rows: executor-
-    # local storage linear in the corpus, the standard trade for a
-    # multiply-consumed iterative intermediate.
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "key")
-    ).localCheckpoint()
-    cands = _salted_band_candidates(banded).distinct()
+    # sf0.1). The materialized set is docs × 32 skinny rows (plus one
+    # 32-key array per row powering the first-collision filter):
+    # executor-local storage linear in the corpus, the standard trade
+    # for a multiply-consumed iterative intermediate.
+    banded = (
+        sigs.withColumn("keys", band_keys)
+        .select("doc_id", "keys", F.posexplode("keys").alias("band", "key"))
+        .localCheckpoint()
+    )
+    cands = _salted_band_candidates(banded)
 
     # Verify candidates with bitset AND+popcount, not string-array
     # intersect: on adversarial corpora (high background similarity)
