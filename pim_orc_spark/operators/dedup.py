@@ -210,19 +210,21 @@ def _salted_band_candidates(
     pair_filter = F.col("doc_a") < F.col("doc_b")
     if with_keys:
         # Earliest-band-wins: keep the pair only where no lower band
-        # already collided. slice() bounds the scan to bands < this one;
-        # exists() short-circuits on the first hit.
-        no_earlier_hit = (F.col("band") == 0) | ~F.exists(
-            F.slice(
-                F.zip_with(
-                    F.col("ka"), F.col("kb"), lambda x, y: x.eqNullSafe(y)
-                ),
-                F.lit(1),
-                F.col("band"),
-            ),
-            lambda hit: hit,
-        )
-        pair_filter = pair_filter & no_earlier_hit
+        # already collided. Emitted as a flat CASE over the band index
+        # with one cumulative OR chain per branch — pure codegen long
+        # compares that short-circuit on the first hit. (The obvious
+        # exists(slice(zip_with(...))) form allocates a boolean array
+        # per evaluated pair — measured meaningfully slower across the
+        # ~20M join outputs a high-background-similarity corpus emits.)
+        n_bands = LSH_BANDS
+        cum = None
+        branch = F.when(F.lit(False), F.lit(True))  # seed; never matches
+        for t in range(1, n_bands):
+            term = F.col("ka").getItem(t - 1) == F.col("kb").getItem(t - 1)
+            cum = term if cum is None else cum | term
+            branch = branch.when(F.col("band") == t, cum)
+        earlier_hit = branch.otherwise(F.lit(False))  # band = 0
+        pair_filter = pair_filter & ~earlier_hit
 
     def side(alias: str, key_alias: str):
         cols = [F.col("doc_id").alias(alias), "band", "key"]
