@@ -57,6 +57,11 @@ def _modules():
 #   csv/json_roundtrip_sum — roundtrip shape attested by orc_roundtrip_sum
 PYTEST_ONLY = {
     "q25_percentiles",  # newest; first to promote when the sweep budget grows
+    # chunking/packing (new r3 pipeline ops): pytest-differential only —
+    # the sweep already sits exactly at its ~50-entry budget and every
+    # driver slot holds a distinct codepath; next to promote after q25.
+    "text_chunk",
+    "text_pack",
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows; the freed slot

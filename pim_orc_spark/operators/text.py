@@ -272,6 +272,79 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 200  # characters per chunk
+CHUNK_STRIDE = 150  # CHUNK_SIZE - 50 overlap between consecutive chunks
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — fixed-size character windows with overlap,
+    the standard prep step before embedding / tokenizing long documents
+    for training. Chunk starts advance by ``CHUNK_STRIDE`` (50-char
+    overlap keeps sentences that straddle a boundary intact in one of
+    the two neighbors); the final chunk is short rather than padded.
+
+    Scale shape: pure map-side generate (one codegen'd scan stage, no
+    shuffle at all) — each doc expands to ceil(len/stride) rows
+    independently, so it parallelizes per input split at any corpus
+    size. Chunk content is attested by md5 + length; downstream
+    pipelines would carry the substring itself.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(n_chars, 1), {CHUNK_STRIDE}), "
+        f"o -> substr(text, o, {CHUNK_SIZE}))"
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )
+
+
+PACK_BUDGET = 512  # BPE-ish tokens per pack
+
+
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concat-and-split pack assignment: documents
+    are laid out as one token stream per source (doc_id order) and each
+    doc joins the pack its first token lands in (pack = ``floor(stream
+    offset / PACK_BUDGET)``) — the GPT-style packing layout that turns
+    ragged documents into fixed-budget training rows without padding.
+    Returns per-pack occupancy (doc count, token total, doc_id range).
+
+    Scale shape: one running-sum window partitioned by source (packs
+    are per-source streams, so sources pack in parallel) + one grouped
+    aggregation. Within a source the running sum is a sequential
+    prefix-scan; at 100 TB the stream key widens to (source, shard) so
+    no single partition owns a whole source — the assignment stays
+    deterministic because shard boundaries, like source boundaries,
+    start a fresh pack."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    pack = F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET)
+    return (
+        t.withColumn("pack_id", pack)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -281,6 +354,8 @@ QUERIES = {
     "text_median_len": text_median_len,
     "text_ngram_topk": text_ngram_topk,
     "text_contamination": text_contamination,
+    "text_chunk": text_chunk,
+    "text_pack": text_pack,
 }
 
 
@@ -378,6 +453,42 @@ ORACLES = {
           FROM c
         )
         SELECT n, ngram, cnt, rnk FROM r WHERE rnk <= {NGRAM_TOP_K}
+    """,
+    "text_chunk": f"""
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(n_chars, 1) + 1,
+                                      {CHUNK_STRIDE}),
+                                o -> substr(text, CAST(o AS INTEGER),
+                                            {CHUNK_SIZE})) AS chunks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(generate_subscripts(chunks, 1) - 1 AS INTEGER)
+                 AS chunk_idx,
+               CAST(len(unnest(chunks)) AS INTEGER) AS chunk_len,
+               md5(unnest(chunks)) AS chunk_md5
+        FROM c
+    """,
+    "text_pack": f"""
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(regexp_extract_all(text, '{BPE_RE}')) AS n_tok
+          FROM documents
+        ), c AS (
+          SELECT source, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT source,
+               CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT)
+                 AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM c GROUP BY source, pack_id
     """,
     "text_contamination": f"""
         WITH tri AS (
