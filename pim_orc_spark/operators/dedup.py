@@ -53,6 +53,11 @@ MINHASH_K = 128
 LSH_BANDS = 32  # r = MINHASH_K / LSH_BANDS = 4 rows per band
 LSH_SALT = 8  # sub-buckets a hot band key is split into
 LSH_HOT_BUCKET = 1000  # band-bucket size above which salting kicks in
+# Verify-attach strategy threshold: bitsets at most this many 64-bit
+# words (512 B) ride the banded rows so Jaccard verification is inline
+# in the band join; wider masks are attached to the (smaller-per-row)
+# candidate set with two doc-keyed joins instead. See dedup_minhash_lsh.
+CARRY_MASK_MAX_WORDS = 64
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,16 +128,18 @@ def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
     return enc.localCheckpoint(), nb
 
 
-def _popcount_jaccard(nb: int) -> Column:
+def _popcount_jaccard(
+    nb: int, ma: str = "ma", mb: str = "mb", sza: str = "sza", szb: str = "szb"
+) -> Column:
     """Jaccard of two bitsets (ma/sza vs mb/szb) as unrolled AND+popcount:
     flat codegen arithmetic, no per-pair lambda/array allocation."""
     inter = None
     for w in range(nb):
         term = F.bit_count(
-            F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w))
+            F.col(ma).getItem(w).bitwiseAND(F.col(mb).getItem(w))
         )
         inter = term if inter is None else inter + term
-    return inter.cast("double") / (F.col("sza") + F.col("szb") - inter)
+    return inter.cast("double") / (F.col(sza) + F.col(szb) - inter)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,10 +172,17 @@ def _salted_band_candidates(
     banded: DataFrame,
     salt: int = LSH_SALT,
     hot_threshold: int = LSH_HOT_BUCKET,
+    payload: tuple[str, ...] = (),
 ) -> DataFrame:
     """Self-join ``banded`` (doc_id, band, key) on (band, key) with hot
     band keys salted, yielding candidate pairs (doc_a, doc_b), doc_a <
     doc_b (a pair repeats once per band it collides in).
+
+    ``payload`` names extra ``banded`` columns carried through the join:
+    each column ``c`` surfaces as ``c_a``/``c_b`` on the output, letting
+    the caller verify pairs inline in the join stage instead of
+    re-attaching per-doc state with two more joins over the (much
+    larger) candidate set.
 
     A degenerate band key — every boilerplate page sharing one template
     hashes its 4-row band identically — puts its whole bucket into ONE
@@ -226,27 +240,31 @@ def _salted_band_candidates(
         earlier_hit = branch.otherwise(F.lit(False))  # band = 0
         pair_filter = pair_filter & ~earlier_hit
 
-    def side(alias: str, key_alias: str):
+    def side(alias: str, key_alias: str, suffix: str):
         cols = [F.col("doc_id").alias(alias), "band", "key"]
         if with_keys:
             cols.append(F.col("keys").alias(key_alias))
+        cols.extend(F.col(c).alias(f"{c}_{suffix}") for c in payload)
         return cols
+
+    out_cols = ["doc_a", "doc_b"]
+    out_cols += [f"{c}_a" for c in payload] + [f"{c}_b" for c in payload]
 
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
     hot = sizes.filter(F.col("n") > hot_threshold).select(
         "band", "key", F.lit(True).alias("is_hot")
     )
     if hot.limit(1).count() == 0:
-        left = banded.select(*side("doc_a", "ka"))
-        right = banded.select(*side("doc_b", "kb"))
+        left = banded.select(*side("doc_a", "ka", "a"))
+        right = banded.select(*side("doc_b", "kb", "b"))
         return (
             left.join(right, ["band", "key"])
             .filter(pair_filter)
-            .select("doc_a", "doc_b")
+            .select(*out_cols)
         )
     tagged = banded.join(F.broadcast(hot), ["band", "key"], "left")
     left = tagged.select(
-        *side("doc_a", "ka"),
+        *side("doc_a", "ka", "a"),
         F.when(
             F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(salt))
         )
@@ -255,7 +273,7 @@ def _salted_band_candidates(
         .alias("salt"),
     )
     right = tagged.select(
-        *side("doc_b", "kb"),
+        *side("doc_b", "kb", "b"),
         F.explode(
             F.when(
                 F.col("is_hot"), F.sequence(F.lit(0), F.lit(salt - 1))
@@ -265,7 +283,7 @@ def _salted_band_candidates(
     return (
         left.join(right, ["band", "key", "salt"])
         .filter(pair_filter)
-        .select("doc_a", "doc_b")
+        .select(*out_cols)
     )
 
 
@@ -288,9 +306,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          set approaches all-pairs, and the DISTINCT this replaces was
          the most expensive stage of the whole operator (O(candidates)
          shuffled rows; measured 12 s of a 30 s total at sf0.1).
-      4. Join to bitset-encoded gram sets → exact-Jaccard verify via
-         AND+popcount, once per pair. Survivors are unique by
-         construction, so no post-verify distinct is needed.
+      4. Exact-Jaccard verify via AND+popcount, once per pair.
+         Adaptive attach: when the corpus's bitset fits
+         ``CARRY_MASK_MAX_WORDS`` (known after the bounded dictionary
+         count), each doc's mask rides its banded rows and verification
+         is INLINE in the band-join stage — zero additional shuffles.
+         A wider dictionary (the 740-word char-3-gram ceiling, or a
+         token-feature variant) flips to attaching masks with two
+         candidate-keyed joins, whose shuffle is O(candidates × 16 B)
+         instead of O(docs × bands × mask). Same threshold-style
+         runtime choice Spark itself makes between broadcast and
+         shuffle joins; both paths are oracle-identical and tested.
+         Survivors are unique by construction, so no post-verify
+         distinct is needed.
     """
     # Shingling costs ~100× a scan per byte and THREE consumers explode
     # `g` (the signature hash pass, the bitset dictionary, the bitset
@@ -336,35 +364,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-key array per row powering the first-collision filter):
     # executor-local storage linear in the corpus, the standard trade
     # for a multiply-consumed iterative intermediate.
-    banded = (
-        sigs.withColumn("keys", band_keys)
-        .select("doc_id", "keys", F.posexplode("keys").alias("band", "key"))
-        .localCheckpoint()
-    )
-    cands = _salted_band_candidates(banded)
-
     # Verify candidates with bitset AND+popcount, not string-array
     # intersect: on adversarial corpora (high background similarity)
     # banding admits ~all pairs and verification dominates — the bitset
     # keeps per-pair cost at a few dozen instructions either way.
     enc, nb = _bitset_encode(spark, g)
-    ea = enc.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("mask").alias("ma"),
-        F.col("sz").alias("sza"),
-    )
-    eb = enc.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("mask").alias("mb"),
-        F.col("sz").alias("szb"),
-    )
-    jac = _popcount_jaccard(nb)
-    return (
-        cands.join(ea, "doc_a")
-        .join(eb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
-    )
+    base = sigs.withColumn("keys", band_keys)
+    if nb <= CARRY_MASK_MAX_WORDS:
+        # Inline verify: mask+size ride the banded rows (a doc-keyed
+        # join of two corpus-sized narrow tables, broadcast-able by AQE
+        # at fixture scale), so the band join emits verified pairs in
+        # its own stage — the candidate set itself never shuffles.
+        banded = (
+            base.join(enc, "doc_id")
+            .select(
+                "doc_id",
+                "keys",
+                "mask",
+                "sz",
+                F.posexplode("keys").alias("band", "key"),
+            )
+            .localCheckpoint()
+        )
+        cands = _salted_band_candidates(banded, payload=("mask", "sz"))
+        jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
+    else:
+        banded = base.select(
+            "doc_id", "keys", F.posexplode("keys").alias("band", "key")
+        ).localCheckpoint()
+        cands = (
+            _salted_band_candidates(banded)
+            .join(
+                enc.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("mask").alias("mask_a"),
+                    F.col("sz").alias("sz_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                enc.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("mask").alias("mask_b"),
+                    F.col("sz").alias("sz_b"),
+                ),
+                "doc_b",
+            )
+        )
+        jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
+    return cands.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_T)
 
 
 def dedup_bitset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

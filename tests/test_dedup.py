@@ -27,6 +27,20 @@ def test_minhash_lsh_equals_exact_baseline(spark, sf_dir):
     assert lsh == exact
 
 
+def test_minhash_lsh_join_attach_path(spark, sf_dir, monkeypatch):
+    """The wide-mask branch (masks attached to candidates with two
+    doc-keyed joins instead of riding the banded rows) must produce the
+    identical pair set — it is the path a wide-dictionary corpus takes."""
+    carried = {
+        tuple(r) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(dedup, "CARRY_MASK_MAX_WORDS", 0)
+    attached = {
+        tuple(r) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert attached == carried
+
+
 def test_clusters_edge_source_has_no_cross_join(spark, sf_dir):
     """The clusters pipeline's edge stage must be the bucketed LSH plan:
     a 100 TB run dies on any all-pairs product, so the physical plan of
