@@ -31,6 +31,7 @@ def _modules():
     from pim_orc_spark.operators import (
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
@@ -42,7 +43,16 @@ def _modules():
     # driver sweep records entries in this order with a ~50-entry
     # budget, and round 2 proved whatever sits last falls off (all 6
     # streaming ops went unattested).
-    return [relational, stream_events, text, dedup, similarity, multimodal, orc_io]
+    return [
+        relational,
+        stream_events,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        pipeline,
+        orc_io,
+    ]
 
 
 # Demoted to pytest-only (tests/ still runs each against its oracle
@@ -57,11 +67,13 @@ def _modules():
 #   csv/json_roundtrip_sum — roundtrip shape attested by orc_roundtrip_sum
 PYTEST_ONLY = {
     "q25_percentiles",  # newest; first to promote when the sweep budget grows
-    # chunking/packing (new r3 pipeline ops): pytest-differential only —
-    # the sweep already sits exactly at its ~50-entry budget and every
-    # driver slot holds a distinct codepath; next to promote after q25.
+    # chunking/packing/curation (new r3 pipeline ops): pytest-
+    # differential only — the sweep already sits exactly at its
+    # ~50-entry budget and every driver slot holds a distinct codepath;
+    # next to promote after q25.
     "text_chunk",
     "text_pack",
+    "pipeline_curate",
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows; the freed slot

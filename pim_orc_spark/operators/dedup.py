@@ -76,10 +76,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _grams_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # Shingling costs ~100× a scan per byte — spread beyond file splits.
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d = spread(spark, docs)
     return d.select("doc_id", char_ngrams("text", NGRAM_N).alias("grams"))
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _grams_of(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
@@ -320,11 +324,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          Survivors are unique by construction, so no post-verify
          distinct is needed.
     """
+    return minhash_pairs(spark, load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The MinHash+LSH pair engine behind ``dedup_minhash_lsh``, usable
+    on ANY (doc_id, text) DataFrame — e.g. the survivor set mid-way
+    through a curation pipeline (operators/pipeline.py), not just the
+    fixture table. Semantics and stages: see ``dedup_minhash_lsh``."""
     # Shingling costs ~100× a scan per byte and THREE consumers explode
     # `g` (the signature hash pass, the bitset dictionary, the bitset
     # encode join) — materialize it once. Executor-local storage linear
     # in the corpus, the same trade as the `banded` checkpoint below.
-    g = _grams(spark, sf_dir).localCheckpoint()
+    g = _grams_of(spark, docs).localCheckpoint()
     params = minhash_params(MINHASH_K)
 
     # Explode → hash each gram exactly ONCE → groupBy doc with 128

@@ -1,0 +1,165 @@
+"""End-to-end corpus curation — the composed pipeline a training-data
+run executes, as one oracle-checked operator:
+
+    raw documents
+      → quality gate     (token count ≥ QUALITY_MIN_TOKENS)
+      → exact dedup      (md5 of normalized tokens, keep min doc_id)
+      → near dedup       (MinHash+LSH J ≥ 0.8 pairs among survivors;
+                          drop any doc with a smaller-id near-neighbor)
+      → per-source yield report (docs surviving each stage + kept tokens)
+
+The near-dedup drop rule is the simple deterministic one many
+production pipelines use ("remove every doc that has a smaller
+near-duplicate"); the cluster-canonical alternative is
+``dedup_clusters``. The LSH pair stage runs on the SURVIVOR set (not
+the raw corpus) via ``dedup.minhash_pairs`` — pipeline stages compose
+on DataFrames, so each pays only for what earlier stages kept.
+
+Scale shape: every stage is the scale-audited form of its standalone
+operator — the quality gate and fingerprinting are map-side, exact
+dedup shuffles (fp, id) pairs only, the near-dup stage is the salted
+band join, and the final report is a handful of per-source partial
+aggregations joined on the (tiny) source dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_orc_spark.catalog import load_table
+from pim_orc_spark.functions.textfns import tokens, tokens_sql
+from pim_orc_spark.operators.dedup import JACCARD_T, minhash_pairs
+from pim_orc_spark.plans import spread
+
+QUALITY_MIN_TOKENS = 20  # quality gate: drop fragments under 20 tokens
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: n_raw → n_quality → n_exact →
+    n_kept (+ tokens_kept) after the three filtering stages."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    base = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(tok).alias("n_tok"),
+        F.md5(F.concat_ws(" ", tok)).alias("fp"),
+    )
+    qual = base.filter(F.col("n_tok") >= QUALITY_MIN_TOKENS)
+    # exact dedup: global keep-min per fingerprint (a duplicate pair may
+    # span sources; the survivor is the corpus-wide smallest doc_id)
+    keep_fp = qual.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = qual.join(keep_fp, ["fp", "doc_id"])
+    # near dedup among survivors: LSH pairs (exact-J≥0.8 contract), drop
+    # the larger id of every pair
+    pairs = minhash_pairs(spark, exact.select("doc_id", "text"))
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = exact.join(drop, "doc_id", "left_anti")
+
+    def stage_count(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        stage_count(base, "n_raw")
+        .join(stage_count(qual, "n_quality"), "source", "left")
+        .join(stage_count(exact, "n_exact"), "source", "left")
+        .join(
+            final.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("n_tok").alias("tokens_kept"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )
+
+
+QUERIES = {
+    "pipeline_curate": pipeline_curate,
+}
+
+
+def _curate_sql() -> str:
+    tok = tokens_sql("text")
+    # the near-dup pair CTE: _jaccard_pairs_sql() body rewritten against
+    # the survivor CTE instead of the raw table (LSH output equals the
+    # exact pair set at J ≥ 0.8 — dedup module docstring)
+    return f"""
+        -- near-dup CTE mirrors _jaccard_pairs_sql() against the
+        -- survivor set instead of the raw table
+        WITH base AS (
+          SELECT doc_id, source, text,
+                 len({tok}) AS n_tok,
+                 md5(coalesce(list_aggregate({tok}, 'string_agg', ' '),
+                              '')) AS fp
+          FROM documents
+        ),
+        qual AS (
+          SELECT * FROM base WHERE n_tok >= {QUALITY_MIN_TOKENS}
+        ),
+        keep AS (
+          SELECT fp, MIN(doc_id) AS doc_id FROM qual GROUP BY fp
+        ),
+        exact AS (
+          SELECT q.* FROM qual q JOIN keep k
+          ON q.fp = k.fp AND q.doc_id = k.doc_id
+        ),
+        g AS (
+          SELECT doc_id,
+                 {_gram_sql('text')} AS grams
+          FROM exact
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams))), 6)
+                >= {JACCARD_T}
+        ),
+        final AS (
+          SELECT * FROM exact
+          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        )
+        SELECT b.source,
+               COUNT(*) AS n_raw,
+               CAST(coalesce(SUM(CASE WHEN q.doc_id IS NOT NULL
+                                      THEN 1 END), 0) AS BIGINT)
+                 AS n_quality,
+               CAST(coalesce(SUM(CASE WHEN e.doc_id IS NOT NULL
+                                      THEN 1 END), 0) AS BIGINT)
+                 AS n_exact,
+               CAST(coalesce(SUM(CASE WHEN f.doc_id IS NOT NULL
+                                      THEN 1 END), 0) AS BIGINT)
+                 AS n_kept,
+               CAST(coalesce(SUM(CASE WHEN f.doc_id IS NOT NULL
+                                      THEN f.n_tok END), 0) AS BIGINT)
+                 AS tokens_kept
+        FROM base b
+        LEFT JOIN qual q ON q.doc_id = b.doc_id
+        LEFT JOIN exact e ON e.doc_id = b.doc_id
+        LEFT JOIN final f ON f.doc_id = b.doc_id
+        GROUP BY b.source
+    """
+
+
+def _gram_sql(expr: str) -> str:
+    from pim_orc_spark.functions.textfns import char_ngrams_sql
+    from pim_orc_spark.operators.dedup import NGRAM_N
+
+    return char_ngrams_sql(expr, NGRAM_N)
+
+
+ORACLES = {
+    "pipeline_curate": _curate_sql(),
+}
