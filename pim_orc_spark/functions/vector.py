@@ -15,9 +15,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def as_double_vec(col: Column | str) -> Column:
+def as_double_vec(col: Column | str, expected_dim: int | None = None) -> Column:
+    """Cast an embedding column to array<double>; with ``expected_dim``,
+    raise per-row if the stored dimension disagrees. The unrolled
+    kernels below bake the dimension into codegen — on a regenerated
+    fixture with a different dim they would silently truncate the dot
+    product, so consumers pass the dim they are about to unroll and get
+    a loud SparkRuntimeException instead of wrong similarities (one int
+    compare per row; noise next to the 64-term kernels)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("array<double>")
+    v = c.cast("array<double>")
+    if expected_dim is None:
+        return v
+    return F.when(F.size(v) == expected_dim, v).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"embedding dim %s != expected {expected_dim}", F.size(v)
+            )
+        )
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -557,7 +557,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread BEFORE unit_vec so normalization parallelizes (the fixture
     # parquet is one split; after the later repartition it's too late)
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", as_double_vec("embedding").alias("v")).select(
+    v = e.select("vec_id", as_double_vec("embedding", EMB_DIM).alias("v")).select(
         "vec_id", unit_vec(F.col("v"), EMB_DIM).alias("u")
     )
     # Repartition the probe side: the fixture parquet is one split, and
@@ -592,7 +592,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
     v = (
-        e.select("vec_id", as_double_vec("embedding").alias("v0"))
+        e.select("vec_id", as_double_vec("embedding", EMB_DIM).alias("v0"))
         .withColumn("bucket", _bucket_col(F.col("v0"), planes))
         .select("vec_id", unit_vec(F.col("v0"), EMB_DIM).alias("u"), "bucket")
     )

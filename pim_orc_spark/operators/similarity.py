@@ -37,7 +37,7 @@ def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes (computed after a later repartition it would run on
     one core)."""
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    return e.select("vec_id", as_double_vec("embedding").alias("v0")).select(
+    return e.select("vec_id", as_double_vec("embedding", DIM).alias("v0")).select(
         "vec_id", unit_vec(F.col("v0"), DIM).alias("v")
     )
 
@@ -114,7 +114,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
     v = (
-        e.select("vec_id", as_double_vec("embedding").alias("v0"))
+        e.select("vec_id", as_double_vec("embedding", DIM).alias("v0"))
         .withColumn("bucket", _bucket_col(F.col("v0"), planes))
         .select("vec_id", unit_vec(F.col("v0"), DIM).alias("v"), "bucket")
     )
@@ -164,7 +164,7 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
     qrows = (
         v.filter(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
@@ -270,7 +270,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", as_double_vec("embedding").alias("v"))
+    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
 
     stride = _ivf_stride(v.count())
     crows = (
