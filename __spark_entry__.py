@@ -80,6 +80,12 @@ PYTEST_ONLY = {
     # admits stream_enriched_totals (stream-static broadcast join, a
     # genuinely new streaming shape):
     "stream_sliding_counts",
+    # windowless grouped-agg streaming state stays driver-attested by
+    # stream_enriched_totals (identical complete-mode agg after its
+    # broadcast join); the freed slot admits stream_click_attribution
+    # (stream-stream join — state on BOTH sides, a codepath nothing
+    # else touches):
+    "stream_grouped_totals",
     # r3 swaps: two entries whose operator family stays driver-attested
     # by a surviving twin made room for text_ngram_topk and
     # text_contamination (new first-class pipeline ops):

@@ -343,6 +343,66 @@ def stream_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "stream_enriched_totals", "complete")
 
 
+ATTRIBUTION_HORIZON = "30 minutes"  # purchase counts if ≤ 30 min after click
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the one streaming shape with state on
+    BOTH sides: every click within ``ATTRIBUTION_HORIZON`` of a same-user
+    purchase, the canonical funnel-attribution query. Joined in append
+    mode on user_id plus an event-time range condition.
+
+    Scale shape: both sides carry ``withWatermark`` and the join
+    condition bounds purchase time to [click_ts, click_ts + horizon], so
+    Spark derives state-eviction watermarks for each side — a click is
+    dropped from state once no future purchase could match it, and vice
+    versa; state held at any instant is one horizon's worth of events
+    per side, which runs forever at any volume. On the finite fixture
+    the whole file is one micro-batch, so the append-mode output equals
+    the batch range join (the oracle). The result rows are exact
+    microsecond gaps — integers in both engines.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("usecs_to_purchase"),
+    )
+    return run_to_completion(joined, "stream_click_attribution", "append")
+
+
 QUERIES = {
     "stream_grouped_totals": stream_grouped_totals,
     "stream_windowed_counts": stream_windowed_counts,
@@ -351,6 +411,7 @@ QUERIES = {
     "stream_dedup_keys": stream_dedup_keys,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "stream_enriched_totals": stream_enriched_totals,
+    "stream_click_attribution": stream_click_attribution,
 }
 
 ORACLES = {
@@ -422,5 +483,14 @@ ORACLES = {
         JOIN customer c ON e.user_id = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n_name
+    """,
+    "stream_click_attribution": f"""
+        SELECT a.user_id, a.event_id AS click_id,
+               b.event_id AS purchase_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS usecs_to_purchase
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+          AND b.ts >= a.ts
+          AND b.ts <= a.ts + INTERVAL {ATTRIBUTION_HORIZON}
     """,
 }
