@@ -67,6 +67,7 @@ def _modules():
 #   csv/json_roundtrip_sum — roundtrip shape attested by orc_roundtrip_sum
 PYTEST_ONLY = {
     "q25_percentiles",  # newest; first to promote when the sweep budget grows
+    "q26_pivot",  # pinned-value pivot = sum(CASE) agg, attested by q04/q14
     # chunking/packing/curation (new r3 pipeline ops): pytest-
     # differential only — the sweep already sits exactly at its
     # ~50-entry budget and every driver slot holds a distinct codepath;

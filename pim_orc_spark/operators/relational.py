@@ -576,6 +576,33 @@ def q25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_STATUSES = ("F", "O", "P")  # o_orderstatus domain, pinned for both engines
+
+
+def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — wide per-status revenue columns per order priority, via
+    ``groupBy().pivot(values).agg()``. The pivot value list is PINNED
+    (not discovered) so the output schema is static in both engines and
+    the plan stays a single two-phase HashAggregate — Spark rewrites a
+    pinned pivot into one aggregate with ``sum(CASE WHEN ...)`` columns,
+    no extra pass to collect distinct pivot values and no shuffle beyond
+    the group-by. Sums are exact-decimal (functions/numeric) so the
+    wide cells hash-match DuckDB's CASE aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.col(s).cast("double").alias(f"{s.lower()}_total")
+            for s in PIVOT_STATUSES
+        ],
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q02_null_skip_sum": q02_null_skip_sum,
@@ -602,6 +629,7 @@ QUERIES = {
     "q23_range_join": q23_range_join,
     "q24_approx_distinct": q24_approx_distinct,
     "q25_percentiles": q25_percentiles,
+    "q26_pivot": q26_pivot,
 }
 
 
@@ -826,5 +854,20 @@ ORACLES = {
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # the ANSI rewrite of the pinned pivot — identical to what Spark
+    # plans internally for pivot() with explicit values
+    "q26_pivot": """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS f_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS o_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS p_total
+    FROM orders GROUP BY o_orderpriority
     """,
 }
