@@ -20,3 +20,17 @@ def test_curate_funnel_is_monotone(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_raw >= r.n_quality >= r.n_exact >= r.n_kept >= 0
+
+
+def test_curate_has_no_allpairs_join(spark, sf_dir):
+    """The composed funnel must stay on the bucketed near-dedup plan:
+    no cartesian / broadcast-nested-loop join anywhere in the physical
+    plan, or the pipeline dies at 100 TB."""
+    plan = (
+        pipeline.pipeline_curate(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

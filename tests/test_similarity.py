@@ -39,3 +39,21 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh) > 0
     for r in lsh:
         assert r.cos_sim <= exact[(r.query_id, 1)] + 1e-9
+
+
+def test_scale_paths_have_no_allpairs_join(spark, sf_dir):
+    """The vectorized exact top-k and IVF plans are the 100 TB ANN
+    paths: neither may contain a cartesian or broadcast-nested-loop
+    join (those are reserved for the labeled window-ranked baseline,
+    which IS allowed to cross-join its bounded query set)."""
+    from pim_orc_spark.operators import similarity
+
+    for fn in (
+        similarity.ann_cosine_topk_vectorized,
+        similarity.ann_ivf_topk,
+    ):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
