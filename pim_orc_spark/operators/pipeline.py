@@ -40,13 +40,19 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_kept (+ tokens_kept) after the three filtering stages."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = tokens("text")
+    # localCheckpoint: the funnel report consumes base through four
+    # derivation chains (raw/quality/exact/final stage counts) and the
+    # near-dup stage shingles the exact survivors — without a
+    # materialization the tokenize+fingerprint scan re-runs once per
+    # consumer. One row per doc, the same executor-local trade as the
+    # dedup module's gram checkpoint.
     base = d.select(
         "doc_id",
         "source",
         "text",
         F.size(tok).alias("n_tok"),
         F.md5(F.concat_ws(" ", tok)).alias("fp"),
-    )
+    ).localCheckpoint()
     qual = base.filter(F.col("n_tok") >= QUALITY_MIN_TOKENS)
     # exact dedup: global keep-min per fingerprint (a duplicate pair may
     # span sources; the survivor is the corpus-wide smallest doc_id)
