@@ -68,6 +68,9 @@ def _modules():
 PYTEST_ONLY = {
     "q25_percentiles",  # newest; first to promote when the sweep budget grows
     "q26_pivot",  # pinned-value pivot = sum(CASE) agg, attested by q04/q14
+    # resize shares the binary->mapInPandas plumbing multimodal_features
+    # and _frame_sample already driver-attest:
+    "multimodal_resize",
     # chunking/packing/curation (new r3 pipeline ops): pytest-
     # differential only — the sweep already sits exactly at its
     # ~50-entry budget and every driver slot holds a distinct codepath;

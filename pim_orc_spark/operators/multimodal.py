@@ -167,9 +167,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_sample_frames, FRAME_SCHEMA)
 
 
+RESIZE_FACTOR = 4  # keep every 4th byte — the decimation stand-in
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def _resize_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the resize stage: decode → transform →
+    re-encode, stood in by byte decimation (every RESIZE_FACTOR-th
+    byte). A real deployment swaps the body for decode_image →
+    interpolate → encode; the batch shape, schema, and map-only plan
+    are exactly this."""
+    for pdf in batches:
+        ids, orig, resized, checks = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            small = data[::RESIZE_FACTOR]
+            _, c = fake_decode(small)
+            ids.append(int(doc_id))
+            orig.append(len(data))
+            resized.append(len(small))
+            checks.append(c)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "orig_bytes": pd.Series(orig, dtype="int64"),
+                "resized_bytes": pd.Series(resized, dtype="int64"),
+                "checksum": pd.Series(checks, dtype="int64"),
+            }
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline over the opaque payload column — the third stage
+    of the brief's decode/feature/resize/frame-sample set. Map-only like
+    its siblings: FileScan → Project(encode) → ArrowEvalPython, linear
+    at any corpus size, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d)
+    return payloads.mapInPandas(_resize_payloads, RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 # Fixture text is pure ASCII, so UTF-8 bytes == character codes and the
@@ -213,5 +264,27 @@ ORACLES = {
                    (a, b) -> (a * 31 + b) % {CHECKSUM_MOD})
                END AS BIGINT) AS checksum
         FROM chunks
+    """,
+    # Decimated payload = characters at positions 1, 1+F, 1+2F, ...
+    # (ASCII ⇒ byte positions); checksum is the same rolling hash over
+    # the kept codes.
+    "multimodal_resize": f"""
+        WITH kept AS (
+          SELECT doc_id,
+                 strlen(text) AS orig_bytes,
+                 list_transform(
+                   range(1, strlen(text) + 1, {RESIZE_FACTOR}),
+                   i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(orig_bytes AS BIGINT) AS orig_bytes,
+               CAST(len(codes) AS BIGINT) AS resized_bytes,
+               CAST(CASE WHEN len(codes) = 0 THEN 0 ELSE
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), codes),
+                   (a, b) -> (a * 31 + b) % {CHECKSUM_MOD})
+               END AS BIGINT) AS checksum
+        FROM kept
     """,
 }
