@@ -149,3 +149,64 @@ def test_salted_band_candidates_bounds_bucket(spark):
     assert len(left_groups) == salt  # hot bucket actually split 8 ways
     # binomial(240, 1/8) stays well under half the bucket
     assert max_group < n_hot // 2, max_group
+
+
+def test_star_contraction_random_graphs_match_union_find(spark):
+    """Property: on arbitrary random graphs, star contraction labels
+    every node with its component's minimum — checked against a pure
+    Python union-find. Covers graph shapes (self-loops, duplicate and
+    reversed edges, disjoint components, dense blobs) the fixture
+    corpus never produces."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        # expected: node -> component min, only for nodes with a
+        # non-self edge (star contraction drops isolated self-loops)
+        nodes = {n for a, b in edges if a != b for n in (a, b)}
+        expected = {
+            n: min(m for m in parent if find(m) == find(n)) for n in nodes
+        }
+
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "src long, dst long"
+        )
+        stars, _rounds = dedup.star_contraction_components(df)
+        got = {r["src"]: r["dst"] for r in stars.collect()}
+        # every non-isolated node labeled with its component minimum
+        # (component minima may appear as src->itself or be implicit)
+        for n in nodes:
+            assert got.get(n, n) == expected[n], (n, got, expected)
+
+    check()
