@@ -77,6 +77,7 @@ PYTEST_ONLY = {
     # next to promote after q25.
     "text_chunk",
     "text_pack",
+    "text_sentences",  # UDTF surface; no SQL oracle by nature (rows-only if exported)
     "pipeline_curate",
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by

@@ -345,6 +345,68 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABBREVIATIONS = ("dr", "mr", "mrs", "e.g", "i.e", "etc")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Imperative sentence splitter: break after [.!?] + space, except
+    when the period terminates a known abbreviation — the lookbehind
+    state that makes this a poor fit for a single regex and a natural
+    fit for a UDTF. Pure function shared by the Spark UDTF and the
+    test's reference implementation."""
+    out, start, i, n = [], 0, 0, len(text)
+    while i < n:
+        if text[i] in ".!?" and i + 1 < n and text[i + 1] == " ":
+            word = text[start:i].rsplit(" ", 1)[-1].lower()
+            if not (text[i] == "." and word in ABBREVIATIONS):
+                seg = text[start : i + 1].strip()
+                if seg:
+                    out.append(seg)
+                start = i + 1
+        i += 1
+    tail = text[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a PYTHON UDTF — the table-function
+    corner of the §2.8 UDx matrix (grouped-agg pandas UDF, mapInPandas,
+    applyInPandasWithState cover the others). One input row fans out to
+    one row per sentence through ``lateralJoin``; the splitter keeps
+    imperative abbreviation state a single regex can't.
+
+    Scale: a UDTF evaluates per-row in Python — the slow path by this
+    repo's own rules — so it is the right tool only when the fan-out
+    logic is genuinely imperative (here) or needs per-call state;
+    bulk-vectorizable fan-out belongs in mapInPandas (see
+    multimodal_frame_sample) or Catalyst posexplode (text_chunk). No
+    SQL oracle by nature (the abbreviation lookbehind is not
+    SQL-expressible); the pytest compares against the shared pure-
+    Python reference row-for-row, and the driver runs a rows-only
+    check."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(split_sentences(text)):
+                yield i, s, len(s)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d.select("doc_id", "text").createOrReplaceTempView("docs_for_sentences")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM docs_for_sentences d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -356,6 +418,10 @@ QUERIES = {
     "text_contamination": text_contamination,
     "text_chunk": text_chunk,
     "text_pack": text_pack,
+    # no ORACLES entry (abbreviation lookbehind is not SQL-expressible):
+    # tests compare row-for-row against the shared split_sentences
+    # reference; a driver export would run as a rows-only check
+    "text_sentences": text_sentences,
 }
 
 

@@ -8,6 +8,44 @@ from pim_orc_spark.oracle import compare
 
 @pytest.mark.parametrize("name", sorted(text.QUERIES))
 def test_text_matches_oracle(spark, sf_dir, name):
+    if name not in text.ORACLES:
+        # non-SQL-expressible (text_sentences UDTF): covered by its own
+        # reference-comparison test below
+        pytest.skip(f"{name} has no SQL oracle by nature")
     df = text.QUERIES[name](spark, sf_dir)
     ok, msg = compare(df, text.ORACLES[name], sf_dir)
     assert ok, f"{name}: {msg}"
+
+
+def test_text_sentences_matches_reference(spark, sf_dir):
+    """The UDTF output must equal the shared pure-Python splitter
+    row-for-row on the fixture corpus (no SQL oracle: the abbreviation
+    lookbehind is not SQL-expressible)."""
+    got = {}
+    for r in text.text_sentences(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence, r.n_chars))
+    from pim_orc_spark.catalog import load_table
+
+    for d in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        exp = [(i, s, len(s)) for i, s in enumerate(text.split_sentences(d.text))]
+        assert sorted(got.get(d.doc_id, [])) == exp, d.doc_id
+
+
+def test_split_sentences_abbreviation_state():
+    """The imperative lookbehind that justifies the UDTF: periods after
+    known abbreviations must not split, sentence punctuation must."""
+    cases = {
+        "Dr. Smith arrived. He sat down.": [
+            "Dr. Smith arrived.",
+            "He sat down.",
+        ],
+        "Use tools e.g. hammers. Then stop!  Next case": [
+            "Use tools e.g. hammers.",
+            "Then stop!",
+            "Next case",
+        ],
+        "No punctuation here": ["No punctuation here"],
+        "": [],
+    }
+    for text_in, expected in cases.items():
+        assert text.split_sentences(text_in) == expected, text_in
