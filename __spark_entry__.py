@@ -78,6 +78,7 @@ PYTEST_ONLY = {
     "text_chunk",
     "text_pack",
     "text_sentences",  # UDTF surface; no SQL oracle by nature (rows-only if exported)
+    "text_zscore",  # grouped-map applyInPandas surface; window-SQL twin oracle
     "pipeline_curate",
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by

@@ -407,6 +407,42 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score of document length via GROUPED-MAP
+    ``applyInPandas`` — the remaining corner of the §2.8 UDx matrix
+    (grouped-agg pandas UDF, mapInPandas, applyInPandasWithState, and
+    the UDTF cover the others). The whole group arrives as one pandas
+    frame, is normalized vectorized, and returns row-per-row — the
+    template for per-group logic that needs the full group (fitting a
+    per-key model, rank-based transforms).
+
+    This particular statistic IS window-expressible, which is exactly
+    what makes it oracle-checkable (the SQL form is the oracle); a
+    production plan would prefer the Catalyst window for it and reserve
+    grouped-map for group-wise logic SQL can't express. Scale bound:
+    one group must fit an Arrow batch — the same contract as
+    ``text_median_len``, with the same two-pass fallback for heavy
+    groups. Single-doc / zero-variance groups yield NULL in both
+    engines (never NaN, which would hash-diverge)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].astype("float64")
+        sd = v.std()  # ddof=1 == stddev_samp
+        if pd.isna(sd) or sd == 0.0:
+            z = pd.Series([float("nan")] * len(v), dtype="float64")
+            z[:] = None
+        else:
+            z = ((v - v.mean()) / sd).round(6)
+        return pdf.assign(z=z)
+
+    return d.groupBy("source").applyInPandas(
+        normalize, "doc_id long, source string, n_chars long, z double"
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -422,6 +458,7 @@ QUERIES = {
     # tests compare row-for-row against the shared split_sentences
     # reference; a driver export would run as a rows-only check
     "text_sentences": text_sentences,
+    "text_zscore": text_zscore,
 }
 
 
@@ -555,6 +592,15 @@ ORACLES = {
                MIN(doc_id) AS first_doc_id,
                MAX(doc_id) AS last_doc_id
         FROM c GROUP BY source, pack_id
+    """,
+    "text_zscore": """
+        SELECT doc_id, source, n_chars,
+               CASE WHEN stddev_samp(n_chars) OVER w IS NULL
+                      OR stddev_samp(n_chars) OVER w = 0 THEN NULL
+                    ELSE round((n_chars - avg(n_chars) OVER w)
+                               / stddev_samp(n_chars) OVER w, 6)
+               END AS z
+        FROM documents WINDOW w AS (PARTITION BY source)
     """,
     "text_contamination": f"""
         WITH tri AS (
