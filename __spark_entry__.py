@@ -68,6 +68,7 @@ def _modules():
 PYTEST_ONLY = {
     "q25_percentiles",  # newest; first to promote when the sweep budget grows
     "q26_pivot",  # pinned-value pivot = sum(CASE) agg, attested by q04/q14
+    "q27_rollup_cascade",  # cascaded mergeable aggs; level-1 agg attested by q17
     # resize shares the binary->mapInPandas plumbing multimodal_features
     # and _frame_sample already driver-attest:
     "multimodal_resize",

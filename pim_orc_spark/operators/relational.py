@@ -576,6 +576,44 @@ def q25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup (hypertable continuous-aggregate
+    shape): 10-minute buckets → hourly → daily, each level aggregated
+    FROM THE PREVIOUS LEVEL, never from raw. count and decimal SUM are
+    mergeable (associative), so the cascade is exact — the decimal →
+    double presentation cast happens only at the final level — and the
+    oracle (the same daily result computed directly from raw events)
+    proves it.
+
+    Why it matters at 100 TB: a deployment materializes each level once
+    and answers coarser queries from finer aggregates; re-aggregating a
+    day from 144 ten-minute rows costs ~nothing next to rescanning a
+    day of raw events. The plan is three cascaded partial/final
+    HashAggregates where levels 2 and 3 see only bucket-cardinality
+    rows (fan-in 6 and 24), so everything after level 1 is
+    metadata-sized regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    b10 = e.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    hourly = b10.groupBy(
+        F.date_trunc("hour", F.col("w.start")).alias("h"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    daily = hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("h")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+    )
+    return daily
+
+
 PIVOT_STATUSES = ("F", "O", "P")  # o_orderstatus domain, pinned for both engines
 
 
@@ -630,6 +668,7 @@ QUERIES = {
     "q24_approx_distinct": q24_approx_distinct,
     "q25_percentiles": q25_percentiles,
     "q26_pivot": q26_pivot,
+    "q27_rollup_cascade": q27_rollup_cascade,
 }
 
 
@@ -869,5 +908,14 @@ ORACLES = {
                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS p_total
     FROM orders GROUP BY o_orderpriority
+    """,
+    # the oracle computes the DAILY result directly from raw events —
+    # the cascade (10min -> hour -> day) must be indistinguishable
+    "q27_rollup_cascade": """
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
     """,
 }
