@@ -27,10 +27,20 @@ def as_double_vec(col: Column | str, expected_dim: int | None = None) -> Column:
     v = c.cast("array<double>")
     if expected_dim is None:
         return v
-    return F.when(F.size(v) == expected_dim, v).otherwise(
-        F.raise_error(
-            F.format_string(
-                f"embedding dim %s != expected {expected_dim}", F.size(v)
+    # NULL embeddings pass through as NULL (dropped by downstream math,
+    # the pre-guard behavior) — only a NON-null vector of the wrong
+    # length is a dim-drift error. Without the isNull arm the when()
+    # condition evaluates NULL, the raise fires, and the message reads
+    # as dim drift for what is actually a null row.
+    return (
+        F.when(v.isNull(), v)
+        .when(F.size(v) == expected_dim, v)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"embedding dim %s != expected {expected_dim}",
+                    F.size(v),
+                )
             )
         )
     )

@@ -177,6 +177,7 @@ def _salted_band_candidates(
     salt: int = LSH_SALT,
     hot_threshold: int = LSH_HOT_BUCKET,
     payload: tuple[str, ...] = (),
+    n_bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Self-join ``banded`` (doc_id, band, key) on (band, key) with hot
     band keys salted, yielding candidate pairs (doc_a, doc_b), doc_a <
@@ -234,7 +235,9 @@ def _salted_band_candidates(
         # exists(slice(zip_with(...))) form allocates a boolean array
         # per evaluated pair — measured meaningfully slower across the
         # ~20M join outputs a high-background-similarity corpus emits.)
-        n_bands = LSH_BANDS
+        # ``n_bands`` must cover every band index in ``banded``: a band
+        # beyond the CASE would skip suppression and silently re-emit
+        # its pairs, so callers with a different banding pass theirs.
         cum = None
         branch = F.when(F.lit(False), F.lit(True))  # seed; never matches
         for t in range(1, n_bands):
@@ -398,14 +401,16 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
-        cands = _salted_band_candidates(banded, payload=("mask", "sz"))
+        cands = _salted_band_candidates(
+            banded, payload=("mask", "sz"), n_bands=LSH_BANDS
+        )
         jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
     else:
         banded = base.select(
             "doc_id", "keys", F.posexplode("keys").alias("band", "key")
         ).localCheckpoint()
         cands = (
-            _salted_band_candidates(banded)
+            _salted_band_candidates(banded, n_bands=LSH_BANDS)
             .join(
                 enc.select(
                     F.col("doc_id").alias("doc_a"),
@@ -773,11 +778,15 @@ QUERIES = {
 }
 
 
-def _jaccard_pairs_sql() -> str:
+def _jaccard_pairs_sql(source: str = "documents") -> str:
+    """Exact char-3-gram Jaccard >= t pair SQL over ``source`` (a table
+    or CTE name with doc_id + text). Single authority for the pair
+    contract — the curation pipeline oracle reuses it against its
+    survivor CTE, so a threshold/rounding change edits ONE place."""
     grams = char_ngrams_sql("text", NGRAM_N)
     return f"""
         WITH g AS (
-          SELECT doc_id, {grams} AS grams FROM documents
+          SELECT doc_id, {grams} AS grams FROM {source}
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pim_orc_spark.catalog import load_table
 from pim_orc_spark.functions.textfns import tokens, tokens_sql
-from pim_orc_spark.operators.dedup import JACCARD_T, minhash_pairs
+from pim_orc_spark.operators.dedup import minhash_pairs
 from pim_orc_spark.plans import spread
 
 QUALITY_MIN_TOKENS = 20  # quality gate: drop fragments under 20 tokens
@@ -120,18 +120,8 @@ def _curate_sql() -> str:
           SELECT q.* FROM qual q JOIN keep k
           ON q.fp = k.fp AND q.doc_id = k.doc_id
         ),
-        g AS (
-          SELECT doc_id,
-                 {_gram_sql('text')} AS grams
-          FROM exact
-        ),
         pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM g a JOIN g b ON a.doc_id < b.doc_id
-          WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                      / (len(a.grams) + len(b.grams)
-                         - len(list_intersect(a.grams, b.grams))), 6)
-                >= {JACCARD_T}
+          {_pairs_sql()}
         ),
         final AS (
           SELECT * FROM exact
@@ -159,11 +149,14 @@ def _curate_sql() -> str:
     """
 
 
-def _gram_sql(expr: str) -> str:
-    from pim_orc_spark.functions.textfns import char_ngrams_sql
-    from pim_orc_spark.operators.dedup import NGRAM_N
+def _pairs_sql() -> str:
+    """The near-dup pair contract, delegated to the single authority
+    (``dedup._jaccard_pairs_sql``) against the survivor CTE — a
+    threshold/rounding/normalization change edits one place and both
+    oracles follow."""
+    from pim_orc_spark.operators.dedup import _jaccard_pairs_sql
 
-    return char_ngrams_sql(expr, NGRAM_N)
+    return _jaccard_pairs_sql(source="exact")
 
 
 ORACLES = {
