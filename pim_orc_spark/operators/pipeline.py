@@ -97,12 +97,10 @@ QUERIES = {
 
 def _curate_sql() -> str:
     tok = tokens_sql("text")
-    # the near-dup pair CTE: _jaccard_pairs_sql() body rewritten against
-    # the survivor CTE instead of the raw table (LSH output equals the
-    # exact pair set at J ≥ 0.8 — dedup module docstring)
+    # the near-dup pairs CTE delegates to _jaccard_pairs_sql("exact")
+    # (LSH output equals the exact pair set at J ≥ 0.8 — dedup module
+    # docstring), so the pair contract lives in one place
     return f"""
-        -- near-dup CTE mirrors _jaccard_pairs_sql() against the
-        -- survivor set instead of the raw table
         WITH base AS (
           SELECT doc_id, source, text,
                  len({tok}) AS n_tok,
