@@ -86,17 +86,12 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grams_of(spark, load_table(spark, sf_dir, "documents"))
 
 
-def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
-    """Dictionary-encode each doc's gram set as a fixed-width bitset
-    (array of longs), so set intersection is AND+popcount instead of
-    string-array intersect (~100× less work per pair).
-
-    Returns ``(enc, nb)``: ``enc`` has (doc_id, mask array<long>, sz),
-    ``nb`` is the number of 64-bit words. The dictionary is a bounded
-    distinct (char-3-gram alphabet ≲ 47k entries ⇒ ≤ ~740 words) built
-    once and broadcast; the single-partition window that assigns ids is
-    over that bounded dictionary, never over documents.
-    """
+def _gram_dictionary(g: DataFrame) -> tuple[DataFrame, int]:
+    """Global gram → bit-index dictionary: a bounded distinct (char-
+    3-gram alphabet ≲ 47k entries) with ids assigned by a window over
+    that bounded dictionary, never over documents. Returns the cached
+    dictionary and its cardinality (the count is a metadata-scale
+    action over ≲47k rows)."""
     grams_dict = (
         g.select(explode_nonempty("grams").alias("gram"))
         .distinct()
@@ -106,7 +101,28 @@ def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
         )
         .cache()  # bounded (≲47k rows); reused by the encode join below
     )
-    n_grams = grams_dict.count()  # dictionary cardinality: metadata-scale
+    return grams_dict, grams_dict.count()
+
+
+def _mask_expr(nb: int) -> str:
+    """SQL fragment folding an ``idxs`` int-array column into a fixed-
+    width ``nb``-word bitset (array of longs)."""
+    return (
+        f"transform(sequence(0, {nb - 1}), w -> "
+        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
+        "(a, i) -> a | shiftleft(1L, i % 64)))"
+    )
+
+
+def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
+    """Dictionary-encode each doc's gram set as a fixed-width bitset
+    (array of longs), so set intersection is AND+popcount instead of
+    string-array intersect (~100× less work per pair).
+
+    Returns ``(enc, nb)``: ``enc`` has (doc_id, mask array<long>, sz),
+    ``nb`` is the number of 64-bit words.
+    """
+    grams_dict, n_grams = _gram_dictionary(g)
     nb = (n_grams + 63) // 64
 
     doc_idx = (
@@ -115,13 +131,8 @@ def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("idxs"))
     )
-    mask_expr = (
-        f"transform(sequence(0, {nb - 1}), w -> "
-        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
-        "(a, i) -> a | shiftleft(1L, i % 64)))"
-    )
     enc = doc_idx.selectExpr(
-        "doc_id", f"{mask_expr} AS mask", "size(idxs) AS sz"
+        "doc_id", f"{_mask_expr(nb)} AS mask", "size(idxs) AS sz"
     )
     # Both consumers attach masks to BOTH pair sides; without a
     # materialization Spark re-runs the whole explode→join→collect_set
@@ -224,6 +235,16 @@ def _salted_band_candidates(
     The same runtime-statistics-then-replan move AQE makes, done
     explicitly because the salt must be woven into the join key; the
     pair set is identical on both branches.
+
+    LAZINESS CONTRACT: that hot-set probe is an EAGER Spark action at
+    plan-build time — constructing the returned DataFrame runs one
+    metadata-sized job over ``banded`` before the caller ever executes
+    it. This is deliberate (the salt must be woven into the join key,
+    so the branch cannot be deferred to execution the way AQE defers
+    its replans) and cheap ONLY when ``banded`` is derived from a
+    materialized (checkpointed/cached) input, as every in-repo caller
+    guarantees; handing in an unmaterialized expensive lineage would
+    run that lineage once extra here.
     """
     with_keys = "keys" in banded.columns
     pair_filter = F.col("doc_a") < F.col("doc_b")
@@ -245,7 +266,20 @@ def _salted_band_candidates(
             cum = term if cum is None else cum | term
             branch = branch.when(F.col("band") == t, cum)
         earlier_hit = branch.otherwise(F.lit(False))  # band = 0
-        pair_filter = pair_filter & ~earlier_hit
+        # Runtime guard for the n_bands/banded coupling: a keys array
+        # wider than the CASE covers would skip suppression for its
+        # uncovered bands and silently duplicate pairs — fail loudly
+        # instead. assert_true returns NULL (isNull ⇒ true) when the
+        # invariant holds and raises otherwise; one array-size compare
+        # per joined row, negligible next to the band-key equality.
+        keys_covered = F.assert_true(
+            F.size(F.col("ka")) <= F.lit(n_bands),
+            F.lit(
+                "banded 'keys' has more bands than n_bands covers — "
+                "first-collision suppression would emit duplicates"
+            ),
+        ).isNull()
+        pair_filter = pair_filter & keys_covered & ~earlier_hit
 
     def side(alias: str, key_alias: str, suffix: str):
         cols = [F.col("doc_id").alias(alias), "band", "key"]
@@ -299,9 +333,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact Jaccard — the 100 TB plan.
 
     Stages (shuffles marked):
-      1. shingle → explode → hash each gram once → groupBy doc with 128
-         partially-aggregable min()s: the shuffle carries one 128-column
-         partial row per doc per partition, not |grams| rows.
+      1. shingle → explode → hash each gram once → broadcast-join the
+         bounded gram dictionary → ONE groupBy per doc computing the
+         128 partially-aggregable min()s AND the verification bitset
+         together: the shuffle carries one 128-column partial row per
+         doc per partition, not |grams| rows, and the encode costs no
+         second corpus pass.
       2. posexplode band keys → salted self-join on (band, key)
          (``_salted_band_candidates``): shuffles O(docs × bands) small
          rows, with hot buckets split across salt sub-keys so no
@@ -335,28 +372,52 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     on ANY (doc_id, text) DataFrame — e.g. the survivor set mid-way
     through a curation pipeline (operators/pipeline.py), not just the
     fixture table. Semantics and stages: see ``dedup_minhash_lsh``."""
-    # Shingling costs ~100× a scan per byte and THREE consumers explode
-    # `g` (the signature hash pass, the bitset dictionary, the bitset
-    # encode join) — materialize it once. Executor-local storage linear
-    # in the corpus, the same trade as the `banded` checkpoint below.
+    # Shingling costs ~100× a scan per byte and TWO consumers explode
+    # `g` (the dictionary distinct and the fused signature+encode pass)
+    # — materialize it once. Executor-local storage linear in the
+    # corpus, the standard trade for a multiply-consumed intermediate.
     g = _grams_of(spark, docs).localCheckpoint()
     params = minhash_params(MINHASH_K)
+    grams_dict, n_grams = _gram_dictionary(g)
+    nb = (n_grams + 63) // 64
 
-    # Explode → hash each gram exactly ONCE → groupBy doc with 128
-    # min-aggregates of cheap affine permutations. (The array-fold
-    # formulation looks shuffle-free but Catalyst's CollapseProject
-    # inlines the hash array into all 128 signature expressions,
-    # recomputing every gram hash 128× — measured 60× slower. min() is
-    # partially aggregable, so this shuffles only one 128-column
-    # partial row per doc per partition.)
-    gram_hashes = g.select(
-        "doc_id", explode_nonempty("grams").alias("gram")
-    ).select("doc_id", poly_hash("gram").alias("h"))
+    # FUSED signature + bitset-encode pass: explode → hash each gram
+    # exactly ONCE → broadcast-join the bounded dictionary → ONE groupBy
+    # per doc computing the 128 min-aggregates AND the bitset index set
+    # together. (Round 3 ran two corpus-sized groupBys — one for
+    # signatures, one for the encode — plus a doc-keyed join to zip them
+    # back; the fused pass halves the per-doc shuffles and deletes that
+    # join. The array-fold formulation of the signatures looks
+    # shuffle-free but Catalyst's CollapseProject inlines the hash array
+    # into all 128 signature expressions, recomputing every gram hash
+    # 128× — measured 60× slower. min() is partially aggregable, so this
+    # shuffles only one 128-column partial row per doc per partition.)
+    ex = (
+        g.select("doc_id", explode_nonempty("grams").alias("gram"))
+        .join(F.broadcast(grams_dict), "gram")
+        .select("doc_id", poly_hash("gram").alias("h"), "idx")
+    )
     sig_cols = [
         F.min((F.col("h") * a + b) % MOD).alias(f"s{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sigs = gram_hashes.groupBy("doc_id").agg(*sig_cols)
+    # Bitset words as bit_or aggregates — NOT collect_set + a mask fold:
+    # collect_set is a TypedImperativeAggregate, and one such column
+    # demotes the ENTIRE 128-min aggregate from whole-stage-codegen
+    # HashAggregateExec to ObjectHashAggregate (measured ~1.7× slower
+    # end-to-end). bit_or is declarative, so the fused agg keeps
+    # codegen. Duplicate grams per doc OR in the same bit — idempotent —
+    # and the set size falls out as Σ popcount(word) afterwards.
+    word_cols = [
+        F.bit_or(
+            F.expr(
+                f"CASE WHEN idx DIV 64 = {w} "
+                "THEN shiftleft(1L, idx % 64) ELSE 0L END"
+            )
+        ).alias(f"m{w}")
+        for w in range(nb)
+    ]
+    agg = ex.groupBy("doc_id").agg(*sig_cols, *word_cols)
 
     # Band key = xxhash64 of the band's 4 signature values, not their
     # concatenated string: the self-join shuffles 8-byte longs instead
@@ -371,48 +432,56 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
             for band in range(LSH_BANDS)
         ]
     )
-    # localCheckpoint: the salting join consumes `banded` THREE times
-    # (bucket-size count, left probe, right build), and each consumer
-    # would otherwise recompute the whole signature pipeline — the
-    # single most expensive stage (measured ~2/3 of end-to-end at
-    # sf0.1). The materialized set is docs × 32 skinny rows (plus one
-    # 32-key array per row powering the first-collision filter):
-    # executor-local storage linear in the corpus, the standard trade
-    # for a multiply-consumed iterative intermediate.
+    # localCheckpoint: the salting join consumes the banded rows THREE
+    # times (bucket-size count, left probe, right build), and each
+    # consumer would otherwise recompute the whole signature pipeline —
+    # the single most expensive stage. Materializing ONE narrow row per
+    # doc (keys + mask + sz) and re-deriving the ×32 posexplode per
+    # consumer keeps the stored footprint 32× smaller than round 3's
+    # banded checkpoint (the explode of a materialized array is free
+    # next to a band join): less unified-memory pressure is exactly
+    # what a long bench run needs to avoid shuffle spills.
     # Verify candidates with bitset AND+popcount, not string-array
     # intersect: on adversarial corpora (high background similarity)
     # banding admits ~all pairs and verification dominates — the bitset
     # keeps per-pair cost at a few dozen instructions either way.
-    enc, nb = _bitset_encode(spark, g)
-    base = sigs.withColumn("keys", band_keys)
+    sz_expr = None
+    for w in range(nb):
+        t = F.bit_count(F.col(f"m{w}"))
+        sz_expr = t if sz_expr is None else sz_expr + t
+    per_doc = agg.select(
+        "doc_id",
+        band_keys.alias("keys"),
+        F.array(*[F.col(f"m{w}") for w in range(nb)]).alias("mask"),
+        sz_expr.alias("sz"),
+    ).localCheckpoint()
+    jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
     if nb <= CARRY_MASK_MAX_WORDS:
-        # Inline verify: mask+size ride the banded rows (a doc-keyed
-        # join of two corpus-sized narrow tables, broadcast-able by AQE
-        # at fixture scale), so the band join emits verified pairs in
-        # its own stage — the candidate set itself never shuffles.
-        banded = (
-            base.join(enc, "doc_id")
-            .select(
-                "doc_id",
-                "keys",
-                "mask",
-                "sz",
-                F.posexplode("keys").alias("band", "key"),
-            )
-            .localCheckpoint()
+        # Inline verify: mask+size ride the banded rows, so the band
+        # join emits verified pairs in its own stage — the candidate
+        # set itself never shuffles.
+        banded = per_doc.select(
+            "doc_id",
+            "keys",
+            "mask",
+            "sz",
+            F.posexplode("keys").alias("band", "key"),
         )
         cands = _salted_band_candidates(
             banded, payload=("mask", "sz"), n_bands=LSH_BANDS
         )
-        jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
     else:
-        banded = base.select(
+        # Wide-mask path: banded rows stay skinny and masks are attached
+        # to the (smaller-per-row) candidate set with two doc-keyed
+        # joins — shuffle O(candidates × 16 B) instead of
+        # O(docs × bands × mask).
+        banded = per_doc.select(
             "doc_id", "keys", F.posexplode("keys").alias("band", "key")
-        ).localCheckpoint()
+        )
         cands = (
             _salted_band_candidates(banded, n_bands=LSH_BANDS)
             .join(
-                enc.select(
+                per_doc.select(
                     F.col("doc_id").alias("doc_a"),
                     F.col("mask").alias("mask_a"),
                     F.col("sz").alias("sz_a"),
@@ -420,7 +489,7 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 "doc_a",
             )
             .join(
-                enc.select(
+                per_doc.select(
                     F.col("doc_id").alias("doc_b"),
                     F.col("mask").alias("mask_b"),
                     F.col("sz").alias("sz_b"),
@@ -428,7 +497,6 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 "doc_b",
             )
         )
-        jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
     return cands.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= JACCARD_T)

@@ -432,8 +432,11 @@ def text_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = pdf["n_chars"].astype("float64")
         sd = v.std()  # ddof=1 == stddev_samp
         if pd.isna(sd) or sd == 0.0:
-            z = pd.Series([float("nan")] * len(v), dtype="float64")
-            z[:] = None
+            # Nullable Float64 with pd.NA makes the NULL intent explicit
+            # in the Arrow frame itself (a float64 NaN would also reach
+            # Spark as NULL, but only via the serializer's NaN-as-null
+            # coercion — an implicit dependency).
+            z = pd.array([pd.NA] * len(v), dtype="Float64")
         else:
             z = ((v - v.mean()) / sd).round(6)
         return pdf.assign(z=z)
