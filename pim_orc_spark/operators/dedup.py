@@ -52,7 +52,16 @@ EMB_DIM = 64  # fixture embedding dimension (TESTDATA.md)
 MINHASH_K = 128
 LSH_BANDS = 32  # r = MINHASH_K / LSH_BANDS = 4 rows per band
 LSH_SALT = 8  # sub-buckets a hot band key is split into
-LSH_HOT_BUCKET = 1000  # band-bucket size above which salting kicks in
+# Band-bucket size above which salting kicks in. Calibrated by WORK,
+# not row count: a bucket of n docs costs ~n²/2 pair evaluations in one
+# join task, and salting only pays once that exceeds several
+# task-seconds (~1e8 evals ⇒ n ≈ 10k). Below that, the salted plan's
+# overhead — the ×salt explode of every hot right-side row, each
+# carrying its 32-key array + mask through the shuffle — costs more
+# than the straggler it removes (measured at sf0.1: the old 1000-doc
+# threshold salted this corpus's template buckets and ran 2-5× slower
+# than the unsalted join of the same pairs).
+LSH_HOT_BUCKET = 10_000
 # Verify-attach strategy threshold: bitsets at most this many 64-bit
 # words (512 B) ride the banded rows so Jaccard verification is inline
 # in the band join; wider masks are attached to the (smaller-per-row)
@@ -252,10 +261,25 @@ def _salted_band_candidates(
         # Earliest-band-wins: keep the pair only where no lower band
         # already collided. Emitted as a flat CASE over the band index
         # with one cumulative OR chain per branch — pure codegen long
-        # compares that short-circuit on the first hit. (The obvious
-        # exists(slice(zip_with(...))) form allocates a boolean array
-        # per evaluated pair — measured meaningfully slower across the
-        # ~20M join outputs a high-background-similarity corpus emits.)
+        # compares that short-circuit on the first hit.
+        #
+        # This exact formulation is measured, not aesthetic. The filter
+        # lands in the merge-join CONDITION, evaluated once per
+        # candidate row pair BEFORE the join filters — ~100M
+        # evaluations at sf0.1, so per-pair evaluation cost decides the
+        # stage's wall clock. Any full first-collision predicate plus
+        # the inline Jaccard exceeds janino's 64 KB method limit in the
+        # join-condition context (no statement splitting there), so
+        # this stage runs on Spark's fallback evaluator either way —
+        # what differs between formulations is fallback cost. A/B on
+        # identical input (local[32], interleaved samples):
+        #   or-chain CASE (this form)            ~4-5 s
+        #   flat first-colliding-band CASE       ~29 s  (array gets in
+        #     every branch walked; this form guards each branch with an
+        #     int compare and touches arrays only in ONE branch)
+        #   AND-of-(band<=t OR ka[t]!=kb[t])     ~39 s  (no early-out)
+        #   exists(zip_with(slice(...)))  (HOF)  ~19 s  (two slice +
+        #     one zipped array ALLOCATED per evaluated pair)
         # ``n_bands`` must cover every band index in ``banded``: a band
         # beyond the CASE would skip suppression and silently re-emit
         # its pairs, so callers with a different banding pass theirs.
@@ -295,8 +319,17 @@ def _salted_band_candidates(
     hot = sizes.filter(F.col("n") > hot_threshold).select(
         "band", "key", F.lit(True).alias("is_hot")
     )
+    # The self-join is pinned to SORT-MERGE (hint) for two load-bearing
+    # reasons: (1) at 100 TB the banded set is corpus-sized — a
+    # broadcast of it is never right, and letting fixture-scale stats
+    # steer AQE into BHJ here would bench a plan that cannot scale;
+    # (2) a deterministic join strategy keeps the measured plan stable
+    # across corpus sizes and runs — AQE was observed flip-flopping
+    # between BHJ and SMJ on this join depending on checkpoint size
+    # estimates, changing both the wall clock and which generated
+    # class hits janino's 64 KB fallback.
     if hot.limit(1).count() == 0:
-        left = banded.select(*side("doc_a", "ka", "a"))
+        left = banded.select(*side("doc_a", "ka", "a")).hint("shuffle_merge")
         right = banded.select(*side("doc_b", "kb", "b"))
         return (
             left.join(right, ["band", "key"])
@@ -312,7 +345,7 @@ def _salted_band_candidates(
         .otherwise(F.lit(0))
         .cast("int")
         .alias("salt"),
-    )
+    ).hint("shuffle_merge")
     right = tagged.select(
         *side("doc_b", "kb", "b"),
         F.explode(
