@@ -152,17 +152,30 @@ def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
     return enc.localCheckpoint(), nb
 
 
+def _tree_sum(cols: list[Column]) -> Column:
+    """Sum columns as a BALANCED binary tree (depth log₂ n), not a
+    left-nested chain (depth n): a wide-dictionary corpus makes these
+    sums hundreds of terms, and a chain that deep overflows the
+    analyzer's recursion before the query even runs."""
+    while len(cols) > 1:
+        cols = [
+            cols[i] + cols[i + 1] if i + 1 < len(cols) else cols[i]
+            for i in range(0, len(cols), 2)
+        ]
+    return cols[0]
+
+
 def _popcount_jaccard(
     nb: int, ma: str = "ma", mb: str = "mb", sza: str = "sza", szb: str = "szb"
 ) -> Column:
     """Jaccard of two bitsets (ma/sza vs mb/szb) as unrolled AND+popcount:
     flat codegen arithmetic, no per-pair lambda/array allocation."""
-    inter = None
-    for w in range(nb):
-        term = F.bit_count(
-            F.col(ma).getItem(w).bitwiseAND(F.col(mb).getItem(w))
-        )
-        inter = term if inter is None else inter + term
+    inter = _tree_sum(
+        [
+            F.bit_count(F.col(ma).getItem(w).bitwiseAND(F.col(mb).getItem(w)))
+            for w in range(nb)
+        ]
+    )
     return inter.cast("double") / (F.col(sza) + F.col(szb) - inter)
 
 
@@ -478,10 +491,7 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # intersect: on adversarial corpora (high background similarity)
     # banding admits ~all pairs and verification dominates — the bitset
     # keeps per-pair cost at a few dozen instructions either way.
-    sz_expr = None
-    for w in range(nb):
-        t = F.bit_count(F.col(f"m{w}"))
-        sz_expr = t if sz_expr is None else sz_expr + t
+    sz_expr = _tree_sum([F.bit_count(F.col(f"m{w}")) for w in range(nb)])
     per_doc = agg.select(
         "doc_id",
         band_keys.alias("keys"),
@@ -554,7 +564,17 @@ def dedup_bitset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the pair join is the only quadratic stage and is pure
     register arithmetic inside codegen.
     """
-    g = _grams(spark, sf_dir)
+    return bitset_pairs(spark, load_table(spark, sf_dir, "documents"))
+
+
+def bitset_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The all-pairs bitset engine behind ``dedup_bitset_jaccard``,
+    usable on ANY (doc_id, text) DataFrame — the quadratic ground-truth
+    twin of ``minhash_pairs`` (tests/test_dedup.py races the two on a
+    synthetic low-background-similarity corpus to measure the LSH
+    candidate ratio and wall-clock advantage the module docstring
+    claims). Semantics: see ``dedup_bitset_jaccard``."""
+    g = _grams_of(spark, docs)
     enc, nb = _bitset_encode(spark, g)
     # The pair stage is a broadcast nested-loop join; without an explicit
     # repartition, AQE coalesces the tiny encoded input to ONE partition

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,26 +60,53 @@ def decode_image(payload: bytes) -> Any:
 
 def fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for decode: (byte length, rolling
-    checksum). Same arithmetic as the oracle SQL."""
+    checksum). Same arithmetic as the oracle SQL. Scalar REFERENCE form
+    — the mapInPandas kernels use the vectorized ``_checksums`` fold,
+    which must stay bit-identical to this."""
     acc = 0
     for b in payload:
         acc = (acc * 31 + b) % CHECKSUM_MOD
     return len(payload), acc
 
 
+def _pow31(n: int) -> np.ndarray:
+    """31^k mod CHECKSUM_MOD for k in [0, n): one O(max payload length)
+    scalar pass per Arrow batch, amortized over every byte in it."""
+    out = np.empty(max(n, 1), dtype=np.int64)
+    p = 1
+    for k in range(len(out)):
+        out[k] = p
+        p = (p * 31) % CHECKSUM_MOD
+    return out
+
+
+def _checksum_np(codes: np.ndarray, pows: np.ndarray) -> int:
+    """Vectorized rolling checksum: fold(acc*31+b) mod m over bytes ==
+    Σ b_i · 31^(n-1-i) mod m — one numpy dot per payload, no per-byte
+    Python. Every term ≤ 255·(m-1) so the int64 sum is exact up to
+    ~3.6e13 bytes per payload."""
+    n = len(codes)
+    if n == 0:
+        return 0
+    return int((codes * pows[n - 1 :: -1]).sum() % CHECKSUM_MOD)
+
+
 def _extract_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch in, one feature frame out.
-    Vectorized inner loop over the batch; no per-row Python round-trips
-    through Spark."""
+    Per-row loop over the batch's payloads, but the per-BYTE work — the
+    only part that scales with data volume — is a numpy polynomial fold
+    (``_checksum_np``); a real deployment swaps that fold for the C
+    decoder and keeps the same shape."""
     for pdf in batches:
-        lengths = []
-        checks = []
-        for payload in pdf["payload"]:
-            n, c = fake_decode(bytes(payload))
-            lengths.append(n)
-            checks.append(c)
+        payloads = [bytes(p) for p in pdf["payload"]]
+        pows = _pow31(max((len(p) for p in payloads), default=0))
+        lengths = [len(p) for p in payloads]
+        checks = [
+            _checksum_np(np.frombuffer(p, dtype=np.uint8).astype(np.int64), pows)
+            for p in payloads
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -135,17 +163,18 @@ def _sample_frames(
     shape of video frame-sampling: one row in, ~len/(bytes×stride) rows
     out, all inside one Arrow batch."""
     for pdf in batches:
+        pows = _pow31(FRAME_BYTES)
         doc_ids, idxs, lens, checks = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
+            codes = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
             n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
             for fi in range(0, n_frames, FRAME_STRIDE):
-                chunk = data[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
-                _, c = fake_decode(chunk)
+                chunk = codes[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
                 doc_ids.append(int(doc_id))
                 idxs.append(fi)
                 lens.append(len(chunk))
-                checks.append(c)
+                checks.append(_checksum_np(chunk, pows))
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="int64"),
@@ -188,15 +217,25 @@ def _resize_payloads(
     interpolate → encode; the batch shape, schema, and map-only plan
     are exactly this."""
     for pdf in batches:
+        payloads = [bytes(p) for p in pdf["payload"]]
+        pows = _pow31(
+            max(
+                (
+                    (len(p) + RESIZE_FACTOR - 1) // RESIZE_FACTOR
+                    for p in payloads
+                ),
+                default=0,
+            )
+        )
         ids, orig, resized, checks = [], [], [], []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(payload)
-            small = data[::RESIZE_FACTOR]
-            _, c = fake_decode(small)
+        for doc_id, data in zip(pdf["doc_id"], payloads):
+            small = np.frombuffer(data, dtype=np.uint8)[::RESIZE_FACTOR].astype(
+                np.int64
+            )
             ids.append(int(doc_id))
             orig.append(len(data))
             resized.append(len(small))
-            checks.append(c)
+            checks.append(_checksum_np(small, pows))
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
