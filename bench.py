@@ -122,6 +122,41 @@ def main() -> None:
     timings_min = {
         name: round(min(ts), 4) for name, ts in samples.items()
     }
+    # Contention self-labeling: identical plans on identical data should
+    # repeat within ~2×. A query whose median is >2× its min was stalled
+    # by co-tenant load in at least half its samples — flag it so a
+    # contended run reads as contended, not as a regression.
+    spread_flags = {
+        name: round(timings[name] / timings_min[name], 2)
+        for name in HEADLINE
+        if timings_min[name] > 0
+        and timings[name] / timings_min[name] > 2.0
+    }
+    if spread_flags:
+        print(
+            "bench: median/min spread >2x (machine contention likely): "
+            + ", ".join(f"{k}={v}x" for k, v in spread_flags.items()),
+            file=sys.stderr,
+        )
+
+    # Partition-size sweep on the flagship scan-agg (the reference tunes
+    # the same axis with its rows-per-thread sweep,
+    # scripts/readerThreads.bash:3-7): smaller maxPartitionBytes = more
+    # splits = more parallelism but more per-task overhead. One timed
+    # run per size; the conf is read at plan time, so each run re-plans
+    # the scan. Informs the stripe-sized-partition stance in session.py.
+    sweep: dict[str, float] = {}
+    default_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    for mb in (1, 4, 16, 128):
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(mb * 1024 * 1024)
+        )
+        t0 = time.perf_counter()
+        qs["q01_flagship_sum"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sweep[f"{mb}MB"] = round(time.perf_counter() - t0, 4)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", default_mpb)
 
     # Scan-agg throughput for the flagship (reference continuity metric).
     n_rows = qs["q05_metadata_count"](spark, SF_DIR).collect()[0][0]
@@ -137,6 +172,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "value_min": round(sum(timings_min.values()), 4),
+                "spread_flags": spread_flags,
+                "partition_sweep_q01": sweep,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iterations": ITERS,
                 "lineitem_rows": n_rows,

@@ -389,26 +389,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          (``_salted_band_candidates``): shuffles O(docs × bands) small
          rows, with hot buckets split across salt sub-keys so no
          single task owns a degenerate band key.
-      3. Candidates arrive exactly-once via the first-collision-band
-         filter (each side carries its full key array; a pair is kept
-         only in its lowest colliding band — a codegen predicate, not a
-         shuffle). On a high-background-similarity corpus the candidate
-         set approaches all-pairs, and the DISTINCT this replaces was
-         the most expensive stage of the whole operator (O(candidates)
-         shuffled rows; measured 12 s of a 30 s total at sf0.1).
-      4. Exact-Jaccard verify via AND+popcount, once per pair.
-         Adaptive attach: when the corpus's bitset fits
-         ``CARRY_MASK_MAX_WORDS`` (known after the bounded dictionary
-         count), each doc's mask rides its banded rows and verification
-         is INLINE in the band-join stage — zero additional shuffles.
-         A wider dictionary (the 740-word char-3-gram ceiling, or a
-         token-feature variant) flips to attaching masks with two
-         candidate-keyed joins, whose shuffle is O(candidates × 16 B)
-         instead of O(docs × bands × mask). Same threshold-style
-         runtime choice Spark itself makes between broadcast and
-         shuffle joins; both paths are oracle-identical and tested.
-         Survivors are unique by construction, so no post-verify
-         distinct is needed.
+      3. Exact-Jaccard verification via AND+popcount. Adaptive attach:
+         when the corpus's bitset fits ``CARRY_MASK_MAX_WORDS`` (known
+         after the bounded dictionary count), each doc's mask rides its
+         banded rows and verification evaluates INSIDE the band-join
+         condition — the candidate set never materializes, never
+         shuffles, and the generated condition is small enough to stay
+         in compiled codegen. A wider dictionary (the 740-word
+         char-3-gram ceiling, or a token-feature variant) flips to
+         exactly-once candidates via a first-collision-band filter
+         followed by two candidate-keyed mask-attach joins
+         (O(candidates × 16 B) shuffle instead of
+         O(docs × bands × mask)). Same threshold-style runtime choice
+         Spark itself makes between broadcast and shuffle joins; both
+         paths are oracle-identical and tested.
+      4. Exactly-once output: the inline path DISTINCTs the verified
+         SURVIVORS — |result| × colliding-band multiplicity rows, a
+         metadata-sized shuffle (round 3 paid a ~20M-row candidate
+         DISTINCT here; verification-first shrinks it ~10⁴×). The
+         wide path needs no distinct (first-collision already emitted
+         exactly once).
     """
     return minhash_pairs(spark, load_table(spark, sf_dir, "documents"))
 
@@ -500,18 +500,39 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ).localCheckpoint()
     jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
     if nb <= CARRY_MASK_MAX_WORDS:
-        # Inline verify: mask+size ride the banded rows, so the band
-        # join emits verified pairs in its own stage — the candidate
-        # set itself never shuffles.
+        # Inline verify-then-distinct: mask+size ride the banded rows
+        # (WITHOUT the keys array — 32 longs/row lighter through the
+        # shuffle), the Jaccard test evaluates INSIDE the join
+        # condition, and the few rows that survive (true near-dup
+        # pairs × their colliding-band multiplicity, ≤ 32×|result|)
+        # are deduplicated by a metadata-sized DISTINCT. Round 3
+        # replaced a DISTINCT over the ~20M-row CANDIDATE set with a
+        # first-collision codegen filter; with verification inline the
+        # DISTINCT moves to the ~10³-row SURVIVOR set, which is
+        # cheaper than the filter it replaces AND keeps the join
+        # condition small enough to actually compile (the
+        # first-collision CASE pushed the generated condition past
+        # janino's 64 KB limit, dropping the whole stage to Spark's
+        # fallback evaluator — measured 3-5× slower across the ~100M
+        # condition evaluations this corpus generates). A pair
+        # colliding in k bands pays k Jaccard evaluations (~4 on this
+        # corpus) of ~3 instructions per mask word — still far below
+        # one fallback-evaluated CASE walk.
         banded = per_doc.select(
             "doc_id",
-            "keys",
             "mask",
             "sz",
             F.posexplode("keys").alias("band", "key"),
         )
         cands = _salted_band_candidates(
             banded, payload=("mask", "sz"), n_bands=LSH_BANDS
+        )
+        return (
+            cands.select(
+                "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .distinct()
         )
     else:
         # Wide-mask path: banded rows stay skinny and masks are attached
