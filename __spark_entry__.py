@@ -102,6 +102,12 @@ PYTEST_ONLY = {
     # UDTF surface; no SQL oracle by nature (rows-only if exported);
     # covered row-for-row against the shared pure-Python splitter:
     "text_sentences",
+    # new round-4 operators (repetition filter, corpus IDF, tf-idf
+    # keyword extraction): pytest-oracle-checked now, first in line for
+    # the round-5 promotion rotation:
+    "text_repetition",
+    "text_idf",
+    "text_tfidf_topk",
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows:

@@ -446,8 +446,112 @@ def text_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the standard filter for
+    degenerate generated/boilerplate text: distinct-token ratio and the
+    share of the single most frequent token.
+
+    Plan: explode tokens → ONE groupBy (doc_id, token) with map-side
+    combine → ONE groupBy doc_id folding count/sum/max. Shuffles carry
+    (doc_id, token, partial count) — never document bodies — and both
+    aggregates are codegen HashAggregates, so the operator is two
+    skinny shuffles at any corpus size."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    tok_counts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tok_counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_count") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+        )
+    )
+
+
+IDF_SMOOTH = 1.0  # add-one smoothing: idf = ln((N+1)/(df+1))
+
+
+def _idf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, df, idf) over the corpus: document frequency counts one
+    hit per (doc, distinct token) — map-side combined — and the corpus
+    size N joins in as a broadcast single-row aggregate (no eager
+    driver count, the plan stays lazy)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    doc_tokens = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    df_counts = doc_tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return df_counts.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        F.round(
+            F.log((F.col("n_docs") + IDF_SMOOTH) / (F.col("df") + IDF_SMOOTH)),
+            6,
+        ).alias("idf"),
+    )
+
+
+def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus IDF table — the shared statistic behind tf-idf scoring,
+    rare-token quality filters, and keyword extraction. The vocabulary
+    is bounded (tokens, not n-grams), so the result is a broadcastable
+    dimension any downstream stage can join map-side."""
+    return _idf_table(spark, sf_dir)
+
+
+TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k salient tokens per document by tf-idf — keyword extraction
+    as one pipeline: tf via grouped count, idf broadcast-joined (the
+    vocab table is bounded), rank via a doc-partitioned window.
+    Ordering is pinned cross-engine: score ROUNDED to 6 dp first, then
+    token — a raw-double sort key could flip ranks on a final-ulp
+    difference between engines."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(F.broadcast(_idf_table(spark, sf_dir)), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", "token", "score")
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
+    "text_repetition": text_repetition,
+    "text_idf": text_idf,
+    "text_tfidf_topk": text_tfidf_topk,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -485,7 +589,55 @@ def _langid_sql() -> str:
     """
 
 
+def _idf_sql() -> str:
+    return f"""
+        tok AS (
+          SELECT doc_id, unnest(list_distinct({_tok_sql()})) AS token
+          FROM documents
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), idf AS (
+          SELECT token, COUNT(*) AS df,
+                 round(ln((n_docs + {IDF_SMOOTH}) / (COUNT(*) + {IDF_SMOOTH})), 6) AS idf
+          FROM tok, n GROUP BY token, n_docs
+        )
+    """
+
+
 ORACLES = {
+    "text_repetition": f"""
+        WITH tc AS (
+          SELECT doc_id, t, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest({_tok_sql()}) AS t FROM documents)
+          GROUP BY doc_id, t
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio,
+               round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_share
+        FROM tc GROUP BY doc_id
+    """,
+    "text_idf": f"""
+        WITH {_idf_sql()}
+        SELECT token, df, idf FROM idf
+    """,
+    "text_tfidf_topk": f"""
+        WITH {_idf_sql()}, tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest({_tok_sql()}) AS token FROM documents)
+          GROUP BY doc_id, token
+        ), scored AS (
+          SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS score
+          FROM tf JOIN idf USING (token)
+        ), ranked AS (
+          SELECT doc_id, token, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, token) AS INT) AS rank
+          FROM scored
+        )
+        SELECT doc_id, rank, token, score FROM ranked
+        WHERE rank <= {TFIDF_TOPK}
+    """,
     "text_tokens": f"""
         SELECT source,
                COUNT(*) AS n_docs,
