@@ -103,11 +103,14 @@ PYTEST_ONLY = {
     # covered row-for-row against the shared pure-Python splitter:
     "text_sentences",
     # new round-4 operators (repetition filter, corpus IDF, tf-idf
-    # keyword extraction): pytest-oracle-checked now, first in line for
-    # the round-5 promotion rotation:
+    # keyword extraction, bag set ops, stream-static anti-join admit):
+    # pytest-oracle-checked now, first in line for the round-5
+    # promotion rotation:
     "text_repetition",
     "text_idf",
     "text_tfidf_topk",
+    "q28_bag_set_ops",
+    "stream_incremental_admit",
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows:

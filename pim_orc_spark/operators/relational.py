@@ -641,8 +641,29 @@ def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL over
+    customer vs supplier nation keys, the multiplicity-preserving
+    counterparts of q11's set forms and a genuinely distinct plan:
+    Spark rewrites both into a count-per-value aggregate + generate
+    (replicate rows min(c1,c2) / (c1-c2) times) — two skinny shuffles
+    on the value, never a join, at any cardinality."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    inter = c.intersectAll(s).select(
+        F.lit("intersect_all").alias("tag"), "nk"
+    )
+    diff = c.exceptAll(s).select(F.lit("except_all").alias("tag"), "nk")
+    return inter.unionAll(diff)
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
+    "q28_bag_set_ops": q28_bag_set_ops,
     "q02_null_skip_sum": q02_null_skip_sum,
     "q03_pushdown_range_filter": q03_pushdown_range_filter,
     "q04_pricing_summary": q04_pricing_summary,
@@ -737,6 +758,15 @@ ORACLES = {
     "q10_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "q28_bag_set_ops": """
+        SELECT 'intersect_all' AS tag, nk FROM
+          (SELECT c_nationkey AS nk FROM customer
+           INTERSECT ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except_all' AS tag, nk FROM
+          (SELECT c_nationkey AS nk FROM customer
+           EXCEPT ALL SELECT s_nationkey FROM supplier)
     """,
     "q11_set_ops": """
         SELECT 'both' AS tag, nk FROM

@@ -403,8 +403,45 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, "stream_click_attribution", "append")
 
 
+ADMIT_BLOCK_BELOW = 75  # static "already ingested" set: custkey < this
+
+
+def stream_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup admit: a stream-static LEFT ANTI join
+    — the streaming analogue of the batch ``dedup_incremental``
+    operator, and the one stream-static join shape (anti) no other
+    stream op exercises. Events whose user already exists in a static
+    index (here: customers with custkey < ADMIT_BLOCK_BELOW standing in
+    for the already-ingested fingerprint set) are dropped before any
+    state is spent on them; admitted volume is then aggregated per
+    event type.
+
+    Scale shape: the static side re-plans every micro-batch (picks up
+    index growth) and broadcasts, so admission is map-side and
+    stateless — the only streaming state is the windowless aggregate's
+    one row per event type. At 100 TB the static side becomes a
+    fingerprint index or Bloom pre-filter; the plan is unchanged."""
+    from pim_orc_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    seen = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < ADMIT_BLOCK_BELOW)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    admitted = ev.join(F.broadcast(seen), "user_id", "left_anti")
+    agg = admitted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        exact_sum("value", "sum_value"),
+    )
+    return run_to_completion(agg, "stream_incremental_admit", "complete")
+
+
 QUERIES = {
     "stream_grouped_totals": stream_grouped_totals,
+    "stream_incremental_admit": stream_incremental_admit,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
@@ -415,6 +452,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # NOT EXISTS (not NOT IN): the anti-join's NULL semantics
+    "stream_incremental_admit": f"""
+        SELECT event_type, COUNT(*) AS n_admitted,
+               {exact_sum_sql("value", "sum_value")}
+        FROM events e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM customer c
+          WHERE c.c_custkey < {ADMIT_BLOCK_BELOW}
+            AND c.c_custkey = e.user_id
+        )
+        GROUP BY event_type
+    """,
     "stream_grouped_totals": f"""
         SELECT event_type, COUNT(*) AS n_events,
                {exact_sum_sql("value", "sum_value")}
