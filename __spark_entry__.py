@@ -111,6 +111,7 @@ PYTEST_ONLY = {
     "text_tfidf_topk",
     "q28_bag_set_ops",
     "stream_incremental_admit",
+    "ann_sq_topk",
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows:

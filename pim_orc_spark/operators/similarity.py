@@ -392,11 +392,71 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionAll(parts[1])
 
 
+SQ_SCALE = 127  # int8-style scalar quantization of unit components
+SQ_CAND = 30  # candidate pool per query before exact re-rank
+
+
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized first pass + exact re-rank — the production
+    two-stage ANN pattern the other variants don't cover: every unit
+    component is quantized to an int8-range value (round(u·127)), the
+    cheap INTEGER dot product selects SQ_CAND candidates per query, and
+    only those candidates pay the exact double cosine.
+
+    Determinism: quantization uses only IEEE correctly-rounded ops
+    (sqrt, multiply, divide — bit-identical across engines), so the
+    integer first-pass scores and therefore the candidate sets are
+    EXACTLY reproducible in the oracle; ties break on vec_id at both
+    stages.
+
+    Scale shape: the quantized corpus is ~8× smaller than float64
+    vectors (scan bandwidth and cache footprint), the first pass is a
+    map-side broadcast-query scan with per-partition partial top-CAND
+    (the ann_cosine_topk_vectorized shuffle shape), and the exact
+    re-rank touches SQ_CAND×|queries| rows regardless of corpus size."""
+    v = _unit_vectors(spark, sf_dir)
+    vq = v.withColumn(
+        "q8", F.transform(F.col("v"), lambda x: F.round(x * SQ_SCALE, 0))
+    )
+    q = vq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qq8"),
+        F.col("v").alias("qv"),
+    )
+    iscore = dot_unrolled(F.col("qq8"), F.col("q8"), DIM)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("vec_id").asc()
+    )
+    cands = (
+        vq.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", iscore.alias("iscore"), "v", "qv")
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= SQ_CAND)
+    )
+    sim = dot_unrolled(F.col("qv"), F.col("v"), DIM)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_sq_topk": ann_sq_topk,
     "ann_recall": ann_recall,
 }
 
@@ -544,8 +604,49 @@ _ANN_RECALL_SQL = f"""
         FROM ivf_hits
     """
 
+# Quantization mirrors Spark's exact arithmetic: unit components are
+# x * (1.0 / nrm) — multiply by reciprocal, NOT x / nrm — because both
+# engines round each IEEE op identically only when the ops are the
+# same ones in the same order.
+_ANN_SQ_SQL = f"""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 1.0 / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS inv
+          FROM embeddings
+        ), u AS (
+          SELECT vec_id,
+                 list_transform(e, x -> x * inv) AS u,
+                 list_transform(e, x -> round(x * inv * {SQ_SCALE})) AS q8
+          FROM n
+        ), q AS (
+          SELECT vec_id AS query_id, u AS qu, q8 AS qq8
+          FROM u WHERE vec_id < {N_QUERIES}
+        ), cand AS (
+          SELECT q.query_id, u.vec_id,
+                 list_dot_product(q.qq8, u.q8) AS iscore,
+                 list_dot_product(q.qu, u.u) AS sim
+          FROM u CROSS JOIN q WHERE u.vec_id <> q.query_id
+        ), cr AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY iscore DESC, vec_id ASC)
+                   AS crank
+          FROM cand
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM cr WHERE crank <= {SQ_CAND}
+        )
+        SELECT query_id, vec_id AS neighbor_id, rank,
+               round(sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
+    "ann_sq_topk": _ANN_SQ_SQL,
     # the vectorized plan must reproduce the exact baseline's output
     "ann_cosine_topk_vectorized": _ANN_EXACT_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
