@@ -151,11 +151,16 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", str(mb * 1024 * 1024)
         )
-        t0 = time.perf_counter()
-        qs["q01_flagship_sum"](spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        sweep[f"{mb}MB"] = round(time.perf_counter() - t0, 4)
+        # min of 2: a single sample per size is noisier than the axis
+        # being measured (a one-off stall inverts the whole curve)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs["q01_flagship_sum"](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.perf_counter() - t0)
+        sweep[f"{mb}MB"] = round(min(ts), 4)
     spark.conf.set("spark.sql.files.maxPartitionBytes", default_mpb)
 
     # Scan-agg throughput for the flagship (reference continuity metric).

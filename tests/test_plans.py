@@ -165,3 +165,42 @@ def test_stage_profile_bins_flagship(spark, sf_dir):
     assert abs(total - prof["binned_total_ms"]) < 1e-3
     assert abs(sum(r["frac"] for r in bins.values()) - 1.0) < 1e-9
     assert prof["wall_sec"] > 0
+
+
+def test_lsh_band_join_is_sort_merge(spark, sf_dir):
+    """The LSH band self-join is PINNED to sort-merge: at 100 TB the
+    banded set is corpus-sized (broadcast is never right), and a
+    deterministic strategy keeps the benched plan stable (AQE was
+    observed flip-flopping BHJ/SMJ on checkpoint size estimates).
+    Guards the hint against accidental removal."""
+    from pim_orc_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = dedup_minhash_lsh(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+
+
+def test_bag_set_ops_plan_has_no_join(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL must plan as count-aggregate +
+    generate replication — a join-based rewrite would explode on
+    duplicate-heavy keys at scale."""
+    from pim_orc_spark.operators.relational import q28_bag_set_ops
+    from pim_orc_spark.plans.profile import explain_profile
+
+    plan = explain_profile(q28_bag_set_ops(spark, sf_dir), execute=False)
+    assert "Join" not in plan, plan[:1500]
+    assert "Generate" in plan
+
+
+def test_tfidf_joins_broadcast(spark, sf_dir):
+    """Both joins in the tf-idf pipeline (bounded idf dimension onto
+    per-doc tf, bounded corpus-size row onto df counts) must broadcast
+    — a shuffle join on the vocab dimension would re-shuffle the whole
+    tf table at scale."""
+    from pim_orc_spark.operators.text import text_tfidf_topk
+    from pim_orc_spark.plans.profile import explain_profile
+
+    plan = explain_profile(text_tfidf_topk(spark, sf_dir), execute=False)
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
