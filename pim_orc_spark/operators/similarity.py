@@ -369,6 +369,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, fn in (
         ("ann_lsh_bucketed", ann_lsh_bucketed),
         ("ann_ivf_topk", ann_ivf_topk),
+        ("ann_sq_topk", ann_sq_topk),
     ):
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
         counts = (
@@ -389,7 +390,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("recall_at_k"),
             )
         )
-    return parts[0].unionAll(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 SQ_SCALE = 127  # int8-style scalar quantization of unit components
@@ -572,38 +576,6 @@ _ANN_LSH_SQL = f"""
 
 # Recall@k: both result sets are recomputed as CTEs (a CTE body may
 # itself carry a WITH clause) and intersected per query.
-_ANN_RECALL_SQL = f"""
-        WITH exact_r AS ({_ANN_EXACT_SQL}),
-        lsh_r AS ({_ANN_LSH_SQL}),
-        ivf_r AS ({_ANN_IVF_SQL}),
-        qids AS (SELECT DISTINCT query_id FROM exact_r),
-        lsh_hits AS (
-          SELECT q.query_id, COUNT(m.neighbor_id) AS n_hits
-          FROM qids q LEFT JOIN (
-            SELECT l.query_id, l.neighbor_id
-            FROM lsh_r l JOIN exact_r e
-              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-          ) m ON m.query_id = q.query_id
-          GROUP BY q.query_id
-        ),
-        ivf_hits AS (
-          SELECT q.query_id, COUNT(m.neighbor_id) AS n_hits
-          FROM qids q LEFT JOIN (
-            SELECT l.query_id, l.neighbor_id
-            FROM ivf_r l JOIN exact_r e
-              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-          ) m ON m.query_id = q.query_id
-          GROUP BY q.query_id
-        )
-        SELECT 'ann_lsh_bucketed' AS method, query_id,
-               n_hits, n_hits / {TOP_K}.0 AS recall_at_k
-        FROM lsh_hits
-        UNION ALL
-        SELECT 'ann_ivf_topk' AS method, query_id,
-               n_hits, n_hits / {TOP_K}.0 AS recall_at_k
-        FROM ivf_hits
-    """
-
 # Quantization mirrors Spark's exact arithmetic: unit components are
 # x * (1.0 / nrm) — multiply by reciprocal, NOT x / nrm — because both
 # engines round each IEEE op identically only when the ops are the
@@ -642,6 +614,52 @@ _ANN_SQ_SQL = f"""
         SELECT query_id, vec_id AS neighbor_id, rank,
                round(sim, 4) AS cos_sim
         FROM ranked WHERE rank <= {TOP_K}
+    """
+
+_ANN_RECALL_SQL = f"""
+        WITH exact_r AS ({_ANN_EXACT_SQL}),
+        lsh_r AS ({_ANN_LSH_SQL}),
+        ivf_r AS ({_ANN_IVF_SQL}),
+        qids AS (SELECT DISTINCT query_id FROM exact_r),
+        lsh_hits AS (
+          SELECT q.query_id, COUNT(m.neighbor_id) AS n_hits
+          FROM qids q LEFT JOIN (
+            SELECT l.query_id, l.neighbor_id
+            FROM lsh_r l JOIN exact_r e
+              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+          ) m ON m.query_id = q.query_id
+          GROUP BY q.query_id
+        ),
+        ivf_hits AS (
+          SELECT q.query_id, COUNT(m.neighbor_id) AS n_hits
+          FROM qids q LEFT JOIN (
+            SELECT l.query_id, l.neighbor_id
+            FROM ivf_r l JOIN exact_r e
+              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+          ) m ON m.query_id = q.query_id
+          GROUP BY q.query_id
+        ),
+        sq_r AS ({_ANN_SQ_SQL}),
+        sq_hits AS (
+          SELECT q.query_id, COUNT(m.neighbor_id) AS n_hits
+          FROM qids q LEFT JOIN (
+            SELECT l.query_id, l.neighbor_id
+            FROM sq_r l JOIN exact_r e
+              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+          ) m ON m.query_id = q.query_id
+          GROUP BY q.query_id
+        )
+        SELECT 'ann_lsh_bucketed' AS method, query_id,
+               n_hits, n_hits / {TOP_K}.0 AS recall_at_k
+        FROM lsh_hits
+        UNION ALL
+        SELECT 'ann_ivf_topk' AS method, query_id,
+               n_hits, n_hits / {TOP_K}.0 AS recall_at_k
+        FROM ivf_hits
+        UNION ALL
+        SELECT 'ann_sq_topk' AS method, query_id,
+               n_hits, n_hits / {TOP_K}.0 AS recall_at_k
+        FROM sq_hits
     """
 
 ORACLES = {
