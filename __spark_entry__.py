@@ -112,6 +112,7 @@ PYTEST_ONLY = {
     "q28_bag_set_ops",
     "stream_incremental_admit",
     "ann_sq_topk",
+    "pipeline_pack",  # curate→pack composition; funnel attested via pipeline_curate
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows:

@@ -30,14 +30,18 @@ from pyspark.sql import functions as F
 from pim_orc_spark.catalog import load_table
 from pim_orc_spark.functions.textfns import tokens, tokens_sql
 from pim_orc_spark.operators.dedup import minhash_pairs
+from pim_orc_spark.operators.text import PACK_BUDGET
 from pim_orc_spark.plans import spread
 
 QUALITY_MIN_TOKENS = 20  # quality gate: drop fragments under 20 tokens
 
 
-def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source curation funnel: n_raw → n_quality → n_exact →
-    n_kept (+ tokens_kept) after the three filtering stages."""
+def _funnel(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared curation funnel: returns (base, qual, exact, final)
+    stage DataFrames. ``pipeline_curate`` reports the per-stage yields;
+    ``pipeline_pack`` feeds the survivors into sequence packing."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = tokens("text")
     # localCheckpoint: the funnel report consumes base through four
@@ -63,6 +67,13 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(spark, exact.select("doc_id", "text"))
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = exact.join(drop, "doc_id", "left_anti")
+    return base, qual, exact, final
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: n_raw → n_quality → n_exact →
+    n_kept (+ tokens_kept) after the three filtering stages."""
+    base, qual, exact, final = _funnel(spark, sf_dir)
 
     def stage_count(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
@@ -90,18 +101,58 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate → pack, composed: the funnel's SURVIVOR set laid out as
+    one token stream per source (doc_id order) and cut into
+    fixed-budget packs (pack = floor(stream offset / PACK_BUDGET)) —
+    the full prep path from raw corpus to training-row layout. Packing
+    only ever sees documents every earlier stage kept, so its cost
+    tracks the curated yield, not the raw corpus.
+
+    Scale shape: the funnel stages are the audited standalone forms;
+    packing adds one per-source running-sum window + one grouped
+    aggregation (at 100 TB the stream key widens to (source, shard),
+    as in ``text_pack``). Budget counts the funnel's own normalized
+    word tokens — one tokenizer contract across all stages."""
+    from pyspark.sql.window import Window
+
+    _, _, _, final = _funnel(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = final.select("source", "doc_id", "n_tok").withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    pack = F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET)
+    return (
+        t.withColumn("pack_id", pack)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
+    "pipeline_pack": pipeline_pack,
 }
 
 
-def _curate_sql() -> str:
+def _funnel_ctes() -> str:
+    """The funnel's CTE chain (base → qual → exact → final), shared by
+    both pipeline oracles. The near-dup pairs CTE delegates to
+    _jaccard_pairs_sql("exact") (LSH output equals the exact pair set
+    at J ≥ 0.8 — dedup module docstring), so the pair contract lives
+    in one place."""
     tok = tokens_sql("text")
-    # the near-dup pairs CTE delegates to _jaccard_pairs_sql("exact")
-    # (LSH output equals the exact pair set at J ≥ 0.8 — dedup module
-    # docstring), so the pair contract lives in one place
     return f"""
-        WITH base AS (
+        base AS (
           SELECT doc_id, source, text,
                  len({tok}) AS n_tok,
                  md5(coalesce(list_aggregate({tok}, 'string_agg', ' '),
@@ -125,6 +176,12 @@ def _curate_sql() -> str:
           SELECT * FROM exact
           WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         )
+    """
+
+
+def _curate_sql() -> str:
+    return f"""
+        WITH {_funnel_ctes()}
         SELECT b.source,
                COUNT(*) AS n_raw,
                CAST(coalesce(SUM(CASE WHEN q.doc_id IS NOT NULL
@@ -157,6 +214,28 @@ def _pairs_sql() -> str:
     return _jaccard_pairs_sql(source="exact")
 
 
+def _pack_sql() -> str:
+    return f"""
+        WITH {_funnel_ctes()},
+        packed AS (
+          SELECT source, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM final
+        )
+        SELECT source,
+               CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT)
+                 AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM packed
+        GROUP BY source, pack_id
+    """
+
+
 ORACLES = {
     "pipeline_curate": _curate_sql(),
+    "pipeline_pack": _pack_sql(),
 }
