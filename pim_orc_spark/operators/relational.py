@@ -661,9 +661,43 @@ def q28_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionAll(diff)
 
 
+def q29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage (§2.6 arrays): per-order line quantities
+    collected into a POSITION-DETERMINISTIC array (collect_list order
+    is partition-dependent, so elements are gathered as (linenumber,
+    quantity) structs and array_sort'ed before projection — the only
+    safe way to build reproducible arrays from a shuffle), then sliced,
+    probed, and aggregated with codegen array expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_by_line = F.array_sort(
+        F.collect_list(F.struct("l_linenumber", "l_quantity"))
+    )
+    return (
+        li.filter(F.col("l_orderkey") <= 1000)
+        .groupBy("l_orderkey")
+        .agg(qty_by_line.alias("pairs"))
+        .select(
+            "l_orderkey",
+            F.expr("transform(pairs, p -> p.l_quantity)").alias("qtys"),
+        )
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_lines"),
+            F.element_at("qtys", 1).alias("first_qty"),
+            F.expr("slice(qtys, 1, 3)").alias("first3"),
+            F.array_contains("qtys", 1.0).alias("has_qty_1"),
+            F.expr("aggregate(qtys, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").alias(
+                "qty_sum"
+            ),
+            F.array_max("qtys").alias("qty_max"),
+        )
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q28_bag_set_ops": q28_bag_set_ops,
+    "q29_array_functions": q29_array_functions,
     "q02_null_skip_sum": q02_null_skip_sum,
     "q03_pushdown_range_filter": q03_pushdown_range_filter,
     "q04_pricing_summary": q04_pricing_summary,
@@ -758,6 +792,25 @@ ORACLES = {
     "q10_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "q29_array_functions": """
+        WITH arr AS (
+          SELECT l_orderkey,
+                 list_transform(
+                   list_sort(list({'ln': l_linenumber, 'q': l_quantity})),
+                   p -> p.q) AS qtys
+          FROM lineitem WHERE l_orderkey <= 1000
+          GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(len(qtys) AS INT) AS n_lines,
+               qtys[1] AS first_qty,
+               qtys[1:3] AS first3,
+               list_contains(qtys, 1.0) AS has_qty_1,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), qtys),
+                           (a, x) -> a + x) AS qty_sum,
+               list_max(qtys) AS qty_max
+        FROM arr
     """,
     "q28_bag_set_ops": """
         SELECT 'intersect_all' AS tag, nk FROM
