@@ -114,6 +114,7 @@ PYTEST_ONLY = {
     "ann_sq_topk",
     "pipeline_pack",  # curate→pack composition; funnel attested via pipeline_curate
     "q29_array_functions",  # §2.6 array sub-family; deterministic array build
+    "q30_lag_lead_ntile",  # §2.5 offset/distribution windows (lag/lead/ntile)
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows:

@@ -694,10 +694,34 @@ def q29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset + distribution window functions (§2.5 depth beyond
+    ranking/running): per-customer order-to-order price delta via
+    LAG, the next order date via LEAD, and spend quartile via NTILE —
+    one shuffle on the partition key serves all three (single Window
+    spec, so Catalyst plans ONE Sort+Window, not three)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") <= 200
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    prev_price = F.lag(price).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (price - prev_price).cast("double").alias("price_delta"),
+        F.date_format(
+            F.lead("o_orderdate").over(w), "yyyy-MM-dd"
+        ).alias("next_order_date"),
+        F.ntile(4).over(w).alias("date_quartile"),
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q28_bag_set_ops": q28_bag_set_ops,
     "q29_array_functions": q29_array_functions,
+    "q30_lag_lead_ntile": q30_lag_lead_ntile,
     "q02_null_skip_sum": q02_null_skip_sum,
     "q03_pushdown_range_filter": q03_pushdown_range_filter,
     "q04_pricing_summary": q04_pricing_summary,
@@ -792,6 +816,18 @@ ORACLES = {
     "q10_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "q30_lag_lead_ntile": """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    - lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS price_delta,
+               strftime(lead(o_orderdate) OVER w, '%Y-%m-%d')
+                 AS next_order_date,
+               CAST(ntile(4) OVER w AS INT) AS date_quartile
+        FROM orders WHERE o_custkey <= 200
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
     """,
     "q29_array_functions": """
         WITH arr AS (

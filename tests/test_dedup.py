@@ -151,6 +151,23 @@ def test_salted_band_candidates_bounds_bucket(spark):
     assert max_group < n_hot // 2, max_group
 
 
+def test_salted_band_candidates_rejects_uncovered_bands(spark):
+    """A keys array wider than the first-collision CASE covers would
+    silently duplicate pairs; the runtime guard must raise instead."""
+    from pyspark.sql import functions as F
+
+    banded = (
+        spark.range(4)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array(F.lit(1), F.lit(2), F.lit(3)).alias("keys"),
+        )
+        .select("doc_id", "keys", F.posexplode("keys").alias("band", "key"))
+    )
+    with pytest.raises(Exception, match="more bands than n_bands"):
+        dedup._salted_band_candidates(banded, n_bands=2).collect()
+
+
 def _synthetic_low_similarity_corpus(spark, n_docs=1200, n_dups=15):
     """Deterministic corpus with ~zero background similarity — the
     realistic regime the fixture corpus deliberately inverts (its ~30
