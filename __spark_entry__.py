@@ -115,6 +115,8 @@ PYTEST_ONLY = {
     "pipeline_pack",  # curate→pack composition; funnel attested via pipeline_curate
     "q29_array_functions",  # §2.6 array sub-family; deterministic array build
     "q30_lag_lead_ntile",  # §2.5 offset/distribution windows (lag/lead/ntile)
+    "q31_tpch_q3_shipping_priority",  # classic 3-table filter-join-topk workload
+    "q32_tpch_q5_local_supplier",  # 6-table join w/ same-nation constraint
     # sliding windows are tumbling windows with an overlap parameter —
     # the window/agg state machinery stays driver-attested by
     # stream_windowed_counts + stream_session_windows:

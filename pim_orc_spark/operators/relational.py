@@ -717,11 +717,94 @@ def q30_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the classic 3-table
+    filter-join-aggregate-topk workload. Catalyst pushes both date
+    filters to the scans, builds the join bottom-up with the filtered
+    customer side broadcast, and plans the final ORDER BY ... LIMIT as
+    TakeOrderedAndProject (no global sort). Revenue uses the engine's
+    exact integer-cents arithmetic so the aggregate is order-independent
+    and hash-comparable."""
+    cutoff = "1995-03-15"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pts = F.round(F.col("l_discount") * 100).cast("long")
+    revenue = F.sum(
+        (cents * (100 - disc_pts)).cast("decimal(38,0)")
+    ).cast("double") / F.lit(10000.0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q32_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join — the
+    deepest join tree in the classic suite, with the
+    customer-and-supplier-in-same-nation constraint that makes join
+    ORDER matter. The three dimension tables (region→nation, and
+    nation again for the supplier side) broadcast; the fact-fact
+    lineitem⋈orders join shuffles on orderkey; the same-nation
+    constraint rides the supplier join condition instead of a
+    post-join filter so mismatched rows never materialize."""
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pts = F.round(F.col("l_discount") * 100).cast("long")
+    revenue = F.sum(
+        (cents * (100 - disc_pts)).cast("decimal(38,0)")
+    ).cast("double") / F.lit(10000.0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q28_bag_set_ops": q28_bag_set_ops,
     "q29_array_functions": q29_array_functions,
     "q30_lag_lead_ntile": q30_lag_lead_ntile,
+    "q31_tpch_q3_shipping_priority": q31_tpch_q3_shipping_priority,
+    "q32_tpch_q5_local_supplier": q32_tpch_q5_local_supplier,
     "q02_null_skip_sum": q02_null_skip_sum,
     "q03_pushdown_range_filter": q03_pushdown_range_filter,
     "q04_pricing_summary": q04_pricing_summary,
@@ -816,6 +899,40 @@ ORACLES = {
     "q10_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "q31_tpch_q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1995-03-15'
+          AND l_shipdate > DATE '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q32_tpch_q5_local_supplier": """
+        SELECT n_name,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC
     """,
     "q30_lag_lead_ntile": """
         SELECT o_custkey, o_orderkey,
