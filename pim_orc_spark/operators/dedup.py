@@ -426,6 +426,13 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     params = minhash_params(MINHASH_K)
     grams_dict, n_grams = _gram_dictionary(g)
     nb = (n_grams + 63) // 64
+    if nb == 0:
+        # Empty corpus (no documents ⇒ no grams ⇒ no dictionary): there
+        # are no pairs; emit the empty result with the contract schema
+        # instead of building 0-word masks (degenerate expressions).
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
 
     # FUSED signature + bitset-encode pass: explode → hash each gram
     # exactly ONCE → broadcast-join the bounded dictionary → ONE groupBy
@@ -597,6 +604,11 @@ def bitset_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     claims). Semantics: see ``dedup_bitset_jaccard``."""
     g = _grams_of(spark, docs)
     enc, nb = _bitset_encode(spark, g)
+    if nb == 0:
+        # empty corpus: no pairs (see minhash_pairs' identical guard)
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
     # The pair stage is a broadcast nested-loop join; without an explicit
     # repartition, AQE coalesces the tiny encoded input to ONE partition
     # and the O(n²) loop runs on a single core (measured 149s → 6s).

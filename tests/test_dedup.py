@@ -168,6 +168,17 @@ def test_salted_band_candidates_rejects_uncovered_bands(spark):
         dedup._salted_band_candidates(banded, n_bands=2).collect()
 
 
+def test_pair_engines_handle_empty_corpus(spark):
+    """An empty documents table must yield an empty pair set with the
+    contract schema — not a crash building 0-word masks (a fresh
+    partition/source with no data yet is a normal production state)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for engine in (dedup.minhash_pairs, dedup.bitset_pairs):
+        out = engine(spark, empty)
+        assert out.columns == ["doc_a", "doc_b", "jaccard"]
+        assert out.count() == 0
+
+
 def _synthetic_low_similarity_corpus(spark, n_docs=1200, n_dups=15):
     """Deterministic corpus with ~zero background similarity — the
     realistic regime the fixture corpus deliberately inverts (its ~30
