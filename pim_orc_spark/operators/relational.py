@@ -798,8 +798,46 @@ def q32_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join coverage (§2.3's remaining join types): a FULL OUTER
+    join between two deliberately partial sides (customers below 1000
+    vs order totals for custkeys above 500), classified into
+    left-only / right-only / matched buckets with null-aware
+    aggregation. The LEFT OUTER shape falls out of the same plan (the
+    left-only bucket). Shuffles once on the join key; null-safe
+    classification is codegen CASE."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 1000
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 500)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    bucket = (
+        F.when(F.col("o_custkey").isNull(), "customer_only")
+        .when(F.col("c_custkey").isNull(), "orders_only")
+        .otherwise("matched")
+    )
+    return (
+        j.select(
+            bucket.alias("bucket"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_orders").alias("total_orders"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
+    "q33_outer_joins": q33_outer_joins,
     "q28_bag_set_ops": q28_bag_set_ops,
     "q29_array_functions": q29_array_functions,
     "q30_lag_lead_ntile": q30_lag_lead_ntile,
@@ -899,6 +937,23 @@ ORACLES = {
     "q10_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "q33_outer_joins": """
+        WITH o AS (
+          SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders WHERE o_custkey >= 500 GROUP BY o_custkey
+        ), c AS (
+          SELECT c_custkey FROM customer WHERE c_custkey < 1000
+        ), j AS (
+          SELECT c.c_custkey, o.o_custkey, coalesce(o.n_orders, 0) AS n_orders
+          FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        )
+        SELECT CASE WHEN o_custkey IS NULL THEN 'customer_only'
+                    WHEN c_custkey IS NULL THEN 'orders_only'
+                    ELSE 'matched' END AS bucket,
+               COUNT(*) AS n_keys,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        FROM j GROUP BY 1 ORDER BY 1
     """,
     "q31_tpch_q3_shipping_priority": """
         SELECT l_orderkey,
