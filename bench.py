@@ -39,6 +39,9 @@ HEADLINE = [
     "q04_pricing_summary",
     "q08_fact_join_agg",
     "q10_topk",
+    # classic TPC-H Q3 workload shape (3-table filter-join-agg-topk) —
+    # the representative a reference user would benchmark first
+    "q31_tpch_q3_shipping_priority",
     "q18_sessionization",
     # the bucketed+salted LSH path is the 100 TB dedup plan and so the
     # headline representative; the all-pairs bitset form stays a
