@@ -835,9 +835,36 @@ def q33_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries through the SQL FRONT DOOR: the query is
+    issued as plain ``spark.sql`` over the registered fixture views —
+    the entry surface a reference user migrating SQL workloads uses —
+    and exercises the ScalarSubquery plan node (uncorrelated subqueries
+    become one-row broadcast exchanges, evaluated once, never per row)
+    plus IN-subquery-to-semi-join decorrelation. The SQL text is valid
+    in BOTH engines, so the oracle is literally the same string."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q34_SQL)
+
+
+_Q34_SQL = """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q33_outer_joins": q33_outer_joins,
+    "q34_sql_scalar_subquery": q34_sql_scalar_subquery,
     "q28_bag_set_ops": q28_bag_set_ops,
     "q29_array_functions": q29_array_functions,
     "q30_lag_lead_ntile": q30_lag_lead_ntile,
@@ -938,6 +965,9 @@ ORACLES = {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
     """,
+    # the identical SQL text runs in both engines — the strongest
+    # possible parity statement for the SQL entry surface
+    "q34_sql_scalar_subquery": _Q34_SQL,
     "q33_outer_joins": """
         WITH o AS (
           SELECT o_custkey, COUNT(*) AS n_orders
