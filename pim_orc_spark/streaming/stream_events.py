@@ -403,6 +403,108 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, "stream_click_attribution", "append")
 
 
+def stream_tws_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via ``transformWithStateInPandas``
+    — Spark 4's successor API to applyInPandasWithState, with
+    composable TYPED state handles instead of one opaque tuple. This
+    operator exercises the new surface (StatefulProcessor lifecycle +
+    ValueState) on per-user running extremes: min/max value in exact
+    integer cents plus the event count, one snapshot per user per
+    micro-batch.
+
+    State is a single typed row per user (the same O(active users)
+    bound as the GroupState twin ``stream_stateful_user_stats``); a
+    continuous deployment would add TTL via the handle's state TTL
+    config. Money stays integer cents so state is exact and
+    order-independent; the final snapshot equals the batch aggregate.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks
+    protobuf to the JVM state server, and this container ships no
+    ``protobuf`` package (pip installs are off-limits), so the query
+    CANNOT run here — it raises a clear NotImplementedError instead of
+    dying mid-stream with an opaque worker init failure. It is
+    therefore not registered in QUERIES (same policy as the absent
+    Avro package, SURVEY §8.5); deployments with protobuf get the full
+    operator, and the GroupState twin covers the custom-stateful
+    contract in this container's test suite."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its Python worker speaks protobuf to the state server), "
+            "which this environment does not provide; use "
+            "stream_stateful_user_stats (applyInPandasWithState) here"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    class ExtremesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("mn", LongType()),
+                    StructField("mx", LongType()),
+                    StructField("seq", LongType()),
+                ]
+            )
+            self._state = handle.getValueState("extremes", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, mn, mx, seq = self._state.get()
+            else:
+                n, mn, mx, seq = 0, None, None, 0
+            for pdf in rows:
+                cents = (pdf["value"] * 100).round().astype("int64")
+                n += len(cents)
+                bmn, bmx = int(cents.min()), int(cents.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            seq += 1
+            self._state.update((n, mn, mx, seq))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_cents": [mn],
+                    "max_cents": [mx],
+                    "batch_seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    snap = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ExtremesProcessor(),
+        outputStructType=(
+            "user_id long, n_events long, min_cents long, "
+            "max_cents long, batch_seq long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    tbl = run_to_completion(snap, "stream_tws_user_extremes", "update")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_seq").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("min_cents") / 100.0).alias("min_value"),
+            (F.col("max_cents") / 100.0).alias("max_value"),
+        )
+    )
+
+
 ADMIT_BLOCK_BELOW = 75  # static "already ingested" set: custkey < this
 
 
@@ -447,6 +549,8 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_stateful_user_stats": stream_stateful_user_stats,
+    # stream_tws_user_extremes is NOT registered: its worker needs the
+    # protobuf package this container lacks (see its docstring gate)
     "stream_enriched_totals": stream_enriched_totals,
     "stream_click_attribution": stream_click_attribution,
 }

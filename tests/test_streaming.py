@@ -185,3 +185,23 @@ def test_watermark_append_evicts_state_and_emits_complete_windows(
     assert removed >= len(expect), [
         p.get("stateOperators") for p in progress
     ]
+
+
+def test_tws_operator_gates_cleanly_without_protobuf(spark, sf_dir):
+    """transformWithStateInPandas needs the protobuf package this
+    container lacks; the operator must fail FAST with a clear message
+    (not mid-stream with an opaque worker-init error), and must stay
+    unregistered so the driver sweep never trips on it."""
+    import pytest
+
+    from pim_orc_spark.streaming import stream_events
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf available here; the gate only fires without it")
+    except ImportError:
+        pass
+    assert "stream_tws_user_extremes" not in stream_events.QUERIES
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        stream_events.stream_tws_user_extremes(spark, sf_dir)
