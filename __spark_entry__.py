@@ -148,6 +148,7 @@ PYTEST_ONLY = {
     "dedup_incremental",  # anti-join over the same md5 fingerprint dedup_exact attests
     "csv_roundtrip_sum",  # roundtrip shape attested by orc_roundtrip_sum
     "json_roundtrip_sum",
+    "schema_evolution_sum",  # mergeSchema union; roundtrip shape attested as above
 }
 
 

@@ -199,6 +199,48 @@ def partition_pruned_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A parquet directory whose files carry TWO schema generations —
+    the lakehouse reality where a column was added mid-corpus: odd
+    orderkeys were written before the ``l_disc_cents`` column existed,
+    even orderkeys after. Read back with ``mergeSchema=true``, which
+    unions file footers into one schema and fills the missing column
+    with NULLs for old files (schema evolution without rewriting a
+    byte of history). Idempotent per sf_dir."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, "lineitem_evolved")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        v1 = li.filter(F.col("l_orderkey") % 2 == 1).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        v2 = li.filter(F.col("l_orderkey") % 2 == 0).select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.round(F.col("l_discount") * 100)
+            .cast("long")
+            .alias("l_disc_cents"),
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def schema_evolution_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate across both schema generations: the full-corpus price
+    sum proves no row was lost to the schema union, and the
+    NULL-vs-present split of the late-added column proves old files
+    surface it as NULL (count + sum over the evolved column touch only
+    the rows whose files actually carry it)."""
+    t = evolved_table(spark, sf_dir)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_extendedprice", "sum_price"),
+        F.count("l_disc_cents").alias("n_with_disc"),
+        F.sum("l_disc_cents").alias("sum_disc_cents"),
+    )
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -248,6 +290,7 @@ QUERIES = {
     "partition_pruned_sum": partition_pruned_sum,
     "csv_roundtrip_sum": csv_roundtrip_sum,
     "json_roundtrip_sum": json_roundtrip_sum,
+    "schema_evolution_sum": schema_evolution_sum,
 }
 
 # Oracles run on the parquet fixtures (DuckDB has no ORC reader): the
@@ -270,6 +313,17 @@ ORACLES = {
     ),
     "csv_roundtrip_sum": (
         f"SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
+    ),
+    # the evolved column exists only for even orderkeys (the "new
+    # schema" files); NULL elsewhere
+    "schema_evolution_sum": (
+        "SELECT COUNT(*) AS n_rows, "
+        f"{exact_sum_sql('l_extendedprice', 'sum_price')}, "
+        "CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_with_disc, "
+        "CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN "
+        "CAST(round(l_discount * 100) AS BIGINT) END) AS BIGINT)"
+        " AS sum_disc_cents FROM lineitem"
     ),
     "json_roundtrip_sum": (
         f"SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
