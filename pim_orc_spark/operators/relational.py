@@ -697,9 +697,10 @@ def q29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset + distribution window functions (§2.5 depth beyond
     ranking/running): per-customer order-to-order price delta via
-    LAG, the next order date via LEAD, and spend quartile via NTILE —
-    one shuffle on the partition key serves all three (single Window
-    spec, so Catalyst plans ONE Sort+Window, not three)."""
+    LAG, the next order date via LEAD, and the order's DATE quartile
+    within its customer via NTILE — one shuffle on the partition key
+    serves all three (single Window spec ordered by date, so Catalyst
+    plans ONE Sort+Window, not three)."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey") <= 200
     )

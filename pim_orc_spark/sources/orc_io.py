@@ -209,7 +209,13 @@ def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte of history). Idempotent per sf_dir."""
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(_ORC_CACHE_ROOT, sf_tag, "lineitem_evolved")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # Two sequential write jobs build this cache, and Spark's _SUCCESS
+    # lands when the FIRST finishes — guarding on it would let an
+    # interrupted build (killed between the writes) pass the check
+    # forever after with half the files missing. Guard on an own
+    # marker written only after BOTH jobs committed.
+    done_marker = os.path.join(path, "_EVOLVED_COMPLETE")
+    if not os.path.exists(done_marker):
         li = load_table(spark, sf_dir, "lineitem")
         v1 = li.filter(F.col("l_orderkey") % 2 == 1).select(
             "l_orderkey", "l_extendedprice"
@@ -223,6 +229,8 @@ def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v1.write.mode("overwrite").parquet(path)
         v2.write.mode("append").parquet(path)
+        with open(done_marker, "w") as fh:
+            fh.write("ok\n")
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
