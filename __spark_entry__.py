@@ -115,6 +115,7 @@ PYTEST_ONLY = {
     "q29_array_functions",  # §2.6 array sub-family; deterministic array build
     "q33_outer_joins",  # full/left outer classification; joins attested by q07/q08/q31
     "q34_sql_scalar_subquery",  # SQL front door + ScalarSubquery; q21 attests decorrelation
+    "q35_map_functions",  # §2.6 map sub-family (map internal, scalar outputs)
     "q30_lag_lead_ntile",  # §2.5 offset/distribution windows (lag/lead/ntile)
     "q32_tpch_q5_local_supplier",  # 6-table join w/ same-nation constraint
     # (q31_tpch_q3 and pipeline_pack are EXPORTED: the classic workload

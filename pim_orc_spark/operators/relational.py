@@ -862,10 +862,51 @@ _Q34_SQL = """
     """
 
 
+def q35_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function coverage (§2.6 maps): per-order linenumber →
+    quantity maps built with map_from_entries over the deterministic
+    struct array (same build as q29), probed with element_at /
+    map_keys / cardinality. The MAP stays INTERNAL — outputs are
+    scalars — because map column encodings are not hash-comparable
+    across engines (key order is undefined); the oracle models the
+    same lookups on the sorted pair list.
+
+    Map keys must be UNIQUE (Spark raises on duplicates by default, and
+    relying on a dedup policy conf would be engine-specific), so
+    quantities are pre-aggregated per (order, linenumber) — the fixture
+    reuses linenumbers within an order — before the entries are built."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_line = (
+        li.filter(F.col("l_orderkey") <= 1000)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("l_linenumber", "qty")))
+    return (
+        per_line.groupBy("l_orderkey")
+        .agg(pairs.alias("pairs"))
+        .select(
+            "l_orderkey",
+            F.expr(
+                "map_from_entries(transform(pairs, "
+                "p -> struct(p.l_linenumber AS k, p.qty AS v)))"
+            ).alias("m"),
+        )
+        .select(
+            "l_orderkey",
+            F.expr("cardinality(m)").alias("n_lines"),
+            F.expr("element_at(m, 1)").alias("qty_line_1"),
+            F.expr("element_at(m, 7)").alias("qty_line_7"),
+            F.expr("array_max(map_keys(m))").alias("max_linenumber"),
+        )
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q33_outer_joins": q33_outer_joins,
     "q34_sql_scalar_subquery": q34_sql_scalar_subquery,
+    "q35_map_functions": q35_map_functions,
     "q28_bag_set_ops": q28_bag_set_ops,
     "q29_array_functions": q29_array_functions,
     "q30_lag_lead_ntile": q30_lag_lead_ntile,
@@ -969,6 +1010,26 @@ ORACLES = {
     # the identical SQL text runs in both engines — the strongest
     # possible parity statement for the SQL entry surface
     "q34_sql_scalar_subquery": _Q34_SQL,
+    # lookups modeled on the pair list (DuckDB's MAP key order is
+    # engine-internal; the scalar outputs are what must match)
+    "q35_map_functions": """
+        WITH per_line AS (
+          SELECT l_orderkey, l_linenumber, SUM(l_quantity) AS qty
+          FROM lineitem WHERE l_orderkey <= 1000
+          GROUP BY l_orderkey, l_linenumber
+        ), arr AS (
+          SELECT l_orderkey,
+                 list_sort(list({'ln': l_linenumber, 'q': qty})) AS pairs
+          FROM per_line
+          GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(len(pairs) AS INT) AS n_lines,
+               list_filter(pairs, p -> p.ln = 1)[1].q AS qty_line_1,
+               list_filter(pairs, p -> p.ln = 7)[1].q AS qty_line_7,
+               list_max(list_transform(pairs, p -> p.ln)) AS max_linenumber
+        FROM arr
+    """,
     "q33_outer_joins": """
         WITH o AS (
           SELECT o_custkey, COUNT(*) AS n_orders
