@@ -45,3 +45,38 @@ def exact_avg_sql(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def exact_revenue(
+    price_col: str = "l_extendedprice",
+    disc_col: str = "l_discount",
+    alias: str = "revenue",
+) -> Column:
+    """The TPC-H revenue aggregate SUM(price × (1 − discount)) in exact
+    integer-cents arithmetic: both factors are 2-dp values, so price in
+    cents × (100 − discount in percent-points) is an exact int64
+    product per row, summed into decimal(38,0) (overflow-safe past
+    ~9e9 rows/group) and presented as double ÷ 1e4. Order-independent
+    and hash-comparable — the q08 round-2 fix, shared by every revenue
+    query so the contract lives in ONE place."""
+    cents = F.round(F.col(price_col) * 100).cast("long")
+    pts = F.round(F.col(disc_col) * 100).cast("long")
+    return (
+        F.sum((cents * (F.lit(100) - pts)).cast("decimal(38,0)")).cast(
+            "double"
+        )
+        / F.lit(10000.0)
+    ).alias(alias)
+
+
+def exact_revenue_sql(
+    price: str = "l_extendedprice",
+    disc: str = "l_discount",
+    alias: str = "revenue",
+) -> str:
+    """DuckDB fragment computing the identical exact revenue."""
+    return (
+        f"CAST(SUM(CAST(round({price} * 100) AS BIGINT)"
+        f" * (100 - CAST(round({disc} * 100) AS BIGINT)))"
+        f" AS DOUBLE) / 10000.0 AS {alias}"
+    )

@@ -24,6 +24,8 @@ from pim_orc_spark.catalog import load_table
 from pim_orc_spark.functions.numeric import (
     exact_avg,
     exact_avg_sql,
+    exact_revenue,
+    exact_revenue_sql,
     exact_sum,
     exact_sum_sql,
 )
@@ -157,23 +159,16 @@ def q08_fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (int64 would wrap past ~9e9 rows/group at 100 TB), mirroring
     the reference's integer accumulator (reader.cc:62). The final sum →
     double cast and the one IEEE division by 1e4 are deterministic given
-    identical operands, so the result hash-matches the oracle."""
+    identical operands, so the result hash-matches the oracle. The
+    arithmetic lives in ``functions.numeric.exact_revenue`` — one
+    authority shared with the TPC-H Q3/Q5 queries."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_pp = F.round(F.col("l_discount") * 100).cast("long")
-    revenue = (
-        (
-            F.sum((price_cents * (F.lit(100) - disc_pp)).cast("decimal(38,0)"))
-            .cast("double")
-            / F.lit(10000.0)
-        ).alias("revenue")
-    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            revenue,
+            exact_revenue(),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("o_orderpriority")
@@ -736,16 +731,11 @@ def q31_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > cutoff
     )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_pts = F.round(F.col("l_discount") * 100).cast("long")
-    revenue = F.sum(
-        (cents * (100 - disc_pts)).cast("decimal(38,0)")
-    ).cast("double") / F.lit(10000.0)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue.alias("revenue"))
+        .agg(exact_revenue())
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -779,11 +769,6 @@ def q32_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_pts = F.round(F.col("l_discount") * 100).cast("long")
-    revenue = F.sum(
-        (cents * (100 - disc_pts)).cast("decimal(38,0)")
-    ).cast("double") / F.lit(10000.0)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -794,7 +779,7 @@ def q32_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(revenue.alias("revenue"))
+        .agg(exact_revenue())
         .orderBy(F.col("revenue").desc())
     )
 
@@ -850,11 +835,21 @@ def q34_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q34_SQL)
 
 
+# "price above the mean" as an INTEGER cross-multiplication
+# (price_cents × N > Σ price_cents), not AVG(double): a float mean is
+# summed in engine- and partition-order and can differ in final ulps,
+# flipping any order sitting exactly at the threshold. The integer
+# form is exact in both engines (Σ cents ≈ 5e7·rows and the product
+# cents·N stay far inside 64/128-bit integer range at fixture scale;
+# a 100 TB deployment widens to DECIMAL the same way exact_sum does).
 _Q34_SQL = """
         SELECT o_orderpriority,
                COUNT(*) AS n_above_avg
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                * (SELECT COUNT(*) FROM orders)
+              > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM orders)
           AND o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority
@@ -986,12 +981,9 @@ ORACLES = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name
     """,
-    "q08_fact_join_agg": """
+    "q08_fact_join_agg": f"""
         SELECT o_orderpriority,
-               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                    AS DOUBLE) / 10000.0
-                 AS revenue,
+               {exact_revenue_sql()},
                COUNT(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1047,13 +1039,11 @@ ORACLES = {
                CAST(SUM(n_orders) AS BIGINT) AS total_orders
         FROM j GROUP BY 1 ORDER BY 1
     """,
-    "q31_tpch_q3_shipping_priority": """
+    "q31_tpch_q3_shipping_priority": f"""
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                    AS DOUBLE) / 10000.0 AS revenue
+               {exact_revenue_sql()}
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -1064,11 +1054,9 @@ ORACLES = {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    "q32_tpch_q5_local_supplier": """
+    "q32_tpch_q5_local_supplier": f"""
         SELECT n_name,
-               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                    AS DOUBLE) / 10000.0 AS revenue
+               {exact_revenue_sql()}
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey

@@ -414,29 +414,48 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages.
 
     Scale shape: the quantized corpus is ~8× smaller than float64
-    vectors (scan bandwidth and cache footprint), the first pass is a
-    map-side broadcast-query scan with per-partition partial top-CAND
-    (the ann_cosine_topk_vectorized shuffle shape), and the exact
-    re-rank touches SQ_CAND×|queries| rows regardless of corpus size."""
+    vectors (scan bandwidth and cache footprint); the first-pass rank
+    shuffle carries only (query_id, vec_id, int score) — ~20 B rows
+    with NO vector payload — and the double vectors join back onto the
+    SQ_CAND×|queries| SURVIVORS only, so re-rank cost is
+    corpus-size-independent. (The rank shuffle is still
+    O(|corpus|×|queries|) rows; at extreme scale the scan stage swaps
+    in the per-partition partial-top-k kernel of
+    ``ann_cosine_topk_vectorized`` — the selection contract and this
+    re-rank stage are unchanged.)"""
     v = _unit_vectors(spark, sf_dir)
-    vq = v.withColumn(
-        "q8", F.transform(F.col("v"), lambda x: F.round(x * SQ_SCALE, 0))
+    q8_only = v.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: F.round(x * SQ_SCALE, 0)).alias(
+            "q8"
+        ),
     )
-    q = vq.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q8").alias("qq8"),
-        F.col("v").alias("qv"),
+    q = q8_only.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("qq8")
     )
     iscore = dot_unrolled(F.col("qq8"), F.col("q8"), DIM)
     wc = Window.partitionBy("query_id").orderBy(
         F.col("iscore").desc(), F.col("vec_id").asc()
     )
     cands = (
-        vq.crossJoin(F.broadcast(q))
+        q8_only.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", iscore.alias("iscore"), "v", "qv")
+        .select("query_id", "vec_id", iscore.alias("iscore"))
         .withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") <= SQ_CAND)
+        # exact re-rank inputs: double vectors attach to the tiny
+        # survivor set (corpus side by key, query side broadcast),
+        # never to pre-rank rows
+        .join(v, "vec_id")
+        .join(
+            F.broadcast(
+                v.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                )
+            ),
+            "query_id",
+        )
     )
     sim = dot_unrolled(F.col("qv"), F.col("v"), DIM)
     w = Window.partitionBy("query_id").orderBy(

