@@ -109,6 +109,7 @@ PYTEST_ONLY = {
     "text_repetition",
     "text_idf",
     "text_tfidf_topk",
+    "text_lm_score",  # corpus-bigram LM quality filter (perplexity proxy)
     "q28_bag_set_ops",
     "stream_incremental_admit",
     "ann_sq_topk",

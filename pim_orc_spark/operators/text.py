@@ -563,8 +563,71 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document — the
+    perplexity-proxy quality filter (KenLM-style) of production
+    curation pipelines: documents whose token transitions are unusual
+    for the corpus score low and get culled.
+
+    Model: P(w2|w1) = c(w1 w2) / c(w1·) from corpus bigram counts;
+    score = mean log-probability over the doc's bigrams. Determinism:
+    each bigram's log-prob is quantized ONCE to integer micro-nats
+    (round(ln p × 1e6)) in the model table, so the per-doc mean is an
+    exact integer sum ÷ count — order-independent, the same
+    integer-scaling trick as exact_revenue — and the only float op
+    (the shared ln) is computed identically per distinct bigram in
+    both engines, then rounded far above ulp noise.
+
+    Scale shape: the bigram model is a bounded vocabulary² table built
+    with one partially-aggregated pass and broadcast; scoring is one
+    explode + broadcast join + groupBy doc — two corpus passes total
+    (model + score), both linear. Docs with < 2 tokens have no bigrams
+    and are excluded by contract (both engines)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    with_tok = d.select("doc_id", tok.alias("tok")).filter(
+        F.size("tok") >= 2
+    )
+    bigrams = with_tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tok) - 1), "
+                "i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    c2 = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        bigrams.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    model = (
+        c2.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "bg",
+            F.round(F.log(F.col("c2") / F.col("c1")) * 1e6)
+            .cast("long")
+            .alias("micro_ln_p"),
+        )
+    )
+    return (
+        bigrams.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("micro_ln_p") / (F.count(F.lit(1)) * 1e6), 6
+            ).alias("lm_score"),
+        )
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
+    "text_lm_score": text_lm_score,
     "text_repetition": text_repetition,
     "text_idf": text_idf,
     "text_tfidf_topk": text_tfidf_topk,
@@ -621,6 +684,32 @@ def _idf_sql() -> str:
 
 
 ORACLES = {
+    "text_lm_score": f"""
+        WITH t AS (
+          SELECT doc_id, {_tok_sql()} AS tok FROM documents
+        ), bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tok)),
+                        i -> tok[i] || ' ' || tok[i + 1])) AS bg
+          FROM t WHERE len(tok) >= 2
+        ), c2 AS (
+          SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg
+        ), c1 AS (
+          SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+          FROM bg GROUP BY 1
+        ), model AS (
+          SELECT c2.bg,
+                 CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e6)
+                      AS BIGINT) AS micro_ln_p
+          FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+        )
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               round(CAST(SUM(m.micro_ln_p) AS DOUBLE)
+                     / (COUNT(*) * 1e6), 6) AS lm_score
+        FROM bg b JOIN model m ON b.bg = m.bg
+        GROUP BY b.doc_id
+    """,
     "text_repetition": f"""
         WITH tc AS (
           SELECT doc_id, t, COUNT(*) AS c
