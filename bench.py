@@ -30,6 +30,12 @@ if _REPO_ROOT not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+# Scaling-slope pass: the headline set re-times at a 10×-smaller scale
+# factor and the per-query ratio is reported (superlinear detector).
+SMALL_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
+)
+SLOPE_ITERS = int(os.environ.get("SPARK_GRAFT_SLOPE_ITERS", "2"))
 
 # Headline set: the flagship reference-parity scan-agg plus one
 # representative of each operator family (grouped agg, large join,
@@ -150,21 +156,58 @@ def main() -> None:
     # the scan. Informs the stripe-sized-partition stance in session.py.
     sweep: dict[str, float] = {}
     default_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    for mb in (1, 4, 16, 128):
-        spark.conf.set(
-            "spark.sql.files.maxPartitionBytes", str(mb * 1024 * 1024)
-        )
-        # min of 2: a single sample per size is noisier than the axis
-        # being measured (a one-off stall inverts the whole curve)
-        ts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs["q01_flagship_sum"](spark, SF_DIR).write.format("noop").mode(
+    # try/finally: an exception mid-sweep must not leave a 1-16 MB
+    # partition size set for everything that runs after it
+    try:
+        for mb in (1, 4, 16, 128):
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(mb * 1024 * 1024)
+            )
+            # min of 2: a single sample per size is noisier than the
+            # axis being measured (a one-off stall inverts the curve)
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs["q01_flagship_sum"](spark, SF_DIR).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            sweep[f"{mb}MB"] = round(min(ts), 4)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", default_mpb)
+
+    # Scaling slope: the same headline set at the 10×-smaller scale
+    # factor in the same process, and the per-query large/small ratio.
+    # A linear operator lands near the data ratio (≈10, minus fixed
+    # job overhead); a superlinear constant hiding at fixture scale
+    # shows up as a ratio well above it — the check that would have
+    # caught the r3 LSH cliff a round earlier. min-of-N at both scales
+    # keeps the ratio contention-immune.
+    small_timings: dict[str, float] = {}
+    scale_ratio: dict[str, float] = {}
+    if SLOPE_ITERS > 0 and os.path.isdir(SMALL_SF_DIR):
+        orc_table(spark, SMALL_SF_DIR, "lineitem")
+        for name in HEADLINE:  # untimed codegen pass at this scale
+            qs[name](spark, SMALL_SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-            ts.append(time.perf_counter() - t0)
-        sweep[f"{mb}MB"] = round(min(ts), 4)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", default_mpb)
+        ssamples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+        for _ in range(SLOPE_ITERS):
+            reclaim()
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                qs[name](spark, SMALL_SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ssamples[name].append(time.perf_counter() - t0)
+        small_timings = {
+            name: round(min(ts), 4) for name, ts in ssamples.items()
+        }
+        scale_ratio = {
+            name: round(timings_min[name] / small_timings[name], 2)
+            for name in HEADLINE
+            if small_timings.get(name, 0) > 0
+        }
 
     # Scan-agg throughput for the flagship (reference continuity metric).
     n_rows = qs["q05_metadata_count"](spark, SF_DIR).collect()[0][0]
@@ -182,6 +225,9 @@ def main() -> None:
                 "value_min": round(sum(timings_min.values()), 4),
                 "spread_flags": spread_flags,
                 "partition_sweep_q01": sweep,
+                "queries_small_sf": small_timings,
+                "scale_ratio": scale_ratio,
+                "small_sf": SMALL_SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iterations": ITERS,
                 "lineitem_rows": n_rows,

@@ -48,12 +48,15 @@ def _funnel(
     # derivation chains (raw/quality/exact/final stage counts) and the
     # near-dup stage shingles the exact survivors — without a
     # materialization the tokenize+fingerprint scan re-runs once per
-    # consumer. One row per doc, the same executor-local trade as the
-    # dedup module's gram checkpoint.
+    # consumer. The checkpointed row is the NARROW (doc_id, source,
+    # n_tok, fp) tuple — not the text payload: only the near-dup stage
+    # needs text, and it re-reads that one column from the columnar
+    # source for the survivor set instead of every stage's checkpoint
+    # carrying the full document (the same footprint trade the dedup
+    # module's keys+mask checkpoint makes).
     base = d.select(
         "doc_id",
         "source",
-        "text",
         F.size(tok).alias("n_tok"),
         F.md5(F.concat_ws(" ", tok)).alias("fp"),
     ).localCheckpoint()
@@ -63,8 +66,12 @@ def _funnel(
     keep_fp = qual.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     exact = qual.join(keep_fp, ["fp", "doc_id"])
     # near dedup among survivors: LSH pairs (exact-J≥0.8 contract), drop
-    # the larger id of every pair
-    pairs = minhash_pairs(spark, exact.select("doc_id", "text"))
+    # the larger id of every pair. Text re-attaches from the source scan
+    # (column-pruned to doc_id+text) for survivors only.
+    pairs = minhash_pairs(
+        spark,
+        exact.select("doc_id").join(d.select("doc_id", "text"), "doc_id"),
+    )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = exact.join(drop, "doc_id", "left_anti")
     return base, qual, exact, final

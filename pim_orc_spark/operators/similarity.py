@@ -414,15 +414,22 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages.
 
     Scale shape: the quantized corpus is ~8× smaller than float64
-    vectors (scan bandwidth and cache footprint); the first-pass rank
-    shuffle carries only (query_id, vec_id, int score) — ~20 B rows
-    with NO vector payload — and the double vectors join back onto the
-    SQ_CAND×|queries| SURVIVORS only, so re-rank cost is
-    corpus-size-independent. (The rank shuffle is still
-    O(|corpus|×|queries|) rows; at extreme scale the scan stage swaps
-    in the per-partition partial-top-k kernel of
-    ``ann_cosine_topk_vectorized`` — the selection contract and this
-    re-rank stage are unchanged.)"""
+    vectors (scan bandwidth and cache footprint); the first pass is
+    the per-partition partial-top-k kernel (one integer matmul per
+    Arrow batch, top-SQ_CAND per query per batch), so the rank
+    shuffle carries ≤ partitions × |queries| × SQ_CAND candidate rows
+    of (query_id, vec_id, int) — corpus-size-independent, the same
+    shuffle shape as ``ann_cosine_topk_vectorized`` — and the double
+    vectors join back onto the SQ_CAND×|queries| SURVIVORS only.
+    Partial-then-global top-k reproduces the oracle's global window
+    rank EXACTLY because integer scores with the (iscore DESC, vec_id
+    ASC) tie-break are a total order. Quantization stays Spark-side
+    (F.round = HALF_UP, matching the oracle's round()) so the int
+    scores are bit-identical in both engines; the numpy matmul over
+    already-rounded int64 values is exact integer arithmetic."""
+    import numpy as np
+    import pandas as pd
+
     v = _unit_vectors(spark, sf_dir)
     q8_only = v.select(
         "vec_id",
@@ -430,17 +437,52 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q8"
         ),
     )
-    q = q8_only.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("q8").alias("qq8")
+    qrows = (
+        q8_only.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
     )
-    iscore = dot_unrolled(F.col("qq8"), F.col("q8"), DIM)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    # q8 components are small exact integers stored as doubles; the
+    # int64 cast is lossless
+    Q8 = np.stack(
+        [np.asarray(r["q8"], dtype=np.float64) for r in qrows]
+    ).astype(np.int64)
+
+    cand_schema = "query_id long, vec_id long, iscore long"
+
+    def sq_partial_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V8 = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["q8"]]
+            ).astype(np.int64)
+            S = V8 @ Q8.T  # exact integer scores, (batch, queries)
+            frames = []
+            for j in range(len(q_ids)):
+                s = S[:, j]
+                cand = np.nonzero(ids != q_ids[j])[0]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((ids[cand], -s[cand]))
+                take = cand[order[:SQ_CAND]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(take.size, q_ids[j]),
+                            "vec_id": ids[take],
+                            "iscore": s[take],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
     wc = Window.partitionBy("query_id").orderBy(
         F.col("iscore").desc(), F.col("vec_id").asc()
     )
     cands = (
-        q8_only.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", iscore.alias("iscore"))
+        q8_only.mapInPandas(sq_partial_topk, cand_schema)
         .withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") <= SQ_CAND)
         # exact re-rank inputs: double vectors attach to the tiny

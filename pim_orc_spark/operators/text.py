@@ -563,26 +563,40 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_MIN_COUNT = 2  # model prune: drop singleton bigrams (the long tail)
+LM_VOCAB_CAP = 65536  # HARD cap on model rows: top-V by (count, bg)
+# Unseen-bigram backoff: ln(1e-7) in micro-nats, the shared literal
+# floor both engines add for any doc bigram outside the pruned model
+LM_UNSEEN_MICRO = -16_118_096
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram language-model score per document — the
     perplexity-proxy quality filter (KenLM-style) of production
     curation pipelines: documents whose token transitions are unusual
     for the corpus score low and get culled.
 
-    Model: P(w2|w1) = c(w1 w2) / c(w1·) from corpus bigram counts;
-    score = mean log-probability over the doc's bigrams. Determinism:
-    each bigram's log-prob is quantized ONCE to integer micro-nats
-    (round(ln p × 1e6)) in the model table, so the per-doc mean is an
-    exact integer sum ÷ count — order-independent, the same
-    integer-scaling trick as exact_revenue — and the only float op
-    (the shared ln) is computed identically per distinct bigram in
-    both engines, then rounded far above ulp noise.
+    Model: P(w2|w1) = c(w1 w2) / c(w1·) from corpus bigram counts,
+    PRUNED the way real KenLM pipelines prune — singleton bigrams
+    (c2 < LM_MIN_COUNT) are dropped, then a hard top-LM_VOCAB_CAP cap
+    by (count DESC, bg ASC) bounds the model at 65,536 rows no matter
+    the corpus size; any doc bigram outside the model scores the
+    shared unseen floor LM_UNSEEN_MICRO (ln 1e-7). Determinism: each
+    surviving bigram's log-prob is quantized ONCE to integer
+    micro-nats (round(ln p × 1e6)), the floor is an integer literal,
+    so the per-doc mean is an exact integer sum ÷ count —
+    order-independent — and the cap's total order (count, bg) is
+    tie-free.
 
-    Scale shape: the bigram model is a bounded vocabulary² table built
-    with one partially-aggregated pass and broadcast; scoring is one
-    explode + broadcast join + groupBy doc — two corpus passes total
-    (model + score), both linear. Docs with < 2 tokens have no bigrams
-    and are excluded by contract (both engines)."""
+    Scale shape: the broadcast model is provably O(LM_VOCAB_CAP) — the
+    prune runs on the aggregated count table and the cap is a
+    distributed TakeOrderedAndProject (per-partition partial top-V,
+    merge of V-row slices), never a single-partition global sort; the
+    c1 join broadcasts the ≤cap-row capped side, not the unbounded
+    unigram table. Scoring is one explode + bounded broadcast LEFT
+    join + groupBy doc — two corpus passes total (model + score),
+    both linear. Docs with < 2 tokens have no bigrams and are
+    excluded by contract (both engines)."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = tokens("text")
     with_tok = d.select("doc_id", tok.alias("tok")).filter(
@@ -598,14 +612,26 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     )
     c2 = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # prune + cap: orderBy().limit() plans TakeOrderedAndProject
+    # (distributed partial top-V), and (c2 DESC, bg ASC) is a total
+    # order so the capped set is deterministic across engines
+    capped = (
+        c2.filter(F.col("c2") >= LM_MIN_COUNT)
+        .orderBy(F.col("c2").desc(), F.col("bg").asc())
+        .limit(LM_VOCAB_CAP)
+    )
     c1 = (
         bigrams.select(F.substring_index("bg", " ", 1).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     model = (
-        c2.withColumn("w1", F.substring_index("bg", " ", 1))
-        .join(F.broadcast(c1), "w1")
+        c1.join(
+            F.broadcast(
+                capped.withColumn("w1", F.substring_index("bg", " ", 1))
+            ),
+            "w1",
+        )
         .select(
             "bg",
             F.round(F.log(F.col("c2") / F.col("c1")) * 1e6)
@@ -614,12 +640,18 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bigrams.join(F.broadcast(model), "bg")
+        bigrams.join(F.broadcast(model), "bg", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
-                F.sum("micro_ln_p") / (F.count(F.lit(1)) * 1e6), 6
+                F.sum(
+                    F.coalesce(
+                        F.col("micro_ln_p"), F.lit(LM_UNSEEN_MICRO)
+                    )
+                )
+                / (F.count(F.lit(1)) * 1e6),
+                6,
             ).alias("lm_score"),
         )
     )
@@ -694,20 +726,25 @@ ORACLES = {
           FROM t WHERE len(tok) >= 2
         ), c2 AS (
           SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg
+        ), capped AS (
+          SELECT bg, c2 FROM c2 WHERE c2 >= {LM_MIN_COUNT}
+          QUALIFY row_number() OVER (ORDER BY c2 DESC, bg ASC)
+                    <= {LM_VOCAB_CAP}
         ), c1 AS (
           SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
           FROM bg GROUP BY 1
         ), model AS (
-          SELECT c2.bg,
-                 CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e6)
+          SELECT capped.bg,
+                 CAST(round(ln(CAST(capped.c2 AS DOUBLE) / c1.c1) * 1e6)
                       AS BIGINT) AS micro_ln_p
-          FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+          FROM capped JOIN c1 ON split_part(capped.bg, ' ', 1) = c1.w1
         )
         SELECT b.doc_id,
                COUNT(*) AS n_bigrams,
-               round(CAST(SUM(m.micro_ln_p) AS DOUBLE)
+               round(CAST(SUM(coalesce(m.micro_ln_p, {LM_UNSEEN_MICRO}))
+                          AS DOUBLE)
                      / (COUNT(*) * 1e6), 6) AS lm_score
-        FROM bg b JOIN model m ON b.bg = m.bg
+        FROM bg b LEFT JOIN model m ON b.bg = m.bg
         GROUP BY b.doc_id
     """,
     "text_repetition": f"""

@@ -216,6 +216,18 @@ def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # marker written only after BOTH jobs committed.
     done_marker = os.path.join(path, "_EVOLVED_COMPLETE")
     if not os.path.exists(done_marker):
+        import shutil
+
+        # Build into a private temp dir and atomically rename into
+        # place: two sessions racing this build can no longer
+        # interleave overwrite/append into one directory (which could
+        # leave duplicated even-orderkey files the marker then blesses
+        # forever). rename() fails if the destination exists, so
+        # exactly one builder wins; the loser discards its copy.
+        if os.path.exists(path):
+            # stale half-build from an interrupted writer (no marker)
+            shutil.rmtree(path, ignore_errors=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
         li = load_table(spark, sf_dir, "lineitem")
         v1 = li.filter(F.col("l_orderkey") % 2 == 1).select(
             "l_orderkey", "l_extendedprice"
@@ -227,10 +239,16 @@ def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("l_disc_cents"),
         )
-        v1.write.mode("overwrite").parquet(path)
-        v2.write.mode("append").parquet(path)
-        with open(done_marker, "w") as fh:
+        v1.write.mode("overwrite").parquet(tmp)
+        v2.write.mode("append").parquet(tmp)
+        with open(os.path.join(tmp, "_EVOLVED_COMPLETE"), "w") as fh:
             fh.write("ok\n")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(done_marker):
+                raise
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
@@ -327,7 +345,11 @@ ORACLES = {
     "schema_evolution_sum": (
         "SELECT COUNT(*) AS n_rows, "
         f"{exact_sum_sql('l_extendedprice', 'sum_price')}, "
-        "CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        # COUNT over the CASE (not SUM of 1s): skips NULL l_discount
+        # exactly like the Spark side's count(l_disc_cents), so a
+        # regenerated fixture with NULL discounts stays in agreement
+        "CAST(COUNT(CASE WHEN l_orderkey % 2 = 0 THEN "
+        "round(l_discount * 100) END) AS BIGINT)"
         " AS n_with_disc, "
         "CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN "
         "CAST(round(l_discount * 100) AS BIGINT) END) AS BIGINT)"
