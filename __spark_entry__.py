@@ -124,6 +124,13 @@ def _modules():
 #                           DSv2) + the PushedAggregation plan
 #                           assertion in tests/test_plans.py (ORC DSv2)
 PYTEST_ONLY = {
+    # new round-5 operators: pytest-oracle-checked now, first in line
+    # for the round-6 promotion rotation (the sweep budget is full at
+    # 50 this round because every never-attested entry was promoted):
+    "q36_tpch_q18_large_orders",  # aggregate-then-semi-filter (HAVING) workload
+    "q37_tpch_q10_returned_items",  # returned-item reporting, agg-before-dim-join
+    "q39_skew_salted_join",  # first-class salted-join kernel, oracle = unsalted join
+    "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     # rotated out this round (twins above):
     "q02_null_skip_sum",
     "q06_projection_pruning",

@@ -918,8 +918,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix — the contamination
+    report a corpus owner reads before mixing sources into a training
+    run: for every unordered source pair (including same-source), how
+    many near-duplicate document pairs (exact-J ≥ 0.8 contract, the
+    ``minhash_pairs`` engine) span them.
+
+    Scale shape: the pair set is the LSH engine's output — orders of
+    magnitude smaller than the corpus — so source attribution joins
+    the (doc_id, source) projection against the BROADCAST pair list
+    twice (fact side streams, pair side replicates), and the matrix
+    aggregate is |sources|² rows at most. If a pathological corpus
+    made the pair set exceed broadcast size, both joins flip to
+    shuffle equi-joins on doc_id with no semantic change."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    pairs = minhash_pairs(spark, d.select("doc_id", "text"))
+    src = d.select("doc_id", "source")
+    with_a = src.join(
+        F.broadcast(pairs.select("doc_a", "doc_b")),
+        F.col("doc_id") == F.col("doc_a"),
+    ).select("doc_a", "doc_b", F.col("source").alias("source_a"))
+    with_ab = src.join(
+        F.broadcast(with_a), F.col("doc_id") == F.col("doc_b")
+    ).select("source_a", F.col("source").alias("source_b"))
+    return (
+        with_ab.select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_overlap_matrix": dedup_overlap_matrix,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_bitset_jaccard": dedup_bitset_jaccard,
@@ -1017,6 +1052,20 @@ ORACLES = {
         SELECT doc_id, fp FROM fps
         WHERE doc_id >= {INCR_BATCH_MIN_ID}
           AND fp NOT IN (SELECT fp FROM fps WHERE doc_id < {INCR_BATCH_MIN_ID})
+    """,
+    "dedup_overlap_matrix": f"""
+        WITH pairs AS (
+          {_jaccard_pairs_sql()}
+        ), m AS (
+          SELECT da.source AS source_a, db.source AS source_b
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.doc_a
+          JOIN documents db ON db.doc_id = p.doc_b
+        )
+        SELECT least(source_a, source_b) AS source_lo,
+               greatest(source_a, source_b) AS source_hi,
+               COUNT(*) AS n_pairs
+        FROM m GROUP BY 1, 2
     """,
     "dedup_simhash": _simhash_sql(),
     # all-pairs XOR+popcount ground truth; the block-pigeonhole plan is

@@ -897,8 +897,170 @@ def q35_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q18_QTY_THRESHOLD = 250  # large-order cutoff (~top 1% at any SF)
+
+
+def q36_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): find orders whose total
+    quantity exceeds a threshold, then attach customer detail — the
+    classic aggregate-then-semi-filter workload.
+
+    Scale shape: the per-order quantity sum is a map-side-partial
+    HashAggregate over lineitem (shuffle carries one row per orderkey,
+    not per lineitem); the HAVING filter then shrinks it to the ~top
+    1% of orders, and only that small survivor set joins orders and
+    customer — AQE sizes those joins at runtime (the survivor side is
+    usually broadcastable no matter the corpus size, because the
+    threshold selects a fixed quantile, not a fixed fraction of
+    rows). Final ORDER BY + LIMIT plans as TakeOrderedAndProject.
+    Quantity totals use exact decimal arithmetic so the threshold
+    comparison and the reported total are order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q37_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer over one quarter, top 20 — the report a reference user
+    runs right after Q3/Q5.
+
+    Scale shape: both fact scans are filtered AT THE SCAN (quarter
+    predicate on orders, returnflag on lineitem — PushedFilters), the
+    fact-fact join shuffles on orderkey, and revenue aggregates down
+    to one row per customer BEFORE the customer dimension joins on —
+    so the widest join input is |filtered custkeys|, not |lineitem|.
+    Nation broadcasts. Exact integer-cents revenue; ties in the top-20
+    break on c_custkey."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(exact_revenue())
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        rev.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+N_SALTS = 8  # skew fan-out: each hot key's work splits over 8 tasks
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_expr: F.Column,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """First-class skew-salted equi-join kernel: the large side gets a
+    deterministic salt in [0, n_salts) from ``salt_expr`` (any
+    expression over its columns — a row-id hash spreads uniformly),
+    the small side is replicated once per salt value, and the join
+    runs on (key, salt) — so a hot key's rows land in ``n_salts``
+    shuffle partitions instead of one straggler task. The salt value
+    never affects the result: every large-side row still meets every
+    matching small-side row exactly once (on its own salt replica).
+
+    This is the manual form of AQE's skewedJoin for the cases AQE
+    can't fix (skew inside one key, not across partition boundaries —
+    AQE only splits partitions, never a single key's rows). The
+    replicated small side costs |small| × n_salts rows, which is the
+    explicit trade: use it when small is dimension-sized and one key
+    dominates the fact side (same analysis as the dedup module's
+    salted band join, dedup.py)."""
+    salted_large = large.withColumn(
+        "__salt", F.pmod(salt_expr, F.lit(n_salts)).cast("int")
+    )
+    spark = large.sparkSession
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    replicated_small = small.crossJoin(F.broadcast(salts))
+    # Pin the shuffle path (round-4 lesson: pin any join that must
+    # scale past broadcast size). If Spark could broadcast the small
+    # side the caller wouldn't need salting at all — and AQE's
+    # size-estimate flip-flops would otherwise silently turn this into
+    # a broadcast join at fixture scale, un-exercising the very plan
+    # the kernel exists to produce.
+    return (
+        salted_large.hint("shuffle_merge")
+        .join(replicated_small, [key, "__salt"])
+        .drop("__salt")
+    )
+
+
+def q39_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling demonstration on a REAL hot key: l_returnflag has
+    3 values over all of lineitem (~25/25/50% — every key is hot), so
+    a shuffle equi-join on it puts ~50% of the fact table into one
+    task. The salted_join kernel spreads each flag over N_SALTS tasks;
+    the broadcast-disabled hint forces the shuffle path so the salting
+    is actually load-bearing (a broadcast join would hide the skew —
+    and at 100 TB the small side of a real skew case is often just
+    over the broadcast threshold).
+
+    The dimension is derived from lineitem itself (per-flag row
+    counts), so the query also certifies the replicate-join identity:
+    every output group's n_items must equal its flag_rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("flag_rows"))
+        .hint("shuffle_merge")
+    )
+    joined = salted_join(
+        li,
+        dim,
+        key="l_returnflag",
+        # deterministic per-row spread: hash of the line's identity
+        salt_expr=F.xxhash64("l_orderkey", "l_linenumber"),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            exact_revenue(),
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("flag_rows").alias("flag_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
+    "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
+    "q37_tpch_q10_returned_items": q37_tpch_q10_returned_items,
+    "q39_skew_salted_join": q39_skew_salted_join,
     "q33_outer_joins": q33_outer_joins,
     "q34_sql_scalar_subquery": q34_sql_scalar_subquery,
     "q35_map_functions": q35_map_functions,
@@ -1068,6 +1230,51 @@ ORACLES = {
           AND o_orderdate >= DATE '1996-01-01'
           AND o_orderdate < DATE '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC
+    """,
+    "q36_tpch_q18_large_orders": f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 {exact_sum_sql('l_quantity', 'total_qty')}
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   > {Q18_QTY_THRESHOLD}
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice, total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q37_tpch_q10_returned_items": f"""
+        WITH rev AS (
+          SELECT o_custkey, {exact_revenue_sql()}
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= DATE '1996-01-01'
+            AND o_orderdate < DATE '1996-04-01'
+          GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        FROM rev
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    # the UNSALTED join: salting must be result-invariant, so the
+    # oracle is the plain equi-join the kernel claims to reproduce
+    "q39_skew_salted_join": f"""
+        WITH dim AS (
+          SELECT l_returnflag, COUNT(*) AS flag_rows
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               {exact_revenue_sql()},
+               COUNT(*) AS n_items,
+               MIN(flag_rows) AS flag_rows
+        FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
     """,
     "q30_lag_lead_ntile": """
         SELECT o_custkey, o_orderkey,

@@ -204,3 +204,41 @@ def test_tfidf_joins_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 2
+
+
+def test_salted_join_is_shuffle_on_salted_keys(spark, sf_dir):
+    """The salted-join kernel must (a) keep the big join on the
+    SHUFFLE path — a broadcast join would make the salting dead code
+    and hide the skew it exists to fix — and (b) join on BOTH the user
+    key and the salt column, so each hot key's rows spread over
+    N_SALTS shuffle partitions."""
+    from pim_orc_spark.operators.relational import q39_skew_salted_join
+
+    plan = (
+        q39_skew_salted_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin [l_returnflag" in plan, plan[:1500]
+    assert "__salt" in plan
+
+
+def test_q37_aggregates_before_customer_join(spark, sf_dir):
+    """TPC-H Q10's revenue must aggregate to one row per custkey
+    BEFORE the customer dimension joins on (the wide fact join result
+    never carries customer attributes); nation must broadcast."""
+    from pim_orc_spark.operators.relational import (
+        q37_tpch_q10_returned_items,
+    )
+    from pim_orc_spark.plans.profile import explain_profile
+
+    plan = explain_profile(
+        q37_tpch_q10_returned_items(spark, sf_dir), execute=False
+    )
+    assert "BroadcastHashJoin" in plan  # nation side
+    # revenue aggregates keyed on the FACT-side custkey (o_custkey):
+    # that grouping key only exists if the aggregate runs before the
+    # customer join (a join-first rewrite would group on c_custkey
+    # with customer attributes riding through the wide join)
+    assert "Keys [1]: [o_custkey" in plan, plan[:2000]
