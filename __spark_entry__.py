@@ -131,6 +131,7 @@ PYTEST_ONLY = {
     "q37_tpch_q10_returned_items",  # returned-item reporting, agg-before-dim-join
     "q39_skew_salted_join",  # first-class salted-join kernel, oracle = unsalted join
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
+    "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
     # rotated out this round (twins above):
     "q02_null_skip_sum",
     "q06_projection_pruning",

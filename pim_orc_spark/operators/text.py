@@ -657,8 +657,66 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TOKEN_BUDGET = 600  # per-source token target after rebalancing
+MIX_GATE_MOD = 1_000_000  # hash-gate resolution (micro-rate units)
+
+
+def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-rebalancing sampler — the data-MIXING step of a training
+    run: each source is downsampled toward a per-source token budget
+    (mixture weights), so over-represented sources stop dominating the
+    mixture. The keep decision is a deterministic hash gate (same
+    poly_hash contract as ``text_hash_sample``): rate_micro =
+    min(1e6, 1e6 × budget ÷ source_tokens) in EXACT integer division,
+    and a doc survives iff hash(doc_id) mod 1e6 < its source's
+    rate_micro — reproducible across engines, partitionings, and
+    reruns, no RNG stream.
+
+    Scale shape: one map-side-partial aggregate computes per-source
+    token totals (|sources| rows), the micro-rates broadcast back onto
+    the corpus, and the gate is map-only — two linear passes, no
+    corpus shuffle. At 100 TB the rates table is exactly the mixture
+    config artifact a production run ships; computing it in-engine
+    keeps the weights consistent with the corpus actually present."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    )
+    totals = per_doc.groupBy("source").agg(
+        F.sum("n_tok").alias("source_tokens")
+    )
+    rates = totals.select(
+        "source",
+        F.least(
+            F.lit(MIX_GATE_MOD).cast("long"),
+            F.expr(
+                f"CAST({MIX_GATE_MOD * MIX_TOKEN_BUDGET} AS BIGINT)"
+                " div source_tokens"
+            ),
+        ).alias("rate_micro"),
+    )
+    # Gate input is SALTED AND PADDED ("mix:<id>:gate"), not the bare
+    # id string: poly_hash of a short string never wraps the 2^31-1
+    # modulus (a 3-digit id hashes below ~55k), so `% 1e6` on the bare
+    # id would pass everything. The fixed affix guarantees ≥ 9 folded
+    # chars — the hash wraps several times and the low 6 decimal
+    # digits mix.
+    gate_key = F.concat(
+        F.lit("mix:"), F.col("doc_id").cast("string"), F.lit(":gate")
+    )
+    kept = per_doc.join(F.broadcast(rates), "source").filter(
+        poly_hash(gate_key) % MIX_GATE_MOD < F.col("rate_micro")
+    )
+    return kept.groupBy("source").agg(
+        F.min("rate_micro").alias("rate_micro"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+    )
+
+
 QUERIES = {
     "text_tokens": text_tokens,
+    "text_source_mix": text_source_mix,
     "text_lm_score": text_lm_score,
     "text_repetition": text_repetition,
     "text_idf": text_idf,
@@ -831,6 +889,30 @@ ORACLES = {
         FROM documents
         WHERE ({poly_hash_sql("CAST(doc_id AS VARCHAR)")}) % 100 < {SAMPLE_PCT}
         GROUP BY source
+    """,
+    "text_source_mix": f"""
+        WITH per_doc AS (
+          SELECT doc_id, source, len({_tok_sql()}) AS n_tok
+          FROM documents
+        ), totals AS (
+          SELECT source, CAST(SUM(n_tok) AS BIGINT) AS source_tokens
+          FROM per_doc GROUP BY source
+        ), rates AS (
+          SELECT source,
+                 least(CAST({MIX_GATE_MOD} AS BIGINT),
+                       CAST({MIX_GATE_MOD * MIX_TOKEN_BUDGET} AS BIGINT)
+                         // source_tokens) AS rate_micro
+          FROM totals
+        ), kept AS (
+          SELECT p.source, p.n_tok, r.rate_micro
+          FROM per_doc p JOIN rates r ON p.source = r.source
+          WHERE ({poly_hash_sql("('mix:' || CAST(p.doc_id AS VARCHAR) || ':gate')")})
+                  % {MIX_GATE_MOD} < r.rate_micro
+        )
+        SELECT source, MIN(rate_micro) AS rate_micro,
+               COUNT(*) AS n_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+        FROM kept GROUP BY source
     """,
     "text_median_len": """
         SELECT source,

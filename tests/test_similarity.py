@@ -42,15 +42,19 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
 
 
 def test_scale_paths_have_no_allpairs_join(spark, sf_dir):
-    """The vectorized exact top-k and IVF plans are the 100 TB ANN
-    paths: neither may contain a cartesian or broadcast-nested-loop
-    join (those are reserved for the labeled window-ranked baseline,
-    which IS allowed to cross-join its bounded query set)."""
+    """The vectorized exact top-k, IVF, and scalar-quantized plans are
+    the 100 TB ANN paths: none may contain a cartesian or
+    broadcast-nested-loop join (those are reserved for the labeled
+    window-ranked baseline, which IS allowed to cross-join its bounded
+    query set). For ann_sq_topk this also guards the round-5 rewrite:
+    the int8 first pass is a per-partition partial-top-k kernel, never
+    an O(corpus×queries) cross join (r4 verdict #3)."""
     from pim_orc_spark.operators import similarity
 
     for fn in (
         similarity.ann_cosine_topk_vectorized,
         similarity.ann_ivf_topk,
+        similarity.ann_sq_topk,
     ):
         plan = (
             fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
