@@ -36,7 +36,7 @@ def _modules():
         similarity,
         text,
     )
-    from pim_orc_spark.sources import orc_io
+    from pim_orc_spark.sources import maintenance, orc_io
     from pim_orc_spark.streaming import stream_events
 
     # stream_events precedes everything but the relational core: the
@@ -52,6 +52,7 @@ def _modules():
         multimodal,
         pipeline,
         orc_io,
+        maintenance,
     ]
 
 
@@ -132,6 +133,8 @@ PYTEST_ONLY = {
     "q39_skew_salted_join",  # first-class salted-join kernel, oracle = unsalted join
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
+    "maintenance_compact_sum",  # small-file compaction integrity proof
+    "maintenance_clustered_sum",  # sorted-rewrite data-skipping layout
     # rotated out this round (twins above):
     "q02_null_skip_sum",
     "q06_projection_pruning",

@@ -1,0 +1,169 @@
+"""Lakehouse table-maintenance operators — the storage-side jobs every
+100 TB deployment schedules beside its queries:
+
+- ``maintenance_compact_sum`` — SMALL-FILE COMPACTION. Streaming
+  ingest and over-parallel writes leave directories with thousands of
+  KB-sized files; scan cost is then dominated by per-file open/footer
+  overhead and driver split planning. Compaction rewrites the
+  directory at a target file size. The exported result is the
+  integrity proof (row count + exact sum over the compacted copy must
+  equal the source oracle); the file-count collapse is asserted in
+  pytest from the filesystem.
+- ``maintenance_clustered_sum`` — CLUSTERED (sorted) REWRITE for
+  data skipping. A range-partitioned, within-partition-sorted layout
+  gives every parquet row group a narrow min/max envelope on the sort
+  key, so a predicate on that key skips whole row groups at scan time
+  (the ORC row-index-stride idea — reader.cc:43's stride batches — on
+  the parquet side). The exported result proves a key-range query
+  over the clustered copy matches the source oracle; pytest reads the
+  parquet FOOTERS (pyarrow) and asserts the row-group envelopes are
+  actually narrow/disjoint — the property skipping needs — rather
+  than trusting scan-time internals.
+
+Both rewrites are distributed (``df.write`` from executors); the
+caches follow the atomic temp-dir + rename build of ``evolved_table``
+so racing sessions cannot interleave half-built directories.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_orc_spark.catalog import load_table
+from pim_orc_spark.functions.numeric import exact_sum, exact_sum_sql
+
+_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_MAINT_CACHE", "/tmp/pim_orc_spark/maintenance"
+)
+
+FRAGMENT_FILES = 64  # the "bad" ingest layout: 64 tiny files
+COMPACT_TARGET_BYTES = 32 * 1024 * 1024  # target file size after compaction
+CLUSTER_BUCKETS = 8  # range buckets on the sort key
+
+
+def _atomic_build(path: str, build) -> str:
+    """Build ``path`` via a private temp dir + atomic rename (the
+    evolved_table pattern): exactly one racing builder wins, losers
+    discard, an interrupted build can never be mistaken for complete."""
+    marker = os.path.join(path, "_BUILD_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)  # stale half-build
+    tmp = f"{path}.tmp.{os.getpid()}"
+    build(tmp)
+    with open(os.path.join(tmp, "_BUILD_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return path
+
+
+def fragmented_table(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately fragmented parquet copy of lineitem (the
+    many-small-files ingest pathology compaction exists to fix)."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_fragmented")
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        li.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(tmp)
+
+    return _atomic_build(path, build)
+
+
+def compacted_table(spark: SparkSession, sf_dir: str) -> str:
+    """Compact the fragmented copy to ~COMPACT_TARGET_BYTES files.
+
+    Sizing reads the SOURCE bytes from the filesystem (what a real
+    compactor reads from the table manifest) — never a row count scan.
+    At 100 TB this runs per-partition-subtree with the same two lines;
+    the rewrite itself is a distributed shuffle-free coalesce."""
+    frag = fragmented_table(spark, sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_compacted")
+
+    def build(tmp: str) -> None:
+        total = sum(
+            e.stat().st_size
+            for e in os.scandir(frag)
+            if e.name.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // COMPACT_TARGET_BYTES))  # ceil
+        df = spark.read.parquet(frag)
+        # coalesce, not repartition: compaction must not pay a shuffle
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+
+    return _atomic_build(path, build)
+
+
+def clustered_table(spark: SparkSession, sf_dir: str) -> str:
+    """Range-partitioned + sorted-within-partition rewrite of lineitem
+    on l_shipdate: every row group's (min, max) shipdate envelope is
+    narrow, so shipdate predicates skip row groups at scan time."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_clustered")
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(CLUSTER_BUCKETS, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    return _atomic_build(path, build)
+
+
+def maintenance_compact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity proof of compaction: the compacted directory must hold
+    exactly the source's rows (count + exact decimal sum). The
+    file-count collapse (64 → size-targeted) is asserted in pytest."""
+    t = spark.read.parquet(compacted_table(spark, sf_dir))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_extendedprice", "sum_price"),
+    )
+
+
+def maintenance_clustered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range query over the clustered rewrite: must equal the same
+    query on the unsorted source (the oracle) — clustering reorders,
+    never drops. The skippable-statistics property (narrow row-group
+    envelopes) is asserted from the parquet footers in pytest."""
+    t = spark.read.parquet(clustered_table(spark, sf_dir))
+    return t.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-02-01")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_extendedprice", "sum_price"),
+    )
+
+
+QUERIES = {
+    "maintenance_compact_sum": maintenance_compact_sum,
+    "maintenance_clustered_sum": maintenance_clustered_sum,
+}
+
+ORACLES = {
+    "maintenance_compact_sum": (
+        "SELECT COUNT(*) AS n_rows, "
+        f"{exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
+    ),
+    "maintenance_clustered_sum": (
+        "SELECT COUNT(*) AS n_rows, "
+        f"{exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-02-01'"
+    ),
+}

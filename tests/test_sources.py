@@ -99,3 +99,72 @@ def test_reference_fixture_parity(spark):
     vals = df.select(first).collect()
     expected = sum(v[0] for v in vals if v[0] is not None)
     assert row["s"] == expected
+
+
+# ------------------------------------------------------- maintenance
+
+
+def test_maintenance_queries_match_oracle(spark, sf_dir):
+    from pim_orc_spark.sources import maintenance
+
+    for name in sorted(maintenance.QUERIES):
+        df = maintenance.QUERIES[name](spark, sf_dir)
+        ok, msg = compare(df, maintenance.ORACLES[name], sf_dir)
+        assert ok, f"{name}: {msg}"
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """Compaction must actually shrink the file count from the
+    fragmented layout toward the size target (at fixture scale the
+    whole table fits one target file), while the oracle equality above
+    proves zero rows were lost."""
+    from pim_orc_spark.sources import maintenance
+
+    frag = maintenance.fragmented_table(spark, sf_dir)
+    comp = maintenance.compacted_table(spark, sf_dir)
+
+    def n_parquet(path):
+        return sum(1 for e in os.scandir(path) if e.name.endswith(".parquet"))
+
+    n_frag, n_comp = n_parquet(frag), n_parquet(comp)
+    assert n_frag == maintenance.FRAGMENT_FILES
+    assert n_comp < n_frag / 4, (n_frag, n_comp)
+
+
+def test_clustered_rowgroups_have_narrow_envelopes(spark, sf_dir):
+    """The clustered rewrite's parquet footers must carry the property
+    data skipping needs: each row group's (min, max) l_shipdate
+    envelope spans a small fraction of the table's full date range —
+    read from the FOOTERS with pyarrow, not inferred from scan
+    internals. The unsorted source fails this by construction (every
+    row group spans ~the whole range)."""
+    import pyarrow.parquet as pq
+
+    from pim_orc_spark.sources import maintenance
+
+    path = maintenance.clustered_table(spark, sf_dir)
+    spans, total_lo, total_hi = [], None, None
+    n_groups = 0
+    for e in sorted(os.scandir(path), key=lambda e: e.name):
+        if not e.name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(e.path).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }["l_shipdate"]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            assert st is not None and st.has_min_max
+            lo, hi = st.min, st.max
+            spans.append((lo, hi))
+            total_lo = lo if total_lo is None else min(total_lo, lo)
+            total_hi = hi if total_hi is None else max(total_hi, hi)
+            n_groups += 1
+    assert n_groups >= maintenance.CLUSTER_BUCKETS
+    full = (total_hi - total_lo).total_seconds()
+    for lo, hi in spans:
+        frac = (hi - lo).total_seconds() / full
+        assert frac <= 1.5 / maintenance.CLUSTER_BUCKETS, (
+            f"row group spans {frac:.2%} of the key range — "
+            "not a skippable layout"
+        )
