@@ -242,3 +242,51 @@ def test_q37_aggregates_before_customer_join(spark, sf_dir):
     # customer join (a join-first rewrite would group on c_custkey
     # with customer attributes riding through the wide join)
     assert "Keys [1]: [o_custkey" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB technique where a
+    selective dimension filter is turned into a bloom filter applied to
+    the FACT scan before the shuffle (Spark's InjectRuntimeFilter), so
+    the join shuffles only rows that can match. The feature's
+    production thresholds (10 GB application side) are sized for real
+    clusters; this test lowers them to fixture scale and asserts the
+    plan carries both halves: bloom_filter_agg on the dimension side
+    and might_contain guarding the fact scan."""
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # force the shuffle path (broadcast joins skip runtime filters)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
