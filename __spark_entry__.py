@@ -131,6 +131,9 @@ PYTEST_ONLY = {
     "q36_tpch_q18_large_orders",  # aggregate-then-semi-filter (HAVING) workload
     "q37_tpch_q10_returned_items",  # returned-item reporting, agg-before-dim-join
     "q39_skew_salted_join",  # first-class salted-join kernel, oracle = unsalted join
+    "q40_tpch_q4_order_priority",  # EXISTS -> semi join w/ non-equi lag predicate
+    "q41_tpch_q12_late_lines_by_status",  # conditional CASE-agg over a fact join
+    "q42_tpch_q14_promo_revenue",  # exact-integer conditional revenue ratio
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
     "maintenance_compact_sum",  # small-file compaction integrity proof

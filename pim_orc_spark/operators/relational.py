@@ -1056,9 +1056,113 @@ def q39_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to this schema's
+    columns: count orders per priority that had at least one LATE
+    lineitem (shipped > 60 days after the order date — the fixture has
+    no commit/receipt dates, so lateness is ship-vs-order lag). The
+    EXISTS decorrelates to a LEFT SEMI join whose condition mixes the
+    equi key with a non-equi date comparison — the semi join planner
+    keeps the equi part as the join key and evaluates the lag predicate
+    inside the join, so each order is emitted at most once with no
+    post-join dedup.
+
+    Scale shape: both scans filter at the source (quarter predicate
+    pushed on orders), the semi join shuffles on orderkey only, and the
+    priority rollup is a 5-row aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q41_tpch_q12_late_lines_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority split), adapted: per
+    linestatus (the schema's mode-like line attribute), split one
+    year's lines into high-priority (URGENT/HIGH) vs low-priority
+    counts — the conditional-aggregation-over-a-join shape. The CASE
+    sums fold in the same partial aggregate pass as the grouping, so
+    the shuffle carries 2 counters per (status, partition)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q42_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    from PROMO-type parts — a conditional-sum ratio. Both sums are the
+    engine's exact integer-cents revenue (one aggregate pass computes
+    numerator and denominator), and the final percentage is one IEEE
+    double division of two exact integers — identical in both engines.
+    The part dimension broadcasts (hinted: at 100 TB part is still
+    dimension-sized relative to lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pts = F.round(F.col("l_discount") * 100).cast("long")
+    item = (cents * (F.lit(100) - pts)).cast("decimal(38,0)")
+    promo = F.when(F.col("p_type") == "PROMO", item).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_hundredths"),
+            F.sum(item).cast("double").alias("total_hundredths"),
+        )
+        .select(
+            (F.col("promo_hundredths") / 1e4).alias("promo_revenue"),
+            (F.col("total_hundredths") / 1e4).alias("total_revenue"),
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_hundredths")
+                / F.col("total_hundredths"),
+                6,
+            ).alias("promo_pct"),
+        )
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
+    "q40_tpch_q4_order_priority": q40_tpch_q4_order_priority,
+    "q41_tpch_q12_late_lines_by_status": q41_tpch_q12_late_lines_by_status,
+    "q42_tpch_q14_promo_revenue": q42_tpch_q14_promo_revenue,
     "q37_tpch_q10_returned_items": q37_tpch_q10_returned_items,
     "q39_skew_salted_join": q39_skew_salted_join,
     "q33_outer_joins": q33_outer_joins,
@@ -1261,6 +1365,51 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q40_tpch_q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q41_tpch_q12_late_lines_by_status": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "q42_tpch_q14_promo_revenue": """
+        WITH s AS (
+          SELECT
+            CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE) AS promo_hundredths,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS DOUBLE) AS total_hundredths
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= DATE '1997-09-01'
+            AND l_shipdate < DATE '1997-10-01'
+        )
+        SELECT promo_hundredths / 1e4 AS promo_revenue,
+               total_hundredths / 1e4 AS total_revenue,
+               round(100.0 * promo_hundredths / total_hundredths, 6)
+                 AS promo_pct
+        FROM s
     """,
     # the UNSALTED join: salting must be result-invariant, so the
     # oracle is the plain equi-join the kernel claims to reproduce
