@@ -136,6 +136,7 @@ PYTEST_ONLY = {
     "q42_tpch_q14_promo_revenue",  # exact-integer conditional revenue ratio
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
+    "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)
     "maintenance_compact_sum",  # small-file compaction integrity proof
     "maintenance_clustered_sum",  # sorted-rewrite data-skipping layout
     # rotated out this round (twins above):

@@ -541,8 +541,106 @@ def stream_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "stream_incremental_admit", "complete")
 
 
+FB_SPLIT_FILES = 4  # pre-split source → one micro-batch per file
+
+
+def _split_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-written as FB_SPLIT_FILES parquet files (atomic
+    temp-dir + rename build, the evolved_table pattern) so a
+    maxFilesPerTrigger=1 stream processes them as that many
+    micro-batches — the multi-batch regime a single-file fixture
+    can't otherwise produce."""
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        "/tmp/pim_orc_spark/stream", sf_tag, "events_split"
+    )
+    marker = os.path.join(path, "_BUILD_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    ensure_parity_confs(spark)
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartition(FB_SPLIT_FILES)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_BUILD_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return path
+
+
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch IDEMPOTENT FILE SINK — the S7 sink family's
+    production shape: each micro-batch lands in its own
+    ``batch_id=N`` subdirectory with mode("overwrite"), so a replayed
+    batch (restart between sink commit and checkpoint commit — the
+    exactly-once gap every foreachBatch deployment must close)
+    overwrites its own directory instead of duplicating rows. The
+    source is the pre-split events copy streamed with
+    maxFilesPerTrigger=1, so the run genuinely exercises multiple
+    batches (asserted in pytest from the sink directory layout).
+
+    The exported result re-reads the whole sink directory and
+    aggregates — equality with the batch oracle proves no batch was
+    lost or doubled across the batch boundaries. Scale: the sink
+    write is the batch DataFrame's own distributed write (map-only
+    here); checkpointing bounds replay to the last uncommitted batch."""
+    import tempfile
+
+    src = _split_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sink_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="fb_ckpt_")
+
+    ev = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    ).select("event_id", "event_type", "value")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent: replaying batch N rewrites ONLY batch N's dir
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch_id={batch_id}")
+        )
+
+    with _CONF_LOCK:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
+        )
+        try:
+            q = (
+                ev.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    sunk = spark.read.option("basePath", sink_dir).parquet(sink_dir)
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "sum_value"),
+    )
+
+
 QUERIES = {
     "stream_grouped_totals": stream_grouped_totals,
+    "stream_foreach_batch_sink": stream_foreach_batch_sink,
     "stream_incremental_admit": stream_incremental_admit,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -569,6 +667,13 @@ ORACLES = {
         GROUP BY event_type
     """,
     "stream_grouped_totals": f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {exact_sum_sql("value", "sum_value")}
+        FROM events GROUP BY event_type
+    """,
+    # the sink round-trip must reproduce the batch aggregate exactly —
+    # no batch lost, none doubled
+    "stream_foreach_batch_sink": f"""
         SELECT event_type, COUNT(*) AS n_events,
                {exact_sum_sql("value", "sum_value")}
         FROM events GROUP BY event_type

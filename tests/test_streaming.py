@@ -205,3 +205,30 @@ def test_tws_operator_gates_cleanly_without_protobuf(spark, sf_dir):
     assert "stream_tws_user_extremes" not in stream_events.QUERIES
     with pytest.raises(NotImplementedError, match="protobuf"):
         stream_events.stream_tws_user_extremes(spark, sf_dir)
+
+
+def test_foreach_batch_sink_is_multi_batch_and_idempotent(spark, sf_dir):
+    """The foreachBatch sink run must (a) actually process MULTIPLE
+    micro-batches (one per pre-split source file — a single-batch run
+    would not exercise the batch-boundary consistency the oracle
+    certifies), and (b) lay the sink out one directory per batch id —
+    the idempotent-replay layout where a re-run batch overwrites only
+    itself."""
+    import os
+    import tempfile
+
+    from pim_orc_spark.streaming.stream_events import (
+        FB_SPLIT_FILES,
+        stream_foreach_batch_sink,
+    )
+
+    before = set()
+    tmp = tempfile.gettempdir()
+    before = {d for d in os.listdir(tmp) if d.startswith("fb_sink_")}
+    stream_foreach_batch_sink(spark, sf_dir).collect()
+    after = {d for d in os.listdir(tmp) if d.startswith("fb_sink_")}
+    new = sorted(after - before)
+    assert new, "sink directory not created"
+    sink = os.path.join(tmp, new[-1])
+    batches = [d for d in os.listdir(sink) if d.startswith("batch_id=")]
+    assert len(batches) == FB_SPLIT_FILES, batches
