@@ -1157,9 +1157,78 @@ def q42_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_DEADLINE_HOURS = 24  # conversion window per funnel step
+
+
+def q43_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-funnel analysis (view → click → purchase): how
+    many users completed each step IN TIME ORDER — the product
+    analytics query sessionization doesn't answer (a user with a
+    purchase BEFORE their first view has not converted). Step k's
+    timestamp is the earliest qualifying event strictly after step
+    k-1's AND within the FUNNEL_DEADLINE conversion window (the
+    deadline is what makes a funnel a funnel — without it every
+    active user eventually "converts"); the strict `>` makes the
+    chain deterministic without needing a tie-break on simultaneous
+    events.
+
+    Scale shape: ONE shuffle total — all three step timestamps are
+    unordered window MINs over the same user_id partitioning (each
+    step's condition references the previous step's column, which is
+    partition-constant), so Catalyst computes them in consecutive
+    window passes over a single exchange, where the naive
+    formulation (one filtered aggregate + join per step) pays a
+    shuffle per funnel stage. The oracle IS that naive three-CTE
+    chain — same semantics, different plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "ts1",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w),
+    )
+    deadline = F.expr(f"INTERVAL {FUNNEL_DEADLINE_HOURS} HOURS")
+    d = d.withColumn(
+        "ts2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("ts1"))
+                & (F.col("ts") <= F.col("ts1") + deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "ts3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("ts2"))
+                & (F.col("ts") <= F.col("ts2") + deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("ts1").alias("ts1"),
+        F.min("ts2").alias("ts2"),
+        F.min("ts3").alias("ts3"),
+    )
+    return per_user.agg(
+        F.count("ts1").alias("n_step_view"),
+        F.count("ts2").alias("n_step_click"),
+        F.count("ts3").alias("n_step_purchase"),
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
+    "q43_event_funnel": q43_event_funnel,
     "q40_tpch_q4_order_priority": q40_tpch_q4_order_priority,
     "q41_tpch_q12_late_lines_by_status": q41_tpch_q12_late_lines_by_status,
     "q42_tpch_q14_promo_revenue": q42_tpch_q14_promo_revenue,
@@ -1365,6 +1434,27 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q43_event_funnel": """
+        WITH t1 AS (
+          SELECT user_id, MIN(ts) AS ts1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS ts2
+          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.ts1
+            AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+          GROUP BY e.user_id
+        ), t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS ts3
+          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+            AND e.ts <= t2.ts2 + INTERVAL 24 HOUR
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM t1) AS n_step_view,
+               (SELECT COUNT(*) FROM t2) AS n_step_click,
+               (SELECT COUNT(*) FROM t3) AS n_step_purchase
     """,
     "q40_tpch_q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
