@@ -227,7 +227,13 @@ def main() -> None:
                 "partition_sweep_q01": sweep,
                 "queries_small_sf": small_timings,
                 "scale_ratio": scale_ratio,
-                "small_sf": SMALL_SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                # present only when the slope pass actually ran, so an
+                # empty ratio map is distinguishable from a skipped pass
+                **(
+                    {"small_sf": SMALL_SF_DIR.rstrip("/").rsplit("sf", 1)[-1]}
+                    if small_timings
+                    else {}
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iterations": ITERS,
                 "lineitem_rows": n_rows,

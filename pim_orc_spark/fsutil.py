@@ -1,0 +1,73 @@
+"""Shared filesystem helpers for locally-cached table materializations.
+
+``atomic_build`` is the single authority for the temp-dir + marker +
+rename cache protocol used by every materialized artifact (ORC copies,
+the evolved-table cache, the pre-split stream source, the maintenance
+rewrites). One implementation so a protocol fix lands everywhere at
+once (round-5 review: three inline copies had drifted into a shared
+TOCTOU race).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+MARKER = "_BUILD_COMPLETE"
+
+
+def atomic_build(path: str, build: Callable[[str], None]) -> str:
+    """Build the cache directory ``path`` exactly once, race-safely.
+
+    Protocol: build into a private temp dir (marker written inside,
+    AFTER the build body succeeds), then ``os.rename`` into place.
+    rename fails if the destination exists, so exactly one builder
+    wins. A loser whose rename fails re-checks the marker: if present,
+    a complete build won the race — discard ours; if absent, the
+    destination is a STALE half-build from an interrupted process —
+    atomically STEAL it aside with a second rename (only one stealer
+    can succeed), delete it, and retry once.
+
+    The old inline pattern (rmtree the stale dir BEFORE building) had
+    a TOCTOU hole: a slow loser's pre-build marker check could pass,
+    then its rmtree deleted the winner's just-completed directory.
+    Here nothing is ever deleted at ``path`` except via the atomic
+    steal-rename, which cannot target a directory that carries the
+    marker at steal time without the stealer having already lost the
+    marker re-check — and a winner's marker is renamed into place
+    together with its data, never added to a visible directory.
+    """
+    marker = os.path.join(path, MARKER)
+    if os.path.exists(marker):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, MARKER), "w") as fh:
+            fh.write("ok\n")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    for _attempt in (0, 1):
+        try:
+            os.rename(tmp, path)
+            return path
+        except OSError:
+            if os.path.exists(marker):
+                # a complete build won the race; ours is redundant
+                shutil.rmtree(tmp, ignore_errors=True)
+                return path
+            # stale half-build: steal it aside atomically, then retry
+            dead = f"{path}.dead.{os.getpid()}"
+            try:
+                os.rename(path, dead)
+            except OSError:
+                # another process stole or replaced it — loop to retry
+                continue
+            shutil.rmtree(dead, ignore_errors=True)
+    # both attempts failed and no marker appeared
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(marker):
+        return path
+    raise OSError(f"atomic_build could not install {path}")

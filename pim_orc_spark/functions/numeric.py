@@ -47,6 +47,30 @@ def exact_avg_sql(expr: str, alias: str) -> str:
     )
 
 
+def revenue_item(
+    price_col: str = "l_extendedprice",
+    disc_col: str = "l_discount",
+) -> Column:
+    """The PER-ROW exact revenue term: price-cents × (100 −
+    discount-points) as decimal(38,0) hundredths-of-cents — the single
+    authority for the rounding contract, consumed by ``exact_revenue``
+    and by conditional-revenue queries (q42) that need the raw item
+    inside a CASE."""
+    cents = F.round(F.col(price_col) * 100).cast("long")
+    pts = F.round(F.col(disc_col) * 100).cast("long")
+    return (cents * (F.lit(100) - pts)).cast("decimal(38,0)")
+
+
+def revenue_item_sql(
+    price: str = "l_extendedprice", disc: str = "l_discount"
+) -> str:
+    """DuckDB fragment for the identical per-row revenue term."""
+    return (
+        f"CAST(round({price} * 100) AS BIGINT)"
+        f" * (100 - CAST(round({disc} * 100) AS BIGINT))"
+    )
+
+
 def exact_revenue(
     price_col: str = "l_extendedprice",
     disc_col: str = "l_discount",
@@ -58,13 +82,9 @@ def exact_revenue(
     product per row, summed into decimal(38,0) (overflow-safe past
     ~9e9 rows/group) and presented as double ÷ 1e4. Order-independent
     and hash-comparable — the q08 round-2 fix, shared by every revenue
-    query so the contract lives in ONE place."""
-    cents = F.round(F.col(price_col) * 100).cast("long")
-    pts = F.round(F.col(disc_col) * 100).cast("long")
+    query so the contract lives in ONE place (``revenue_item``)."""
     return (
-        F.sum((cents * (F.lit(100) - pts)).cast("decimal(38,0)")).cast(
-            "double"
-        )
+        F.sum(revenue_item(price_col, disc_col)).cast("double")
         / F.lit(10000.0)
     ).alias(alias)
 
@@ -76,7 +96,6 @@ def exact_revenue_sql(
 ) -> str:
     """DuckDB fragment computing the identical exact revenue."""
     return (
-        f"CAST(SUM(CAST(round({price} * 100) AS BIGINT)"
-        f" * (100 - CAST(round({disc} * 100) AS BIGINT)))"
+        f"CAST(SUM({revenue_item_sql(price, disc)})"
         f" AS DOUBLE) / 10000.0 AS {alias}"
     )

@@ -28,6 +28,8 @@ from pim_orc_spark.functions.numeric import (
     exact_revenue_sql,
     exact_sum,
     exact_sum_sql,
+    revenue_item,
+    revenue_item_sql,
 )
 
 
@@ -1132,9 +1134,7 @@ def q42_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1997-10-01")
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    pts = F.round(F.col("l_discount") * 100).cast("long")
-    item = (cents * (F.lit(100) - pts)).cast("decimal(38,0)")
+    item = revenue_item()  # the shared exact integer-cents contract
     promo = F.when(F.col("p_type") == "PROMO", item).otherwise(
         F.lit(0).cast("decimal(38,0)")
     )
@@ -1435,7 +1435,7 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
-    "q43_event_funnel": """
+    "q43_event_funnel": f"""
         WITH t1 AS (
           SELECT user_id, MIN(ts) AS ts1 FROM events
           WHERE event_type = 'view' GROUP BY user_id
@@ -1443,13 +1443,13 @@ ORACLES = {
           SELECT e.user_id, MIN(e.ts) AS ts2
           FROM events e JOIN t1 ON e.user_id = t1.user_id
           WHERE e.event_type = 'click' AND e.ts > t1.ts1
-            AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+            AND e.ts <= t1.ts1 + INTERVAL {FUNNEL_DEADLINE_HOURS} HOUR
           GROUP BY e.user_id
         ), t3 AS (
           SELECT e.user_id, MIN(e.ts) AS ts3
           FROM events e JOIN t2 ON e.user_id = t2.user_id
           WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
-            AND e.ts <= t2.ts2 + INTERVAL 24 HOUR
+            AND e.ts <= t2.ts2 + INTERVAL {FUNNEL_DEADLINE_HOURS} HOUR
           GROUP BY e.user_id
         )
         SELECT (SELECT COUNT(*) FROM t1) AS n_step_view,
@@ -1481,15 +1481,13 @@ ORACLES = {
           AND l_shipdate < DATE '1998-01-01'
         GROUP BY l_linestatus ORDER BY l_linestatus
     """,
-    "q42_tpch_q14_promo_revenue": """
+    "q42_tpch_q14_promo_revenue": f"""
         WITH s AS (
           SELECT
             CAST(SUM(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 THEN {revenue_item_sql()}
                  ELSE 0 END) AS DOUBLE) AS promo_hundredths,
-            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            CAST(SUM({revenue_item_sql()})
                  AS DOUBLE) AS total_hundredths
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= DATE '1997-09-01'

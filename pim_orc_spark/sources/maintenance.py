@@ -28,12 +28,12 @@ so racing sessions cannot interleave half-built directories.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_orc_spark.catalog import load_table
+from pim_orc_spark.fsutil import atomic_build as _atomic_build
 from pim_orc_spark.functions.numeric import exact_sum, exact_sum_sql
 
 _CACHE_ROOT = os.environ.get(
@@ -43,28 +43,6 @@ _CACHE_ROOT = os.environ.get(
 FRAGMENT_FILES = 64  # the "bad" ingest layout: 64 tiny files
 COMPACT_TARGET_BYTES = 32 * 1024 * 1024  # target file size after compaction
 CLUSTER_BUCKETS = 8  # range buckets on the sort key
-
-
-def _atomic_build(path: str, build) -> str:
-    """Build ``path`` via a private temp dir + atomic rename (the
-    evolved_table pattern): exactly one racing builder wins, losers
-    discard, an interrupted build can never be mistaken for complete."""
-    marker = os.path.join(path, "_BUILD_COMPLETE")
-    if os.path.exists(marker):
-        return path
-    if os.path.exists(path):
-        shutil.rmtree(path, ignore_errors=True)  # stale half-build
-    tmp = f"{path}.tmp.{os.getpid()}"
-    build(tmp)
-    with open(os.path.join(tmp, "_BUILD_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
-    return path
 
 
 def fragmented_table(spark: SparkSession, sf_dir: str) -> str:

@@ -209,25 +209,19 @@ def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte of history). Idempotent per sf_dir."""
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(_ORC_CACHE_ROOT, sf_tag, "lineitem_evolved")
-    # Two sequential write jobs build this cache, and Spark's _SUCCESS
-    # lands when the FIRST finishes — guarding on it would let an
-    # interrupted build (killed between the writes) pass the check
-    # forever after with half the files missing. Guard on an own
-    # marker written only after BOTH jobs committed.
-    done_marker = os.path.join(path, "_EVOLVED_COMPLETE")
-    if not os.path.exists(done_marker):
-        import shutil
+    # Spark's _SUCCESS lands when the FIRST of the two write jobs
+    # finishes — guarding on it would let an interrupted build (killed
+    # between the writes) pass the check forever after with half the
+    # files missing.
+    # atomic_build (fsutil): the two sequential write jobs land in a
+    # private temp dir and rename into place as one unit, so racing
+    # sessions can no longer interleave overwrite/append into one
+    # directory (which could leave duplicated even-orderkey files a
+    # marker then blesses forever), and a loser can never delete a
+    # winner's completed build.
+    from pim_orc_spark.fsutil import atomic_build
 
-        # Build into a private temp dir and atomically rename into
-        # place: two sessions racing this build can no longer
-        # interleave overwrite/append into one directory (which could
-        # leave duplicated even-orderkey files the marker then blesses
-        # forever). rename() fails if the destination exists, so
-        # exactly one builder wins; the loser discards its copy.
-        if os.path.exists(path):
-            # stale half-build from an interrupted writer (no marker)
-            shutil.rmtree(path, ignore_errors=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
+    def build(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")
         v1 = li.filter(F.col("l_orderkey") % 2 == 1).select(
             "l_orderkey", "l_extendedprice"
@@ -241,14 +235,8 @@ def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v1.write.mode("overwrite").parquet(tmp)
         v2.write.mode("append").parquet(tmp)
-        with open(os.path.join(tmp, "_EVOLVED_COMPLETE"), "w") as fh:
-            fh.write("ok\n")
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(done_marker):
-                raise
+
+    atomic_build(path, build)
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 

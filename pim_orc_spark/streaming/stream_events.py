@@ -545,39 +545,28 @@ FB_SPLIT_FILES = 4  # pre-split source → one micro-batch per file
 
 
 def _split_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Events re-written as FB_SPLIT_FILES parquet files (atomic
-    temp-dir + rename build, the evolved_table pattern) so a
-    maxFilesPerTrigger=1 stream processes them as that many
-    micro-batches — the multi-batch regime a single-file fixture
-    can't otherwise produce."""
-    import shutil
+    """Events re-written as FB_SPLIT_FILES parquet files (fsutil
+    atomic_build — shared cache protocol) so a maxFilesPerTrigger=1
+    stream processes them as that many micro-batches — the
+    multi-batch regime a single-file fixture can't otherwise
+    produce."""
+    from pim_orc_spark.fsutil import atomic_build
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(
         "/tmp/pim_orc_spark/stream", sf_tag, "events_split"
     )
-    marker = os.path.join(path, "_BUILD_COMPLETE")
-    if os.path.exists(marker):
-        return path
-    if os.path.exists(path):
-        shutil.rmtree(path, ignore_errors=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    ensure_parity_confs(spark)
-    (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .repartition(FB_SPLIT_FILES)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    with open(os.path.join(tmp, "_BUILD_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(marker):
-            raise
-    return path
+
+    def build(tmp: str) -> None:
+        ensure_parity_confs(spark)
+        (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .repartition(FB_SPLIT_FILES)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    return atomic_build(path, build)
 
 
 def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,11 +585,22 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost or doubled across the batch boundaries. Scale: the sink
     write is the batch DataFrame's own distributed write (map-only
     here); checkpointing bounds replay to the last uncommitted batch."""
+    import shutil
     import tempfile
 
     src = _split_events_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema
-    sink_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    # KEYED sink dir, cleared per invocation (not mkdtemp): repeated
+    # runs reuse one bounded location instead of accumulating a copy
+    # of the events table per call (round-5 review). The checkpoint is
+    # fresh per run — reusing one would make AvailableNow a no-op on
+    # the second call — and is removed once the run terminates.
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sink_dir = os.path.join(
+        "/tmp/pim_orc_spark/stream", sf_tag, "fb_sink"
+    )
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    os.makedirs(sink_dir, exist_ok=True)
     ckpt_dir = tempfile.mkdtemp(prefix="fb_ckpt_")
 
     ev = normalize_event_ts(
@@ -630,6 +630,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     sunk = spark.read.option("basePath", sink_dir).parquet(sink_dir)
     return sunk.groupBy("event_type").agg(

@@ -168,3 +168,53 @@ def test_clustered_rowgroups_have_narrow_envelopes(spark, sf_dir):
             f"row group spans {frac:.2%} of the key range — "
             "not a skippable layout"
         )
+
+
+def test_atomic_build_protocol(tmp_path):
+    """fsutil.atomic_build: builds once, the marker short-circuits
+    rebuilds, a failed build leaves NO temp debris and NO destination,
+    and a stale (marker-less) destination is replaced — never trusted."""
+    from pim_orc_spark.fsutil import MARKER, atomic_build
+
+    target = str(tmp_path / "cache")
+    calls = []
+
+    def build(tmp):
+        calls.append(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "data"), "w") as fh:
+            fh.write("v1")
+
+    assert atomic_build(target, build) == target
+    assert os.path.exists(os.path.join(target, MARKER))
+    atomic_build(target, build)  # marker present → no rebuild
+    assert len(calls) == 1
+
+    # failed build: no debris, no destination
+    target2 = str(tmp_path / "cache2")
+
+    def bad_build(tmp):
+        os.makedirs(tmp)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        atomic_build(target2, bad_build)
+    assert not os.path.exists(target2)
+    assert not any(
+        e.name.startswith("cache2.tmp") for e in os.scandir(tmp_path)
+    )
+
+    # stale marker-less destination is replaced by a fresh build
+    target3 = str(tmp_path / "cache3")
+    os.makedirs(target3)
+    with open(os.path.join(target3, "halfwritten"), "w") as fh:
+        fh.write("junk")
+
+    def build3(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "data"), "w") as fh:
+            fh.write("v3")
+
+    atomic_build(target3, build3)
+    assert os.path.exists(os.path.join(target3, MARKER))
+    assert not os.path.exists(os.path.join(target3, "halfwritten"))

@@ -215,20 +215,14 @@ def test_foreach_batch_sink_is_multi_batch_and_idempotent(spark, sf_dir):
     the idempotent-replay layout where a re-run batch overwrites only
     itself."""
     import os
-    import tempfile
 
     from pim_orc_spark.streaming.stream_events import (
         FB_SPLIT_FILES,
         stream_foreach_batch_sink,
     )
 
-    before = set()
-    tmp = tempfile.gettempdir()
-    before = {d for d in os.listdir(tmp) if d.startswith("fb_sink_")}
     stream_foreach_batch_sink(spark, sf_dir).collect()
-    after = {d for d in os.listdir(tmp) if d.startswith("fb_sink_")}
-    new = sorted(after - before)
-    assert new, "sink directory not created"
-    sink = os.path.join(tmp, new[-1])
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sink = os.path.join("/tmp/pim_orc_spark/stream", sf_tag, "fb_sink")
     batches = [d for d in os.listdir(sink) if d.startswith("batch_id=")]
     assert len(batches) == FB_SPLIT_FILES, batches
