@@ -14,3 +14,59 @@ def test_query_matches_oracle(spark, sf_dir, name):
     sql = relational.ORACLES[name]
     ok, msg = compare(df, sql, sf_dir)
     assert ok, f"{name}: {msg}"
+
+
+def test_salted_join_invariant_under_salt_count(spark):
+    """Property: salted_join(large, small, key) equals the plain inner
+    join for ANY salt count and ANY key/row distribution — the salt
+    may never change the result, only the shuffle layout. Random
+    small corpora with duplicate and missing keys on both sides."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.relational import salted_join
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        large_keys=st.lists(
+            st.integers(min_value=0, max_value=5), min_size=1, max_size=40
+        ),
+        small_keys=st.lists(
+            st.integers(min_value=0, max_value=5), min_size=1, max_size=6
+        ),
+        n_salts=st.integers(min_value=1, max_value=9),
+    )
+    def check(large_keys, small_keys, n_salts):
+        large = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(large_keys)], "k long, lval long"
+        )
+        # dedupe small side: salted_join replicates it per salt, and a
+        # dim with duplicate keys duplicates matches in ANY join — keep
+        # the property about salting, not dim hygiene
+        small = spark.createDataFrame(
+            [(k, k * 10) for k in sorted(set(small_keys))], "k long, sval long"
+        )
+        plain = {
+            tuple(r)
+            for r in large.join(small, "k").select("k", "lval", "sval").collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(
+                large,
+                small,
+                key="k",
+                salt_expr=F.xxhash64("lval"),
+                n_salts=n_salts,
+            )
+            .select("k", "lval", "sval")
+            .collect()
+        }
+        assert salted == plain
+
+    check()
