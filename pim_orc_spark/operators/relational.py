@@ -1225,10 +1225,101 @@ def q43_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert + delete) — the daily lakehouse maintenance
+    query: apply a change batch (INSERT / UPDATE / DELETE rows keyed
+    by custkey) to the customer base table and report the merged
+    state. This is Delta/Iceberg ``MERGE INTO`` re-expressed as the
+    engine-level plan those systems generate: ONE full-outer join of
+    base and changes on the key, then per-row CASE resolution
+    (change absent → keep base; D → drop; U → base with the updated
+    column; I with no base match → new row).
+
+    The change batch is derived deterministically from the base so
+    both engines see the identical feed: custkey % 7 == 0 → UPDATE
+    (acctbal + 100), custkey % 97 == 0 → DELETE (delete wins over
+    update where both match), custkey % 11 == 0 → INSERT of a new
+    key (custkey + 1,000,000) in segment 'NEW_SEGMENT'.
+
+    Scale shape: the join shuffles on the merge key — exactly once —
+    and the change side of a real CDC batch is orders of magnitude
+    smaller than base, so AQE broadcasts it; the output aggregate
+    (per-segment count + exact acctbal sum + action counters) proves
+    every row landed in exactly one of keep/update/delete/insert."""
+    c = load_table(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+        F.lit(None).cast("string").alias("new_segment"),
+    )
+    dele = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_acctbal"),
+        F.lit(None).cast("string").alias("new_segment"),
+    )
+    ins = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(42.0).alias("new_acctbal"),
+        F.lit("NEW_SEGMENT").alias("new_segment"),
+    )
+    # one change row per key: D beats U (a key matching both rules
+    # resolves to delete in both engines)
+    changes = (
+        upd.unionByName(dele)
+        .unionByName(ins)
+        .withColumn(
+            "pri", F.when(F.col("op") == "D", 0).otherwise(1)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("pri", "op")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("pri", "rn")
+    )
+    m = c.join(changes, c.c_custkey == changes.k, "full_outer")
+    merged = (
+        m.filter(
+            (F.col("op").isNull())  # untouched base row
+            | (F.col("op") == "U")
+            | ((F.col("op") == "I") & F.col("c_custkey").isNull())
+        )
+        .select(
+            F.coalesce("c_custkey", "k").alias("custkey"),
+            F.coalesce("new_segment", "c_mktsegment").alias("segment"),
+            F.when(F.col("op") == "U", F.col("new_acctbal"))
+            .when(F.col("op") == "I", F.col("new_acctbal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.coalesce("op", F.lit("K")).alias("action"),
+        )
+    )
+    return (
+        merged.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("acctbal", "sum_acctbal"),
+            F.sum(F.when(F.col("action") == "U", 1).otherwise(0))
+            .cast("long")
+            .alias("n_updated"),
+            F.sum(F.when(F.col("action") == "I", 1).otherwise(0))
+            .cast("long")
+            .alias("n_inserted"),
+        )
+        .orderBy("segment")
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q43_event_funnel": q43_event_funnel,
+    "q44_merge_upsert_cdc": q44_merge_upsert_cdc,
     "q40_tpch_q4_order_priority": q40_tpch_q4_order_priority,
     "q41_tpch_q12_late_lines_by_status": q41_tpch_q12_late_lines_by_status,
     "q42_tpch_q14_promo_revenue": q42_tpch_q14_promo_revenue,
@@ -1434,6 +1525,51 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q44_merge_upsert_cdc": f"""
+        WITH upd AS (
+          SELECT c_custkey AS k, 'U' AS op,
+                 c_acctbal + 100.0 AS new_acctbal,
+                 CAST(NULL AS VARCHAR) AS new_segment
+          FROM customer WHERE c_custkey % 7 = 0
+        ), dele AS (
+          SELECT c_custkey, 'D', CAST(NULL AS DOUBLE),
+                 CAST(NULL AS VARCHAR)
+          FROM customer WHERE c_custkey % 97 = 0
+        ), ins AS (
+          SELECT c_custkey + 1000000, 'I', 42.0, 'NEW_SEGMENT'
+          FROM customer WHERE c_custkey % 11 = 0
+        ), allc AS (
+          SELECT * FROM upd
+          UNION ALL SELECT * FROM dele
+          UNION ALL SELECT * FROM ins
+        ), changes AS (
+          SELECT k, op, new_acctbal, new_segment FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY k
+              ORDER BY CASE WHEN op = 'D' THEN 0 ELSE 1 END, op) AS rn
+            FROM allc
+          ) WHERE rn = 1
+        ), m AS (
+          SELECT * FROM customer
+          FULL OUTER JOIN changes ON c_custkey = k
+        ), merged AS (
+          SELECT coalesce(c_custkey, k) AS custkey,
+                 coalesce(new_segment, c_mktsegment) AS segment,
+                 CASE WHEN op IN ('U', 'I') THEN new_acctbal
+                      ELSE c_acctbal END AS acctbal,
+                 coalesce(op, 'K') AS action
+          FROM m
+          WHERE op IS NULL OR op = 'U'
+             OR (op = 'I' AND c_custkey IS NULL)
+        )
+        SELECT segment, COUNT(*) AS n_rows,
+               {exact_sum_sql('acctbal', 'sum_acctbal')},
+               CAST(SUM(CASE WHEN action = 'U' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated,
+               CAST(SUM(CASE WHEN action = 'I' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserted
+        FROM merged GROUP BY segment ORDER BY segment
     """,
     "q43_event_funnel": f"""
         WITH t1 AS (
