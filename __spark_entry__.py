@@ -141,6 +141,7 @@ PYTEST_ONLY = {
     "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)
     "maintenance_compact_sum",  # small-file compaction integrity proof
     "maintenance_clustered_sum",  # sorted-rewrite data-skipping layout
+    "multimodal_integrity_audit",  # payload-vs-metadata validation (pure Catalyst)
     # rotated out this round (twins above):
     "q02_null_skip_sum",
     "q06_projection_pruning",

@@ -256,15 +256,57 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_resize_payloads, RESIZE_SCHEMA)
 
 
+def multimodal_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Payload/metadata consistency audit — the validation pass a
+    multimodal ingest runs before training: per origin, how many
+    payloads disagree with their declared metadata length, and the
+    worst absolute drift. On this fixture the correct answer is zero
+    mismatches (ASCII text ⇒ byte length == declared n_chars); the
+    AUDIT is the capability — a corrupted or truncated blob column
+    surfaces here before a decoder segfaults an executor.
+
+    Scale shape: pure Catalyst (length(payload) vs meta.declared_len
+    — NO Python), map-side partial aggregate, |origins| output rows."""
+    d = load_table(spark, sf_dir, "documents")
+    p = with_binary_payload(d)
+    drift = F.abs(
+        F.length(F.col("payload")) - F.col("meta.declared_len")
+    )
+    return (
+        p.select(F.col("meta.origin").alias("origin"), drift.alias("drift"))
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum(F.when(F.col("drift") != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatched"),
+            F.max("drift").cast("long").alias("max_drift"),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_integrity_audit": multimodal_integrity_audit,
 }
 
 # Fixture text is pure ASCII, so UTF-8 bytes == character codes and the
 # checksum is expressible in SQL over ascii() codes; n_bytes = strlen.
 ORACLES = {
+    "multimodal_integrity_audit": """
+        SELECT source AS origin,
+               COUNT(*) AS n_payloads,
+               CAST(SUM(CASE WHEN abs(strlen(text) - n_chars) <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mismatched,
+               CAST(MAX(abs(strlen(text) - n_chars)) AS BIGINT)
+                 AS max_drift
+        FROM documents GROUP BY source
+    """,
     "multimodal_features": f"""
         SELECT doc_id,
                CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -6,10 +6,17 @@ from pim_orc_spark.operators import multimodal
 from pim_orc_spark.oracle import compare
 
 
-def test_multimodal_features_matches_oracle(spark, sf_dir):
-    df = multimodal.multimodal_features(spark, sf_dir)
-    ok, msg = compare(df, multimodal.ORACLES["multimodal_features"], sf_dir)
-    assert ok, msg
+@pytest.mark.parametrize("name", sorted(multimodal.QUERIES))
+def test_multimodal_matches_oracle(spark, sf_dir, name):
+    """EVERY multimodal query vs its oracle — the PYTEST_ONLY demotion
+    contract ('tests/ still runs each against its oracle every round')
+    requires the full parametrization, not just the features op
+    (round-5 fix: frame_sample/resize previously had no pytest oracle
+    row, only their driver attestation)."""
+    assert name in multimodal.ORACLES, f"{name} is missing its oracle SQL"
+    df = multimodal.QUERIES[name](spark, sf_dir)
+    ok, msg = compare(df, multimodal.ORACLES[name], sf_dir)
+    assert ok, f"{name}: {msg}"
 
 
 def test_binary_payload_schema(spark, sf_dir):

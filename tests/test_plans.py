@@ -290,3 +290,19 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_event_funnel_single_fact_shuffle(spark, sf_dir):
+    """q43's scale claim pinned to the plan: all three funnel-step
+    window MINs share ONE user_id exchange (plus the final single-row
+    aggregate's exchange) — the naive per-step aggregate+join chain
+    would show an exchange per step."""
+    from pim_orc_spark.operators.relational import q43_event_funnel
+
+    plan = (
+        q43_event_funnel(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
