@@ -136,6 +136,7 @@ PYTEST_ONLY = {
     "q42_tpch_q14_promo_revenue",  # exact-integer conditional revenue ratio
     "q43_event_funnel",  # ordered funnel: 3 chained window-mins, ONE shuffle
     "q44_merge_upsert_cdc",  # CDC MERGE as one full-outer join + CASE resolve
+    "q45_gapfill_timeseries",  # time_bucket_gapfill: dense grid from sequence()
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
     "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)

@@ -1315,11 +1315,62 @@ def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket GAP FILLING — the hypertable op
+    (``time_bucket_gapfill``) the rollup cascade (q27) doesn't cover:
+    hourly event counts per type over the corpus' full hour range
+    WITH missing hours emitted as explicit zero rows (a dashboard or
+    anomaly detector needs the zeros; a plain GROUP BY silently skips
+    them — the fixture has ~47 empty purchase-hours that only exist
+    in the gap-filled result).
+
+    Scale shape: the dense grid is generated, not scanned — one
+    1-row aggregate finds the hour bounds, ``sequence()`` explodes
+    the calendar (|hours| rows, bounded by the time range), the type
+    dimension is DISTINCT over the fact (bounded), and the fact
+    itself collapses to a map-side-partial hourly aggregate before
+    the LEFT join onto the grid. Both join inputs are bounded by
+    |hours| × |types| regardless of corpus size, so the gapfill
+    costs one aggregate pass plus dimension-sized work."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    bounds = ev.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")
+        ).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    # rename the fact side's columns before joining: types and counts
+    # share lineage (both derive from ev), and unqualified event_type
+    # would be ambiguous in the join condition
+    counts = (
+        ev.groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumnRenamed("event_type", "et")
+    )
+    grid = calendar.crossJoin(types)
+    return grid.join(
+        counts,
+        (F.col("h") == F.col("hour_start"))
+        & (F.col("et") == F.col("event_type")),
+        "left",
+    ).select(
+        "hour_start",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q43_event_funnel": q43_event_funnel,
     "q44_merge_upsert_cdc": q44_merge_upsert_cdc,
+    "q45_gapfill_timeseries": q45_gapfill_timeseries,
     "q40_tpch_q4_order_priority": q40_tpch_q4_order_priority,
     "q41_tpch_q12_late_lines_by_status": q41_tpch_q12_late_lines_by_status,
     "q42_tpch_q14_promo_revenue": q42_tpch_q14_promo_revenue,
@@ -1525,6 +1576,29 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q45_gapfill_timeseries": """
+        WITH bounds AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events
+        ), cal AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+            AS hour_start
+          FROM bounds
+        ), types AS (
+          SELECT DISTINCT event_type FROM events
+        ), counts AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT c.hour_start, t.event_type,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_events
+        FROM cal c
+        CROSS JOIN types t
+        LEFT JOIN counts ON counts.h = c.hour_start
+                        AND counts.event_type = t.event_type
     """,
     "q44_merge_upsert_cdc": f"""
         WITH upd AS (
