@@ -142,29 +142,24 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k, restructured for 100 TB: Arrow-batched numpy matmul
-    with per-partition PARTIAL top-k, then a final top-k over the tiny
-    candidate set.
+def _vectorized_topk_scan(v: DataFrame) -> DataFrame:
+    """The shared 100 TB exact-ANN scan kernel, dimension-agnostic:
+    Arrow-batched numpy matmul with per-partition PARTIAL top-k, then
+    a final top-k over the tiny candidate set. ``v`` is any
+    (vec_id, v: array<double>) relation; queries are its vec_id <
+    N_QUERIES rows, collected and closed over (bounded: a query
+    workload, not a table). The shuffle carries ≤ partitions ×
+    |queries| × k candidate rows, independent of corpus size.
+    Consumed by ``ann_cosine_topk_vectorized`` (full-dim vectors) and
+    ``ann_rp_topk`` (random-projected vectors) — one kernel, one
+    audit surface.
 
-    The window formulation (``ann_cosine_topk``) shuffles every
-    (query, corpus-row) similarity — O(|corpus| × |queries|) rows —
-    into per-query partitions before ranking. Here each Arrow batch
-    computes its own top-k per query inside numpy (one BLAS matmul),
-    so the shuffle carries ≤ partitions × |queries| × k candidate rows,
-    independent of corpus size. Same result set as the exact baseline
-    and the same oracle.
-
-    The query set is collected to the driver and closed over (bounded:
-    a query workload, not a table). Float64 accumulation order differs
-    from the sequential fold by ≲1 ulp — far below the 4-dp rounding
-    the contract exposes.
-    """
+    Float64 accumulation order differs from the oracle's sequential
+    fold by ≲1 ulp — far below the 4-dp rounding the contract
+    exposes."""
     import numpy as np
     import pandas as pd
 
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
     qrows = (
         v.filter(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
@@ -220,6 +215,59 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sim"), 4).alias("cos_sim"),
         )
     )
+
+
+def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via the shared partial-top-k scan kernel
+    (``_vectorized_topk_scan``): same result set as the window-ranked
+    exact baseline (``ann_cosine_topk``) and the same oracle, but the
+    shuffle is corpus-size-independent where the baseline shuffles
+    O(|corpus| × |queries|) similarity rows."""
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+    return _vectorized_topk_scan(v)
+
+
+RP_DIM = 16  # Johnson-Lindenstrauss target dimension (64 → 16)
+
+
+def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (Johnson–Lindenstrauss): project every
+    embedding 64 → 16 dims with deterministic LCG hyperplanes, then
+    run the exact top-k IN THE PROJECTED SPACE — 4× less vector
+    bandwidth and per-pair compute, recall < 1 by design (the
+    projection approximately preserves angles; the oracle IS the
+    projected-space result, deterministically derived from the same
+    planes). The compression path embedding pipelines use when int8
+    quantization (``ann_sq_topk``) isn't small enough.
+
+    Determinism: the 16 projection dots run in CATALYST as sequential
+    folds (IEEE-identical to the oracle's list_dot_product on the
+    same plane literals); normalization + similarity happen once in
+    the shared numpy kernel against the oracle's raw-vector cosine —
+    the same ≲1-ulp-vs-4dp-rounding trade the vectorized exact path
+    has carried green since round 2. Scale shape: projection is
+    map-side (16 × 64 multiply-adds per row); the scan is the shared
+    partial-top-k kernel — shuffle O(parts × q × k)."""
+    planes = _hyperplanes(n_planes=RP_DIM, dim=DIM, seed=11)
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    v0 = e.select("vec_id", as_double_vec("embedding", DIM).alias("v0"))
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v0"),
+                    F.array(*[F.lit(x) for x in p]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for p in planes
+        ]
+    )
+    v = v0.select("vec_id", proj.alias("v"))
+    return _vectorized_topk_scan(v)
 
 
 CENTROID_STRIDE = 61  # coarse quantizer: centroids = vec_id % stride == 0
@@ -519,6 +567,7 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
+    "ann_rp_topk": ann_rp_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_sq_topk": ann_sq_topk,
@@ -723,8 +772,41 @@ _ANN_RECALL_SQL = f"""
         FROM sq_hits
     """
 
+def _rp_sql() -> str:
+    """Projected-space exact top-k: the same LCG planes as literals,
+    projection via list_dot_product (sequential fold == the Catalyst
+    aggregate), cosine over the raw projected vectors."""
+    planes = _hyperplanes(n_planes=RP_DIM, dim=DIM, seed=11)
+    proj = ", ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({_plane_sql_literal(p)} AS DOUBLE[]))"
+        for p in planes
+    )
+    return f"""
+        WITH pr AS (
+          SELECT vec_id, [{proj}] AS p FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, p AS qp FROM pr
+              WHERE vec_id < {N_QUERIES}),
+        sims AS (
+          SELECT q.query_id, pr.vec_id,
+                 {cosine_sql('q.qp', 'pr.p')} AS sim
+          FROM pr CROSS JOIN q WHERE pr.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, vec_id AS neighbor_id, rank,
+               round(sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
+    "ann_rp_topk": _rp_sql(),
     "ann_sq_topk": _ANN_SQ_SQL,
     # the vectorized plan must reproduce the exact baseline's output
     "ann_cosine_topk_vectorized": _ANN_EXACT_SQL,
