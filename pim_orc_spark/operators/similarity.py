@@ -418,6 +418,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ann_lsh_bucketed", ann_lsh_bucketed),
         ("ann_ivf_topk", ann_ivf_topk),
         ("ann_sq_topk", ann_sq_topk),
+        ("ann_rp_topk", ann_rp_topk),
     ):
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
         counts = (
@@ -684,6 +685,39 @@ _ANN_LSH_SQL = f"""
         FROM ranked WHERE rank <= {TOP_K}
     """
 
+def _rp_sql() -> str:
+    """Projected-space exact top-k: the same LCG planes as literals,
+    projection via list_dot_product (sequential fold == the Catalyst
+    aggregate), cosine over the raw projected vectors."""
+    planes = _hyperplanes(n_planes=RP_DIM, dim=DIM, seed=11)
+    proj = ", ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({_plane_sql_literal(p)} AS DOUBLE[]))"
+        for p in planes
+    )
+    return f"""
+        WITH pr AS (
+          SELECT vec_id, [{proj}] AS p FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, p AS qp FROM pr
+              WHERE vec_id < {N_QUERIES}),
+        sims AS (
+          SELECT q.query_id, pr.vec_id,
+                 {cosine_sql('q.qp', 'pr.p')} AS sim
+          FROM pr CROSS JOIN q WHERE pr.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, vec_id AS neighbor_id, rank,
+               round(sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+
 # Recall@k: both result sets are recomputed as CTEs (a CTE body may
 # itself carry a WITH clause) and intersected per query.
 # Quantization mirrors Spark's exact arithmetic: unit components are
@@ -758,6 +792,16 @@ _ANN_RECALL_SQL = f"""
               ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
           ) m ON m.query_id = q.query_id
           GROUP BY q.query_id
+        ),
+        rp_r AS ({_rp_sql()}),
+        rp_hits AS (
+          SELECT q.query_id, COUNT(m.neighbor_id) AS n_hits
+          FROM qids q LEFT JOIN (
+            SELECT l.query_id, l.neighbor_id
+            FROM rp_r l JOIN exact_r e
+              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+          ) m ON m.query_id = q.query_id
+          GROUP BY q.query_id
         )
         SELECT 'ann_lsh_bucketed' AS method, query_id,
                n_hits, n_hits / {TOP_K}.0 AS recall_at_k
@@ -770,39 +814,11 @@ _ANN_RECALL_SQL = f"""
         SELECT 'ann_sq_topk' AS method, query_id,
                n_hits, n_hits / {TOP_K}.0 AS recall_at_k
         FROM sq_hits
+        UNION ALL
+        SELECT 'ann_rp_topk' AS method, query_id,
+               n_hits, n_hits / {TOP_K}.0 AS recall_at_k
+        FROM rp_hits
     """
-
-def _rp_sql() -> str:
-    """Projected-space exact top-k: the same LCG planes as literals,
-    projection via list_dot_product (sequential fold == the Catalyst
-    aggregate), cosine over the raw projected vectors."""
-    planes = _hyperplanes(n_planes=RP_DIM, dim=DIM, seed=11)
-    proj = ", ".join(
-        f"list_dot_product(CAST(embedding AS DOUBLE[]), "
-        f"CAST({_plane_sql_literal(p)} AS DOUBLE[]))"
-        for p in planes
-    )
-    return f"""
-        WITH pr AS (
-          SELECT vec_id, [{proj}] AS p FROM embeddings
-        ),
-        q AS (SELECT vec_id AS query_id, p AS qp FROM pr
-              WHERE vec_id < {N_QUERIES}),
-        sims AS (
-          SELECT q.query_id, pr.vec_id,
-                 {cosine_sql('q.qp', 'pr.p')} AS sim
-          FROM pr CROSS JOIN q WHERE pr.vec_id <> q.query_id
-        ), ranked AS (
-          SELECT query_id, vec_id, sim,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, vec_id ASC) AS rank
-          FROM sims
-        )
-        SELECT query_id, vec_id AS neighbor_id, rank,
-               round(sim, 4) AS cos_sim
-        FROM ranked WHERE rank <= {TOP_K}
-    """
-
 
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
