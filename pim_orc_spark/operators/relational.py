@@ -84,7 +84,15 @@ def q03_pushdown_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: grouped multi-aggregate over the fact table.
     Map-side partial aggregation keeps the shuffle at
-    O(groups × partitions) — 6 groups here, bounded at any scale."""
+    O(groups × partitions) — 6 groups here, bounded at any scale.
+
+    Deliberately NOT spread(): the fixture's single-row-group parquet
+    caps this scan at one task (parquet can't split below row-group
+    granularity), but repartitioning 600k × 5-column rows to
+    parallelize the aggregate was MEASURED SLOWER (2.7–4.1 s vs
+    1.5 s single-task at sf0.1) — the shuffle round-trip exceeds the
+    decimal-aggregate work it spreads. At 100 TB the input has
+    thousands of row groups and the scan parallelizes for free."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
