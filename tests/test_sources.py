@@ -218,3 +218,60 @@ def test_atomic_build_protocol(tmp_path):
     atomic_build(target3, build3)
     assert os.path.exists(os.path.join(target3, MARKER))
     assert not os.path.exists(os.path.join(target3, "halfwritten"))
+
+
+def test_atomic_build_concurrent_builders(tmp_path):
+    """Race the protocol for real: N processes build the same cache
+    concurrently, each writing its own payload. Exactly one build must
+    win, the installed directory must be COMPLETE (marker + internally
+    consistent payload from a single builder — never a mix), and no
+    temp debris may survive. This is the TOCTOU scenario the round-5
+    fix addresses: under the old rmtree-before-build protocol a slow
+    loser could delete the winner's completed directory."""
+    import multiprocessing as mp
+    import time
+
+    target = str(tmp_path / "cache")
+
+    def builder(i, errs):
+        import os as _os
+
+        from pim_orc_spark.fsutil import atomic_build
+
+        def build(tmp):
+            _os.makedirs(tmp)
+            # two files that must agree — a mixed directory would not
+            with open(_os.path.join(tmp, "a"), "w") as fh:
+                fh.write(str(i))
+            time.sleep(0.01)  # widen the race window
+            with open(_os.path.join(tmp, "b"), "w") as fh:
+                fh.write(str(i))
+
+        try:
+            atomic_build(target, build)
+        except Exception as e:  # pragma: no cover
+            errs.put(f"builder {i}: {e}")
+
+    ctx = mp.get_context("fork")
+    errs = ctx.Queue()
+    procs = [ctx.Process(target=builder, args=(i, errs)) for i in range(8)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+    assert errs.empty(), errs.get()
+
+    from pim_orc_spark.fsutil import MARKER
+
+    assert os.path.exists(os.path.join(target, MARKER))
+    with open(os.path.join(target, "a")) as fh:
+        a = fh.read()
+    with open(os.path.join(target, "b")) as fh:
+        b = fh.read()
+    assert a == b, f"mixed-builder directory: a={a} b={b}"
+    debris = [
+        e.name
+        for e in os.scandir(tmp_path)
+        if e.name.startswith("cache.") and not e.name == "cache"
+    ]
+    assert not debris, debris
