@@ -144,6 +144,7 @@ PYTEST_ONLY = {
     "maintenance_clustered_sum",  # sorted-rewrite data-skipping layout
     "multimodal_integrity_audit",  # payload-vs-metadata validation (pure Catalyst)
     "ann_rp_topk",  # Johnson-Lindenstrauss 64->16 projection ANN, shared scan kernel
+    "ann_pq_topk",  # product quantization (FAISS-style ADC), capped codebook artifact
     # rotated out this round (twins above):
     "q02_null_skip_sum",
     "q06_projection_pruning",

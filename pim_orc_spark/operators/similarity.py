@@ -435,6 +435,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ann_ivf_topk", ann_ivf_topk),
         ("ann_sq_topk", ann_sq_topk),
         ("ann_rp_topk", ann_rp_topk),
+        ("ann_pq_topk", ann_pq_topk),
     ):
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
         counts = (
@@ -581,10 +582,153 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces (64 dims → 8 sub-vectors of 8 dims)
+PQ_MAX_CODES = 256  # codebook cap per subspace (8-bit codes)
+
+
+def _pq_stride(n_rows: int) -> int:
+    """Deterministic codebook sampling stride, capped at PQ_MAX_CODES
+    codes — the same capped-artifact rule as ``_ivf_stride``."""
+    import math
+
+    return max(CENTROID_STRIDE, math.ceil(n_rows / PQ_MAX_CODES))
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS-style ADC search) — the
+    remaining major ANN compression family beside scalar quantization
+    (``ann_sq_topk``) and random projection (``ann_rp_topk``): each
+    unit vector splits into PQ_M 8-dim sub-vectors, each sub-vector is
+    replaced by the id of its nearest codebook entry (argmin squared
+    distance, ties to the smaller code id), and a query scores a
+    corpus vector as the SUM of per-subspace lookup-table dots —
+    8 bytes per corpus vector instead of 512, with the scan reduced
+    to table lookups. Recall < 1 by design; the contract (and the
+    oracle) IS the ADC result from the same deterministic codebooks.
+
+    The codebook is a capped deterministic corpus sample (every
+    ``_pq_stride``-th unit vector's sub-vectors) — like the IVF
+    quantizer, a production system trains it offline with k-means and
+    ships it; this operator consumes the artifact exactly that way
+    (cached per application × table).
+
+    Determinism: unit vectors come from CATALYST (IEEE-identical to
+    the oracle's fold); encode/score run in numpy with the SAME
+    a − 2b + c distance decomposition the oracle computes, and the
+    final ranking orders by round(score, 6) with a vec_id tie-break —
+    ulp-level summation-order noise cannot reorder a 6-dp-quantized
+    key (the same trade every ann_* kernel documents). Scale shape:
+    encode+score is the shared partial-top-k scan pattern — one
+    map-side pass, shuffle O(parts × q × k)."""
+    import numpy as np
+    import pandas as pd
+
+    v = _unit_vectors(spark, sf_dir)
+    import os as _os
+
+    akey = ("pq", spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    art = _IVF_ARTIFACTS.get(akey)
+    if art is None:
+        stride = _pq_stride(v.count())
+        crows = (
+            v.filter(F.col("vec_id") % stride == 0)
+            .orderBy("vec_id")
+            .collect()
+        )
+        C = np.stack(
+            [np.asarray(r["v"], dtype=np.float64) for r in crows]
+        )  # (n_codes, DIM) — subspace s uses C[:, s*8:(s+1)*8]
+        art = (stride, C)
+        _IVF_ARTIFACTS[akey] = art
+    _stride, C = art
+    d_sub = DIM // PQ_M
+
+    qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+
+    # per-subspace lookup tables: LUT[s][j][c] = dot(q_j_s, code_c_s)
+    LUT = [
+        Q[:, s * d_sub : (s + 1) * d_sub]
+        @ C[:, s * d_sub : (s + 1) * d_sub].T
+        for s in range(PQ_M)
+    ]
+    c2 = [
+        np.einsum(
+            "ij,ij->i",
+            C[:, s * d_sub : (s + 1) * d_sub],
+            C[:, s * d_sub : (s + 1) * d_sub],
+        )
+        for s in range(PQ_M)
+    ]
+
+    out_schema = "query_id long, neighbor_id long, score double"
+
+    def pq_partial_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            # encode: per subspace, argmin ||x_s - c_s||² via the
+            # a − 2b + c decomposition; np.argmin takes the FIRST
+            # minimum → ties to the smaller code id, like the oracle
+            codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                Xs = X[:, s * d_sub : (s + 1) * d_sub]
+                x2 = np.einsum("ij,ij->i", Xs, Xs)
+                dist = (
+                    x2[:, None]
+                    - 2.0 * (Xs @ C[:, s * d_sub : (s + 1) * d_sub].T)
+                    + c2[s][None, :]
+                )
+                codes[:, s] = np.argmin(dist, axis=1)
+            frames = []
+            for j in range(len(q_ids)):
+                # ADC: sequential s-order accumulation (matches the
+                # oracle's explicit + chain)
+                score = LUT[0][j][codes[:, 0]].copy()
+                for s in range(1, PQ_M):
+                    score = score + LUT[s][j][codes[:, s]]
+                score = np.round(score, 6)
+                cand = np.nonzero(ids != q_ids[j])[0]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((ids[cand], -score[cand]))
+                take = cand[order[:TOP_K]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(take.size, q_ids[j]),
+                            "neighbor_id": ids[take],
+                            "score": score[take],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cands = v.mapInPandas(pq_partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("score"), 4).alias("adc_score"),
+        )
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_rp_topk": ann_rp_topk,
+    "ann_pq_topk": ann_pq_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_sq_topk": ann_sq_topk,
@@ -734,6 +878,74 @@ def _rp_sql() -> str:
 
 
 
+def _pq_sql() -> str:
+    """ADC search recomputed in SQL: same unit vectors, same capped
+    stride codebook, same a − 2b + c distances (ties to the smaller
+    code id), rank key = round(score, 6) with vec_id tie-break."""
+    d = DIM // PQ_M
+
+    def sl(expr: str, sp: str) -> str:
+        return f"array_slice({expr}, {sp} * {d} + 1, ({sp} + 1) * {d})"
+
+    return f"""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 1.0 / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+                   AS inv
+          FROM embeddings
+        ), uu AS (
+          SELECT vec_id, list_transform(e, x -> x * inv) AS u FROM n
+        ), st AS (
+          SELECT GREATEST({CENTROID_STRIDE},
+                          CAST(ceil(COUNT(*) / {PQ_MAX_CODES}.0)
+                               AS BIGINT)) AS s
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, u AS cu FROM uu
+          WHERE vec_id % (SELECT s FROM st) = 0
+        ), subs AS (
+          SELECT unnest(range({PQ_M})) AS sp
+        ), dists AS (
+          SELECT v.vec_id, subs.sp, c.cid,
+                 list_dot_product({sl('v.u', 'subs.sp')},
+                                  {sl('v.u', 'subs.sp')})
+                 - 2 * list_dot_product({sl('v.u', 'subs.sp')},
+                                        {sl('c.cu', 'subs.sp')})
+                 + list_dot_product({sl('c.cu', 'subs.sp')},
+                                    {sl('c.cu', 'subs.sp')}) AS dist
+          FROM uu v CROSS JOIN subs CROSS JOIN c
+        ), assign AS (
+          SELECT vec_id, sp, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, sp
+              ORDER BY dist ASC, cid ASC) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ), scored AS (
+          SELECT q.vec_id AS query_id, a.vec_id,
+                 round(SUM(list_dot_product({sl('q.u', 'a.sp')},
+                                            {sl('c.cu', 'a.sp')})), 6)
+                   AS score
+          FROM assign a
+          JOIN c ON c.cid = a.cid
+          CROSS JOIN (SELECT vec_id, u FROM uu
+                      WHERE vec_id < {N_QUERIES}) q
+          WHERE a.vec_id <> q.vec_id
+          GROUP BY q.vec_id, a.vec_id
+        ), ranked AS (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id ASC)
+                   AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id AS neighbor_id, rank,
+               round(score, 4) AS adc_score
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 # Recall@k: both result sets are recomputed as CTEs (a CTE body may
 # itself carry a WITH clause) and intersected per query.
 # Quantization mirrors Spark's exact arithmetic: unit components are
@@ -818,6 +1030,16 @@ _ANN_RECALL_SQL = f"""
               ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
           ) m ON m.query_id = q.query_id
           GROUP BY q.query_id
+        ),
+        pq_r AS ({_pq_sql()}),
+        pq_hits AS (
+          SELECT q.query_id, COUNT(m.neighbor_id) AS n_hits
+          FROM qids q LEFT JOIN (
+            SELECT l.query_id, l.neighbor_id
+            FROM pq_r l JOIN exact_r e
+              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+          ) m ON m.query_id = q.query_id
+          GROUP BY q.query_id
         )
         SELECT 'ann_lsh_bucketed' AS method, query_id,
                n_hits, n_hits / {TOP_K}.0 AS recall_at_k
@@ -834,11 +1056,16 @@ _ANN_RECALL_SQL = f"""
         SELECT 'ann_rp_topk' AS method, query_id,
                n_hits, n_hits / {TOP_K}.0 AS recall_at_k
         FROM rp_hits
+        UNION ALL
+        SELECT 'ann_pq_topk' AS method, query_id,
+               n_hits, n_hits / {TOP_K}.0 AS recall_at_k
+        FROM pq_hits
     """
 
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
     "ann_rp_topk": _rp_sql(),
+    "ann_pq_topk": _pq_sql(),
     "ann_sq_topk": _ANN_SQ_SQL,
     # the vectorized plan must reproduce the exact baseline's output
     "ann_cosine_topk_vectorized": _ANN_EXACT_SQL,

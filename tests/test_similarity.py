@@ -55,6 +55,8 @@ def test_scale_paths_have_no_allpairs_join(spark, sf_dir):
         similarity.ann_cosine_topk_vectorized,
         similarity.ann_ivf_topk,
         similarity.ann_sq_topk,
+        similarity.ann_rp_topk,
+        similarity.ann_pq_topk,
     ):
         plan = (
             fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
