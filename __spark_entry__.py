@@ -137,6 +137,9 @@ PYTEST_ONLY = {
     "q43_event_funnel",  # ordered funnel: 3 chained window-mins, ONE shuffle
     "q44_merge_upsert_cdc",  # CDC MERGE as one full-outer join + CASE resolve
     "q45_gapfill_timeseries",  # time_bucket_gapfill: dense grid from sequence()
+    "q46_tpch_q6_forecast_revenue",  # canonical pure filter-agg (pushed predicates)
+    "q47_tpch_q13_order_distribution",  # aggregate-of-aggregate histogram
+    "q48_tpch_q19_disjunctive_revenue",  # OR-clause predicate workload, one join
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
     "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)

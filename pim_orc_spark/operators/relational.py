@@ -1373,12 +1373,116 @@ def q45_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_tpch_q6_forecast_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): THE canonical pure
+    filter-aggregate — one year, a discount band, a quantity cap, one
+    SUM(price × discount). Every predicate reaches the scan
+    (PushedFilters), the aggregate is a 2-phase exact integer-cents
+    sum, and the whole plan is scan → filter → partial agg → final
+    agg: the reference's own program shape (reader.cc:50-63) with
+    predicates. Revenue here is price × discount (the discount GIVEN
+    UP, per the TPC-H spec), computed in the same exact-cents
+    arithmetic as the shared kernel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pts = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum((cents * pts).cast("decimal(38,0)")).cast("double")
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q47_tpch_q13_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the
+    AGGREGATE-OF-AGGREGATE shape no other query covers — LEFT join
+    customers to orders (zero-order customers must appear), count
+    orders per customer, then histogram the counts. Two shuffles by
+    construction (per-customer, then per-count), both with map-side
+    partials; the LEFT join preserves the zero bucket that an inner
+    join would silently drop."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+def q48_tpch_q19_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to this schema): revenue
+    from lineitem⋈part pairs matching ANY of three brand/size/quantity
+    clauses — the DISJUNCTIVE-predicate workload. Catalyst extracts
+    the common conjuncts it can and evaluates the OR inside the join;
+    the part dimension broadcasts. Guards the predicate planner
+    against the classic OR-blowup (no union-of-three-joins rewrite:
+    one join, one pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size") <= 30)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            exact_revenue(),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q43_event_funnel": q43_event_funnel,
     "q44_merge_upsert_cdc": q44_merge_upsert_cdc,
     "q45_gapfill_timeseries": q45_gapfill_timeseries,
+    "q46_tpch_q6_forecast_revenue": q46_tpch_q6_forecast_revenue,
+    "q47_tpch_q13_order_distribution": q47_tpch_q13_order_distribution,
+    "q48_tpch_q19_disjunctive_revenue": q48_tpch_q19_disjunctive_revenue,
     "q40_tpch_q4_order_priority": q40_tpch_q4_order_priority,
     "q41_tpch_q12_late_lines_by_status": q41_tpch_q12_late_lines_by_status,
     "q42_tpch_q14_promo_revenue": q42_tpch_q14_promo_revenue,
@@ -1584,6 +1688,38 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q46_tpch_q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.04
+          AND l_quantity < 24
+    """,
+    "q47_tpch_q13_order_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey
+        )
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM per_cust GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "q48_tpch_q19_disjunctive_revenue": f"""
+        SELECT {exact_revenue_sql()},
+               COUNT(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size <= 10
+               AND l_quantity >= 1 AND l_quantity <= 15)
+           OR (p_brand = 'Brand#23' AND p_size <= 20
+               AND l_quantity >= 10 AND l_quantity <= 25)
+           OR (p_brand = 'Brand#34' AND p_size <= 30
+               AND l_quantity >= 20 AND l_quantity <= 35)
     """,
     "q45_gapfill_timeseries": """
         WITH bounds AS (
