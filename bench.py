@@ -48,6 +48,10 @@ HEADLINE = [
     # classic TPC-H Q3 workload shape (3-table filter-join-agg-topk) —
     # the representative a reference user would benchmark first
     "q31_tpch_q3_shipping_priority",
+    # ADDITIVE round-5 slot (r4 verdict #7: same 12 slots, new slots
+    # additively only): the 6-table Q5 join tree — the deepest join in
+    # the suite and the round-5-attested SQL workload representative
+    "q32_tpch_q5_local_supplier",
     "q18_sessionization",
     # the bucketed+salted LSH path is the 100 TB dedup plan and so the
     # headline representative; the all-pairs bitset form stays a
