@@ -47,28 +47,38 @@ def exact_avg_sql(expr: str, alias: str) -> str:
     )
 
 
+def cents(col: Column | str) -> Column:
+    """A 2-dp monetary/ratio double as exact integer hundredths —
+    THE rounding contract (HALF_UP via round, long cast). Every
+    integer-exact monetary expression derives from this one site."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    """DuckDB fragment for the identical hundredths conversion."""
+    return f"CAST(round({expr} * 100) AS BIGINT)"
+
+
 def revenue_item(
     price_col: str = "l_extendedprice",
     disc_col: str = "l_discount",
 ) -> Column:
     """The PER-ROW exact revenue term: price-cents × (100 −
     discount-points) as decimal(38,0) hundredths-of-cents — the single
-    authority for the rounding contract, consumed by ``exact_revenue``
+    authority for the revenue contract, consumed by ``exact_revenue``
     and by conditional-revenue queries (q42) that need the raw item
     inside a CASE."""
-    cents = F.round(F.col(price_col) * 100).cast("long")
-    pts = F.round(F.col(disc_col) * 100).cast("long")
-    return (cents * (F.lit(100) - pts)).cast("decimal(38,0)")
+    return (cents(price_col) * (F.lit(100) - cents(disc_col))).cast(
+        "decimal(38,0)"
+    )
 
 
 def revenue_item_sql(
     price: str = "l_extendedprice", disc: str = "l_discount"
 ) -> str:
     """DuckDB fragment for the identical per-row revenue term."""
-    return (
-        f"CAST(round({price} * 100) AS BIGINT)"
-        f" * (100 - CAST(round({disc} * 100) AS BIGINT))"
-    )
+    return f"{cents_sql(price)} * (100 - {cents_sql(disc)})"
 
 
 def exact_revenue(

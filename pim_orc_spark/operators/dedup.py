@@ -423,19 +423,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same resident-intermediate trade orc_table makes with its
     # materialized ORC copy. ``minhash_pairs`` stays rebuild-per-call
     # for arbitrary (possibly changing) input DataFrames.
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    hit = _SIG_CACHE.get(key)
-    if hit is None:
-        docs = load_table(spark, sf_dir, "documents")
-        hit = _doc_signatures(spark, docs)
-        _SIG_CACHE[key] = hit
-    per_doc, nb = hit
+    from pim_orc_spark.artifacts import cached_artifact
+
+    per_doc, nb = cached_artifact(
+        "minhash_sigs",
+        spark,
+        sf_dir,
+        lambda: _doc_signatures(
+            spark, load_table(spark, sf_dir, "documents")
+        ),
+    )
     if nb == 0:
         return _empty_pairs(spark)
     return _pairs_from_sigs(per_doc, nb)
-
-
-_SIG_CACHE: dict[tuple[str, str], tuple[DataFrame | None, int]] = {}
 
 
 def _empty_pairs(spark: SparkSession) -> DataFrame:

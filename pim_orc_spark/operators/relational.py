@@ -28,6 +28,8 @@ from pim_orc_spark.functions.numeric import (
     exact_revenue_sql,
     exact_sum,
     exact_sum_sql,
+    cents,
+    cents_sql,
     revenue_item,
     revenue_item_sql,
 )
@@ -1241,7 +1243,9 @@ def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-level plan those systems generate: ONE full-outer join of
     base and changes on the key, then per-row CASE resolution
     (change absent → keep base; D → drop; U → base with the updated
-    column; I with no base match → new row).
+    column; I with no base match → new row; I whose key already
+    exists → the not-matched clause does not fire, base row kept —
+    never dropped).
 
     The change batch is derived deterministically from the base so
     both engines see the identical feed: custkey % 7 == 0 → UPDATE
@@ -1291,20 +1295,33 @@ def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("pri", "rn")
     )
     m = c.join(changes, c.c_custkey == changes.k, "full_outer")
+    # MERGE semantics per row: change absent -> keep; D -> drop;
+    # U -> keep with the updated column; I against an ABSENT base key
+    # -> new row; I whose key ALREADY EXISTS -> the not-matched insert
+    # clause does not fire, the base row is KEPT untouched (round-5
+    # review: the earlier filter dropped BOTH rows in that collision,
+    # silently losing the base customer — a row-loss class the oracle
+    # could never catch because it mirrored the same filter).
+    fresh_insert = (F.col("op") == "I") & F.col("c_custkey").isNull()
     merged = (
         m.filter(
             (F.col("op").isNull())  # untouched base row
             | (F.col("op") == "U")
-            | ((F.col("op") == "I") & F.col("c_custkey").isNull())
+            | (F.col("op") == "I")  # fresh insert OR matched no-op
         )
         .select(
             F.coalesce("c_custkey", "k").alias("custkey"),
-            F.coalesce("new_segment", "c_mktsegment").alias("segment"),
+            F.when(fresh_insert, F.col("new_segment"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
             F.when(F.col("op") == "U", F.col("new_acctbal"))
-            .when(F.col("op") == "I", F.col("new_acctbal"))
+            .when(fresh_insert, F.col("new_acctbal"))
             .otherwise(F.col("c_acctbal"))
             .alias("acctbal"),
-            F.coalesce("op", F.lit("K")).alias("action"),
+            F.when(F.col("op") == "U", F.lit("U"))
+            .when(fresh_insert, F.lit("I"))
+            .otherwise(F.lit("K"))
+            .alias("action"),
         )
     )
     return (
@@ -1332,34 +1349,36 @@ def q45_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     them — the fixture has ~47 empty purchase-hours that only exist
     in the gap-filled result).
 
-    Scale shape: the dense grid is generated, not scanned — one
-    1-row aggregate finds the hour bounds, ``sequence()`` explodes
-    the calendar (|hours| rows, bounded by the time range), the type
-    dimension is DISTINCT over the fact (bounded), and the fact
-    itself collapses to a map-side-partial hourly aggregate before
-    the LEFT join onto the grid. Both join inputs are bounded by
+    Scale shape: the dense grid is generated, not scanned — the fact
+    collapses to ONE map-side-partial hourly aggregate (the only
+    corpus pass), and bounds, the ``sequence()`` calendar, and the
+    type dimension all derive from that |hours| × |types|-sized
+    materialized aggregate. Both join inputs are bounded by
     |hours| × |types| regardless of corpus size, so the gapfill
-    costs one aggregate pass plus dimension-sized work."""
+    costs one aggregate pass plus dimension-sized work — and the
+    plan actually matches that claim (review fix: bounds/types were
+    previously their own corpus scans)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     )
-    bounds = ev.agg(
-        F.min("h").alias("lo"), F.max("h").alias("hi")
+    # ONE fact scan (round-5 review: bounds and types were separate
+    # corpus scans): the hourly aggregate is the only pass over
+    # events, localCheckpoint'ed at its |hours|×|types| size (~3600
+    # rows) so the three consumers below (bounds, types, the grid
+    # join) read the materialized aggregate, not the fact table.
+    counts = (
+        ev.groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumnRenamed("event_type", "et")
+        .localCheckpoint()
     )
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     calendar = bounds.select(
         F.explode(
             F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")
         ).alias("hour_start")
     )
-    types = ev.select("event_type").distinct()
-    # rename the fact side's columns before joining: types and counts
-    # share lineage (both derive from ev), and unqualified event_type
-    # would be ambiguous in the join condition
-    counts = (
-        ev.groupBy("h", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumnRenamed("event_type", "et")
-    )
+    types = counts.select(F.col("et").alias("event_type")).distinct()
     grid = calendar.crossJoin(types)
     return grid.join(
         counts,
@@ -1386,8 +1405,9 @@ def q46_tpch_q6_forecast_revenue(
     UP, per the TPC-H spec), computed in the same exact-cents
     arithmetic as the shared kernel."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    pts = F.round(F.col("l_discount") * 100).cast("long")
+    item = (
+        cents("l_extendedprice") * cents("l_discount")
+    ).cast("decimal(38,0)")
     return (
         li.filter(
             (F.col("l_shipdate") >= "1997-01-01")
@@ -1397,10 +1417,7 @@ def q46_tpch_q6_forecast_revenue(
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            (
-                F.sum((cents * pts).cast("decimal(38,0)")).cast("double")
-                / 10000.0
-            ).alias("revenue"),
+            (F.sum(item).cast("double") / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -1689,9 +1706,9 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
-    "q46_tpch_q6_forecast_revenue": """
-        SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * CAST(round(l_discount * 100) AS BIGINT))
+    "q46_tpch_q6_forecast_revenue": f"""
+        SELECT CAST(SUM({cents_sql('l_extendedprice')}
+                        * {cents_sql('l_discount')})
                     AS DOUBLE) / 10000.0 AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
@@ -1773,13 +1790,17 @@ ORACLES = {
           FULL OUTER JOIN changes ON c_custkey = k
         ), merged AS (
           SELECT coalesce(c_custkey, k) AS custkey,
-                 coalesce(new_segment, c_mktsegment) AS segment,
-                 CASE WHEN op IN ('U', 'I') THEN new_acctbal
+                 CASE WHEN op = 'I' AND c_custkey IS NULL
+                      THEN new_segment ELSE c_mktsegment END AS segment,
+                 CASE WHEN op = 'U' THEN new_acctbal
+                      WHEN op = 'I' AND c_custkey IS NULL
+                      THEN new_acctbal
                       ELSE c_acctbal END AS acctbal,
-                 coalesce(op, 'K') AS action
+                 CASE WHEN op = 'U' THEN 'U'
+                      WHEN op = 'I' AND c_custkey IS NULL THEN 'I'
+                      ELSE 'K' END AS action
           FROM m
-          WHERE op IS NULL OR op = 'U'
-             OR (op = 'I' AND c_custkey IS NULL)
+          WHERE op IS NULL OR op = 'U' OR op = 'I'
         )
         SELECT segment, COUNT(*) AS n_rows,
                {exact_sum_sql('acctbal', 'sum_acctbal')},

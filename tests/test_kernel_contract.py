@@ -108,3 +108,39 @@ def test_poly_hash_contract(fuzz_df):
         " FROM t ORDER BY id"
     ).fetchall()
     _diff([(r["id"], r["h"]) for r in sp], dk)
+
+
+def test_list_dot_product_is_sequential_fold():
+    """The entire vector-oracle suite (cosine_sql, the SQ/RP/PQ unit
+    vectors, the LM micro-nats) rests on ONE cross-engine assumption:
+    DuckDB's list_dot_product accumulates LEFT-TO-RIGHT, bit-identical
+    to Catalyst's aggregate() fold and Python's sequential sum. This
+    pins that assumption as a checked contract — if a DuckDB upgrade
+    switches to SIMD/pairwise summation, THIS fails loudly instead of
+    an ANN rank flipping silently. Values are adversarial: mixed
+    magnitudes (1e16 vs 1e-16) where summation ORDER changes the
+    result by far more than an ulp."""
+    import math
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(50):
+        n = rng.randrange(1, 65)
+        a = [rng.uniform(-1, 1) * 10 ** rng.randrange(-16, 17) for _ in range(n)]
+        b = [rng.uniform(-1, 1) * 10 ** rng.randrange(-16, 17) for _ in range(n)]
+        cases.append((a, b))
+    con = duckdb.connect()
+    for a, b in cases:
+        expected = 0.0
+        for x, y in zip(a, b):
+            expected += x * y  # sequential left-to-right fold
+        got = con.execute(
+            "SELECT list_dot_product(CAST(? AS DOUBLE[]), CAST(? AS DOUBLE[]))",
+            [a, b],
+        ).fetchone()[0]
+        assert got == expected or (
+            math.isnan(got) and math.isnan(expected)
+        ), f"list_dot_product diverged from the sequential fold: {got} != {expected}"

@@ -70,3 +70,36 @@ def test_salted_join_invariant_under_salt_count(spark):
         assert salted == plain
 
     check()
+
+
+def test_q44_merge_conserves_rows(spark, sf_dir):
+    """Row-conservation invariant the oracle CANNOT check (a mirrored
+    resolution bug passes the oracle): merged row count must equal
+    |base| − |delete keys| + |fresh insert keys|, i.e. no base row may
+    vanish except by an explicit delete — the round-5 review found an
+    insert-key collision silently dropping base rows."""
+    import duckdb
+
+    from pim_orc_spark.operators.relational import q44_merge_upsert_cdc
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    n_base = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    n_del = con.execute(
+        "SELECT COUNT(*) FROM customer WHERE c_custkey % 97 = 0"
+    ).fetchone()[0]
+    n_fresh_ins = con.execute(
+        """
+        SELECT COUNT(*) FROM customer i
+        WHERE i.c_custkey % 11 = 0
+          AND NOT EXISTS (SELECT 1 FROM customer b
+                          WHERE b.c_custkey = i.c_custkey + 1000000)
+        """
+    ).fetchone()[0]
+    got = sum(
+        r["n_rows"]
+        for r in q44_merge_upsert_cdc(spark, sf_dir).collect()
+    )
+    assert got == n_base - n_del + n_fresh_ins

@@ -259,6 +259,11 @@ def test_atomic_build_concurrent_builders(tmp_path):
         p.start()
     for p in procs:
         p.join(timeout=60)
+    for p in procs:
+        # a hard-crashed (segfault/OOM-kill) or hung builder would put
+        # nothing on errs — exit codes and liveness close that hole
+        assert not p.is_alive(), "builder hung past join timeout"
+        assert p.exitcode == 0, f"builder died with {p.exitcode}"
     assert errs.empty(), errs.get()
 
     from pim_orc_spark.fsutil import MARKER
