@@ -140,6 +140,8 @@ PYTEST_ONLY = {
     "q46_tpch_q6_forecast_revenue",  # canonical pure filter-agg (pushed predicates)
     "q47_tpch_q13_order_distribution",  # aggregate-of-aggregate histogram
     "q48_tpch_q19_disjunctive_revenue",  # OR-clause predicate workload, one join
+    "q49_tpch_q17_small_quantity",  # correlated scalar-agg subquery, identical SQL
+    "q50_tpch_q15_top_supplier",  # scalar subquery over a derived aggregate
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
     "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)

@@ -1491,9 +1491,78 @@ def q48_tpch_q19_disjunctive_revenue(
     )
 
 
+# TPC-H Q17 shape via the SQL FRONT DOOR (like q34, the oracle is the
+# IDENTICAL string): the CORRELATED SCALAR AGGREGATE subquery — the one
+# decorrelation shape q34 (uncorrelated scalar + IN) and q21
+# (correlated EXISTS) don't cover. Catalyst rewrites the per-part avg
+# into an aggregate + join; DuckDB does its own decorrelation — value
+# equality certifies both rewrites. Determinism: l_quantity is
+# integer-valued, so SUM in double is exact (far below 2^53) and the
+# avg is one exact division — no summation-order hazard; revenue is
+# the exact decimal sum presented over the spec's 7.0 divisor.
+_Q49_SQL = """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_rows
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND p_type = 'MEDIUM'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+    """
+
+
+def q49_tpch_q17_small_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if
+    orders below 20% of a part's average quantity were no longer
+    taken — the correlated scalar-aggregate subquery workload, issued
+    through plain ``spark.sql`` with the oracle running the IDENTICAL
+    string (see _Q49_SQL for the decorrelation + determinism
+    rationale)."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q49_SQL)
+
+
+def q50_tpch_q15_top_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q15 (top supplier): per-supplier quarterly revenue, then
+    the supplier(s) whose revenue equals the MAX — the
+    scalar-subquery-over-derived-aggregate shape (the revenue relation
+    is computed once and consumed twice: as the join input and inside
+    the MAX). Exact integer-cents revenue makes the equality
+    comparison safe — two engines computing MAX over identical exact
+    values agree exactly, where a float SUM would make `= max` a
+    coin flip. Scale: one fact aggregate (map-side partial) to
+    |suppliers| rows; everything after is dimension-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(exact_revenue(alias="total_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
+    "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
+    "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
     "q44_merge_upsert_cdc": q44_merge_upsert_cdc,
     "q45_gapfill_timeseries": q45_gapfill_timeseries,
@@ -1705,6 +1774,20 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q49_tpch_q17_small_quantity": _Q49_SQL,
+    "q50_tpch_q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey, {exact_revenue_sql(alias='total_revenue')}
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
     """,
     "q46_tpch_q6_forecast_revenue": f"""
         SELECT CAST(SUM({cents_sql('l_extendedprice')}
