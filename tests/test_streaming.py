@@ -226,3 +226,116 @@ def test_foreach_batch_sink_is_multi_batch_and_idempotent(spark, sf_dir):
     sink = os.path.join("/tmp/pim_orc_spark/stream", sf_tag, "fb_sink")
     batches = [d for d in os.listdir(sink) if d.startswith("batch_id=")]
     assert len(batches) == FB_SPLIT_FILES, batches
+
+
+def test_foreach_batch_sink_recovers_from_mid_run_crash(spark, sf_dir, tmp_path):
+    """Exactly-once across a CRASH: a foreachBatch run whose sink
+    function raises after committing batch 1 (the worst spot — sink
+    committed, checkpoint not) must, when RESTARTED with the same
+    checkpoint, replay only the uncommitted batch and finish with a
+    sink equal to the batch truth — one directory per batch, no batch
+    lost, the replayed batch not doubled. This is the recovery
+    contract the per-batch overwrite layout exists to provide."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.functions.numeric import exact_sum
+    from pim_orc_spark.streaming.stream_events import (
+        FB_SPLIT_FILES,
+        _CONF_LOCK,
+        STREAM_SHUFFLE_PARTITIONS,
+        _split_events_dir,
+        normalize_event_ts,
+    )
+
+    src = _split_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sink)
+
+    def stream():
+        return (
+            normalize_event_ts(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            ).select("event_id", "event_type", "value")
+        )
+
+    def make_writer(crash_after):
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(sink, f"batch_id={batch_id}")
+            )
+            if crash_after is not None and batch_id >= crash_after:
+                # crash AFTER the sink commit, BEFORE the checkpoint
+                # commit — the exactly-once gap
+                raise RuntimeError("simulated sink crash")
+
+        return write_batch
+
+    with _CONF_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
+        )
+        try:
+            q = (
+                stream()
+                .writeStream.foreachBatch(make_writer(crash_after=1))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            with pytest.raises(Exception, match="simulated sink crash"):
+                q.awaitTermination()
+            crashed_batches = {
+                d for d in os.listdir(sink) if d.startswith("batch_id=")
+            }
+            assert crashed_batches == {"batch_id=0", "batch_id=1"}
+
+            # RESTART with the same checkpoint: batch 1 (uncommitted in
+            # the checkpoint) replays — overwriting its own directory —
+            # then the remaining batches run to completion
+            q2 = (
+                stream()
+                .writeStream.foreachBatch(make_writer(crash_after=None))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    batches = {d for d in os.listdir(sink) if d.startswith("batch_id=")}
+    assert batches == {
+        f"batch_id={i}" for i in range(FB_SPLIT_FILES)
+    }, batches
+
+    got = {
+        tuple(r)
+        for r in spark.read.option("basePath", sink)
+        .parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", "s"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT event_type, COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM '{sf_dir}/events.parquet' GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    assert got == exp
