@@ -142,6 +142,7 @@ PYTEST_ONLY = {
     "q48_tpch_q19_disjunctive_revenue",  # OR-clause predicate workload, one join
     "q49_tpch_q17_small_quantity",  # correlated scalar-agg subquery, identical SQL
     "q50_tpch_q15_top_supplier",  # scalar subquery over a derived aggregate
+    "q51_numeric_profile",  # one-pass describe(): exact-integer mean/variance
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
     "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)

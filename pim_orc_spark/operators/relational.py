@@ -1558,9 +1558,71 @@ def q50_tpch_q15_top_supplier(
     )
 
 
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q51_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric data-profiling — the ``describe()``-style table audit a
+    pipeline runs before trusting a new drop: per column, row/null
+    counts, min/max, mean, and POPULATION VARIANCE, all in ONE pass
+    over the fact table (one aggregate computes every column's stats;
+    the long output shape comes from a stack/unpivot of that single
+    row — never a pass per column).
+
+    Determinism without trusting float summation: sums and
+    sums-of-squares accumulate in exact integer hundredths
+    (decimal(38,0) — Σc² for 600k price rows ≈ 1.5e19 overflows
+    int64 but not decimal), and only the FINISHED exact integers are
+    cast to double (both engines round the same exact value to the
+    same IEEE double), so mean = Σc/100n and
+    var = (Σc² − (Σc)²/n)/n /1e4 are IEEE ops on identical inputs.
+    A float-native mean/var would differ in final ulps per
+    partitioning — the same reason exact_sum exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for col in PROFILE_COLS:
+        c = cents(col).cast("decimal(38,0)")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__n"),
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nn"),
+            F.min(col).alias(f"{col}__min"),
+            F.max(col).alias(f"{col}__max"),
+            F.sum(c).cast("double").alias(f"{col}__s"),
+            F.sum(c * c).cast("double").alias(f"{col}__s2"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', {col}__n, {col}__nn, {col}__min, {col}__max, "
+        f"{col}__s, {col}__s2"
+        for col in PROFILE_COLS
+    )
+    long = one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_null, min_v, max_v, s, s2)"
+    )
+    return long.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round(F.col("s") / 100.0 / F.col("n_rows"), 6).alias("mean_v"),
+        F.round(
+            (
+                F.col("s2")
+                - F.col("s") * F.col("s") / F.col("n_rows")
+            )
+            / F.col("n_rows")
+            / 1e4,
+            6,
+        ).alias("var_pop"),
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
+    "q51_numeric_profile": q51_numeric_profile,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -1776,6 +1838,26 @@ ORACLES = {
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     "q49_tpch_q17_small_quantity": _Q49_SQL,
+    "q51_numeric_profile": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{col}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               round(MIN({col}), 6) AS min_v,
+               round(MAX({col}), 6) AS max_v,
+               round(CAST(SUM({cents_sql(col)}) AS DOUBLE)
+                     / 100.0 / COUNT(*), 6) AS mean_v,
+               round((CAST(SUM(CAST({cents_sql(col)} AS HUGEINT)
+                               * {cents_sql(col)}) AS DOUBLE)
+                      - CAST(SUM({cents_sql(col)}) AS DOUBLE)
+                        * CAST(SUM({cents_sql(col)}) AS DOUBLE)
+                        / COUNT(*))
+                     / COUNT(*) / 1e4, 6) AS var_pop
+        FROM lineitem
+        """
+        for col in PROFILE_COLS
+    ),
     "q50_tpch_q15_top_supplier": f"""
         WITH rev AS (
           SELECT l_suppkey, {exact_revenue_sql(alias='total_revenue')}
