@@ -143,6 +143,8 @@ PYTEST_ONLY = {
     "q49_tpch_q17_small_quantity",  # correlated scalar-agg subquery, identical SQL
     "q50_tpch_q15_top_supplier",  # scalar subquery over a derived aggregate
     "q51_numeric_profile",  # one-pass describe(): exact-integer mean/variance
+    "q52_referential_audit",  # FK orphan counts per fact->dim edge (left anti)
+    "q53_key_skew_report",  # join-key group-size distribution (salting diagnostic)
     "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
     "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
     "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)

@@ -1619,10 +1619,122 @@ def q51_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the FK health check a lakehouse
+    runs on every drop (there are no enforced constraints in parquet;
+    orphaned facts silently vanish from inner joins): for each
+    fact→dimension edge, total fact rows and how many reference a
+    MISSING dimension key. Zero orphans is the correct fixture answer
+    — the audit verb is the capability.
+
+    Scale shape: each edge is one LEFT ANTI join on the FK (shuffle on
+    the key; AQE broadcasts dimension sides) reduced to a count — no
+    wide rows move. The edges audited here: lineitem→orders,
+    orders→customer, customer→nation, lineitem→part,
+    lineitem→supplier."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    parts = []
+    for fact, fk, dim, pk in edges:
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim).select(pk)
+        orphans = f.select(fk).join(
+            d, F.col(fk) == F.col(pk), "left_anti"
+        )
+        parts.append(
+            f.agg(F.count(F.lit(1)).alias("n_fact"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphaned"))
+            )
+            .select(
+                F.lit(f"{fact}.{fk} -> {dim}.{pk}").alias("edge"),
+                "n_fact",
+                "n_orphaned",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SKEW_TOP_KEYS = 3
+
+
+def q53_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW diagnosis — the measurement you run before
+    choosing between a plain shuffle join, AQE skew splitting, or the
+    ``salted_join`` kernel: for each candidate key of the fact table,
+    the group-count distribution (distinct keys, max and p99 group
+    size, rows in the single heaviest key, and the share of the table
+    owned by the top-{SKEW_TOP_KEYS} keys). l_returnflag (3 values,
+    ~50% in one key) and l_orderkey (~4 rows/key) bracket the two
+    regimes.
+
+    Scale shape: one map-side-partial count per key column (shuffle
+    carries (key, partial) rows), then metadata-sized statistics over
+    the |distinct keys| relation; exact integer percentile index
+    (ceil(0.99·n)-th by ordered rank) so both engines pick the same
+    element — no interpolation ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    reports = []
+    for key in ("l_returnflag", "l_orderkey"):
+        g = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        # rank + total over the DISTINCT-KEY relation (metadata-sized
+        # next to the fact table; the single-partition window is over
+        # group counts, never rows)
+        w_all = Window.orderBy(F.col("cnt").asc(), F.col(key).asc())
+        ranked = g.select(
+            "cnt",
+            F.row_number().over(w_all).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("nk"),
+        )
+        p99 = F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.99) * F.col("nk")),
+                F.col("cnt"),
+            )
+        )
+        topk = F.sum(
+            F.when(
+                F.col("rn") > F.col("nk") - SKEW_TOP_KEYS, F.col("cnt")
+            ).otherwise(0)
+        )
+        reports.append(
+            ranked.agg(
+                F.lit(key).alias("key_column"),
+                F.max("nk").cast("long").alias("n_keys"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.max("cnt").cast("long").alias("max_group"),
+                p99.cast("long").alias("p99_group"),
+                F.round(
+                    topk / F.sum("cnt") * 100.0, 6
+                ).alias("topk_share_pct"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
+    "q52_referential_audit": q52_referential_audit,
+    "q53_key_skew_report": q53_key_skew_report,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -1838,6 +1950,43 @@ ORACLES = {
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     "q49_tpch_q17_small_quantity": _Q49_SQL,
+    "q52_referential_audit": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{fact}.{fk} -> {dim}.{pk}' AS edge,
+               (SELECT COUNT(*) FROM {fact}) AS n_fact,
+               (SELECT COUNT(*) FROM {fact} f
+                WHERE NOT EXISTS (SELECT 1 FROM {dim} d
+                                  WHERE d.{pk} = f.{fk})) AS n_orphaned
+        """
+        for fact, fk, dim, pk in [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ]
+    ),
+    "q53_key_skew_report": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{key}' AS key_column,
+               CAST(MAX(nk) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_group,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT)
+                             THEN cnt END) AS BIGINT) AS p99_group,
+               round(CAST(SUM(CASE WHEN rn > nk - {SKEW_TOP_KEYS}
+                                   THEN cnt ELSE 0 END) AS DOUBLE)
+                     / SUM(cnt) * 100.0, 6) AS topk_share_pct
+        FROM (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt ASC, {key} ASC) AS rn,
+                 COUNT(*) OVER () AS nk
+          FROM (SELECT {key}, COUNT(*) AS cnt
+                FROM lineitem GROUP BY {key})
+        )
+        """
+        for key in ("l_returnflag", "l_orderkey")
+    ),
     "q51_numeric_profile": "\nUNION ALL\n".join(
         f"""
         SELECT '{col}' AS column_name,
