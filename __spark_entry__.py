@@ -125,35 +125,95 @@ def _modules():
 #                           DSv2) + the PushedAggregation plan
 #                           assertion in tests/test_plans.py (ORC DSv2)
 PYTEST_ONLY = {
-    # new round-5 operators: pytest-oracle-checked now, first in line
-    # for the round-6 promotion rotation (the sweep budget is full at
-    # 50 this round because every never-attested entry was promoted):
+    # ROUND-6 ROTATION (verdict r5 #2): 15 of the 25 round-5 newcomers
+    # promoted — q49/q44/q43/q39 (the verdict's lead picks), the full
+    # ops layer (q51/q52/q53 — q53 rebuilt this round per verdict #4 —
+    # maintenance_compact/clustered, multimodal_integrity_audit),
+    # ann_rp_topk + ann_pq_topk (the recall report's new rows gain
+    # attested members), stream_foreach_batch_sink (S7 production
+    # sink), dedup_overlap_matrix (plan fixed per verdict #5), and
+    # text_source_mix. text_sentence_stats is NEW this round (verdict
+    # #3: the UDTF surface's first oracle-checkable export — same
+    # LATERAL UDTF plan, scalar per-doc projection). 16 slots rotate
+    # out to hold the sweep at exactly 50; every one is r5-driver-green
+    # (last attestation on file) with a surviving exported twin,
+    # documented inline below.
+    #
+    # NEW round-6 operators (TPC-H completion — all 22 TPC-H query
+    # shapes now implemented and oracle-checked): pytest-green, first
+    # in line for the round-7 rotation:
+    "q54_tpch_q7_nation_volume",  # two-nation volume, double dimension attribution
+    "q55_tpch_q8_market_share",  # conditional-share ratio over a 6-way join tree
+    "q56_tpch_q9_product_profit",  # profit rollup (cost proxied: no partsupp)
+    "q57_tpch_q2_min_cost_supplier",  # correlated-min over derived supply relation
+    "q58_tpch_q11_important_parts",  # HAVING vs scalar-subquery total
+    "q59_tpch_q16_supplier_count",  # COUNT(DISTINCT) + NOT-IN anti join
+    "q60_tpch_q20_excess_suppliers",  # nested-IN semi-join chain
+    "q61_tpch_q21_waiting_supplier",  # EXISTS/NOT-EXISTS via co-partitioned aggs
+    "q62_tpch_q22_dormant_customers",  # above-average filter + anti join
+    # Round-5 newcomers NOT yet promoted (pytest-oracle-green; next in
+    # line for the round-7 rotation):
     "q36_tpch_q18_large_orders",  # aggregate-then-semi-filter (HAVING) workload
     "q37_tpch_q10_returned_items",  # returned-item reporting, agg-before-dim-join
-    "q39_skew_salted_join",  # first-class salted-join kernel, oracle = unsalted join
     "q40_tpch_q4_order_priority",  # EXISTS -> semi join w/ non-equi lag predicate
     "q41_tpch_q12_late_lines_by_status",  # conditional CASE-agg over a fact join
     "q42_tpch_q14_promo_revenue",  # exact-integer conditional revenue ratio
-    "q43_event_funnel",  # ordered funnel: 3 chained window-mins, ONE shuffle
-    "q44_merge_upsert_cdc",  # CDC MERGE as one full-outer join + CASE resolve
     "q45_gapfill_timeseries",  # time_bucket_gapfill: dense grid from sequence()
     "q46_tpch_q6_forecast_revenue",  # canonical pure filter-agg (pushed predicates)
     "q47_tpch_q13_order_distribution",  # aggregate-of-aggregate histogram
     "q48_tpch_q19_disjunctive_revenue",  # OR-clause predicate workload, one join
-    "q49_tpch_q17_small_quantity",  # correlated scalar-agg subquery, identical SQL
     "q50_tpch_q15_top_supplier",  # scalar subquery over a derived aggregate
-    "q51_numeric_profile",  # one-pass describe(): exact-integer mean/variance
-    "q52_referential_audit",  # FK orphan counts per fact->dim edge (left anti)
-    "q53_key_skew_report",  # join-key group-size distribution (salting diagnostic)
-    "dedup_overlap_matrix",  # cross-source near-dup contamination matrix
-    "text_source_mix",  # deterministic source-rebalancing (data mixing) sampler
-    "stream_foreach_batch_sink",  # idempotent per-batch file sink (S7 family)
-    "maintenance_compact_sum",  # small-file compaction integrity proof
-    "maintenance_clustered_sum",  # sorted-rewrite data-skipping layout
-    "multimodal_integrity_audit",  # payload-vs-metadata validation (pure Catalyst)
-    "ann_rp_topk",  # Johnson-Lindenstrauss 64->16 projection ANN, shared scan kernel
-    "ann_pq_topk",  # product quantization (FAISS-style ADC), capped codebook artifact
-    # rotated out this round (twins above):
+    # rotated out THIS round (round-6), each r5-green with its twin:
+    "q33_outer_joins",  # full/left outer family attested by promoted
+    #                     q44_merge_upsert_cdc (full-outer + CASE resolve
+    #                     is the same join plan with a harder projection)
+    "q34_sql_scalar_subquery",  # identical-SQL front door attested by
+    #                     promoted q49 (correlated scalar-agg through the
+    #                     same spark.sql path); IN->LeftSemi family by
+    #                     dedup_clusters/stream_incremental_admit's
+    #                     semi/anti joins (both stay)
+    "q03_pushdown_range_filter",  # PushedFilters plan assertion in
+    #                     tests/test_plans.py is the stronger check (the
+    #                     q06 rotation precedent); filtered-agg shape
+    #                     stays via q01/q04
+    "q08_fact_join_agg",  # fact-join-agg + exact_revenue kernel attested
+    #                     by q31 + q32 (both stay exported and benched)
+    "q10_topk",  # TakeOrderedAndProject attested by q31 (stays) + the
+    #                     promoted q43 funnel's ordered output
+    "q18_sessionization",  # gap-based sessions attested by
+    #                     stream_session_windows (stays) + promoted q43
+    #                     (same per-user ordered-window machinery)
+    "q26_pivot",  # grouping-sets/pivot codepath attested by q27 rollup
+    #                     cascade (stays)
+    "q30_lag_lead_ntile",  # Sort+Window plan family attested by promoted
+    #                     q43 (three chained window-mins over one sort)
+    #                     + text_pack's cumulative window (stays)
+    "stream_sliding_counts",  # sliding-window state attested by
+    #                     stream_windowed_counts (stays; same state
+    #                     machinery, tumbling vs sliding spec)
+    "text_idf",  # its corpus-idf CTE lives verbatim inside
+    #                     text_tfidf_topk's oracle (stays)
+    "text_repetition",  # per-doc Catalyst signal family attested by
+    #                     text_quality (stays); its n-gram machinery by
+    #                     the minhash shingle oracles (dedup_minhash_lsh
+    #                     stays)
+    "dedup_incremental",  # LEFT ANTI on fingerprints attested by
+    #                     stream_incremental_admit (stays; identical
+    #                     join, streaming side) + dedup_clusters
+    "dedup_embedding_lsh",  # hyperplane-bucketed family attested by
+    #                     ann_recall (stays; its oracle re-derives the
+    #                     LSH bucket path as a CTE)
+    "ann_ivf_topk",  # ann_recall's oracle recomputes the IVF path as
+    #                     its ivf_r CTE (stays exported and benched)
+    "schema_evolution_sum",  # mergeSchema surface pytest-green since r2;
+    #                     roundtrip family attested by orc_roundtrip_sum
+    #                     (stays)
+    "text_sentences",  # replaced as the UDTF export by promoted
+    #                     text_sentence_stats (same UDTF, oracle-checked
+    #                     aggregate projection); row-level splitter stays
+    #                     pytest-compared against the shared reference
+    # rotated out in round 5 (twins documented in the block comment
+    # above):
     "q02_null_skip_sum",
     "q06_projection_pruning",
     "q07_broadcast_star_join",
@@ -214,11 +274,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_flagship_sum(spark, SMOKE_SF_DIR)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EVERY operator, exported or pytest-only — for bench.py and
+    tests, which must not depend on the driver-sweep rotation (a bench
+    slot stays comparable across rounds even when its driver slot
+    rotates)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _modules():
         out.update(m.QUERIES)
-    return {k: v for k, v in out.items() if k not in PYTEST_ONLY}
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v for k, v in all_queries().items() if k not in PYTEST_ONLY}
 
 
 def oracle_sql() -> dict[str, str]:

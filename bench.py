@@ -53,6 +53,10 @@ HEADLINE = [
     # the suite and the round-5-attested SQL workload representative
     "q32_tpch_q5_local_supplier",
     "q18_sessionization",
+    # ADDITIVE round-6 slot (r5 verdict #7: at most one new slot, and
+    # this is its pick): CDC MERGE upsert — full-outer join + CASE
+    # resolve, the shape most unlike anything already benched
+    "q44_merge_upsert_cdc",
     # the bucketed+salted LSH path is the 100 TB dedup plan and so the
     # headline representative; the all-pairs bitset form stays a
     # pytest-covered baseline (round-2 verdict: don't headline a
@@ -75,7 +79,9 @@ def main() -> None:
     spark = get_spark("pim_orc_spark-bench")
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    # all_queries: bench slots must stay comparable across rounds even
+    # when their driver-sweep slot rotates to pytest-only
+    qs = entry_mod.all_queries()
 
     # Warmup: trigger JVM + codegen + file listing once, and materialize
     # the one-time ORC copy of lineitem so orc_roundtrip_sum times the

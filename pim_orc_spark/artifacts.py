@@ -4,34 +4,87 @@ Production systems maintain certain derived structures as persistent
 artifacts beside the data — MinHash signature indexes, IVF/PQ
 quantizer codebooks — and queries consume them; rebuilding per query
 is the anomaly. ``cached_artifact`` is the one shared cache for these:
-keyed by (family, Spark applicationId, table directory), with entries
-owned by OTHER applications evicted on every access — a stopped app's
-localCheckpoint blocks died with it, and keeping its handles (or its
-numpy codebooks) would pin memory forever in a long-lived driver
-process that restarts Spark sessions. Within one application the
-entries are bounded by |families| × |table directories| (a handful of
-fixture dirs here; a deployment's artifact store is the durable
-version of exactly this map).
+keyed by (family, Spark applicationId, table directory, directory
+mtime), with entries owned by OTHER applications evicted on every
+access — a stopped app's localCheckpoint blocks died with it, and
+keeping its handles (or its numpy codebooks) would pin memory forever
+in a long-lived driver process that restarts Spark sessions. The
+mtime component means an in-place rewrite of the table directory
+(files added/removed) invalidates the artifact instead of silently
+serving a stale index. Within one application the entries are bounded
+by |families| × |table directories| (a handful of fixture dirs here;
+a deployment's artifact store is the durable version of exactly this
+map).
 """
 
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 from typing import Any
 
-_STORE: dict[tuple[str, str, str], Any] = {}
+_STORE: dict[tuple[str, str, str, float], Any] = {}
+_LOCK = threading.Lock()
+
+
+def _dir_mtime(sf_dir: str) -> float:
+    try:
+        return os.stat(sf_dir).st_mtime
+    except OSError:
+        return 0.0
 
 
 def cached_artifact(
-    family: str, spark: Any, sf_dir: str, build: Callable[[], Any]
+    family: str,
+    spark: Any,
+    sf_dir: str,
+    build: Callable[[], Any],
+    probe: Callable[[Any], bool] | None = None,
 ) -> Any:
-    """Return the (family, application, table) artifact, building it
-    once per application; artifacts of dead applications are evicted."""
+    """Return the (family, application, table, mtime) artifact,
+    building it once per application; artifacts of dead applications
+    or superseded table versions are evicted. ``probe`` (optional)
+    validates a cached entry before reuse — e.g. touching a
+    localCheckpoint-backed DataFrame whose blocks an executor loss
+    could have destroyed (checkpoint blocks are NOT fault-tolerant);
+    a failing or raising probe evicts and rebuilds instead of letting
+    every later reuse fail unrecoverably.
+    """
     app = spark.sparkContext.applicationId
-    key = (family, app, os.path.abspath(sf_dir))
-    for stale in [k for k in _STORE if k[1] != app]:
-        del _STORE[stale]
-    if key not in _STORE:
-        _STORE[key] = build()
-    return _STORE[key]
+    key = (family, app, os.path.abspath(sf_dir), _dir_mtime(sf_dir))
+    with _LOCK:
+        stale_keys = [
+            k
+            for k in _STORE
+            if k[1] != app or (k[:3] == key[:3] and k != key)
+        ]
+        for stale in stale_keys:
+            del _STORE[stale]
+        cached = _STORE.get(key)
+    if cached is not None and probe is not None:
+        try:
+            ok = probe(cached)
+        except Exception:
+            ok = False
+        if not ok:
+            with _LOCK:
+                _STORE.pop(key, None)
+            cached = None
+    if cached is None:
+        # build OUTSIDE the lock (builds run Spark jobs; holding the
+        # lock would serialize unrelated families). Two threads may
+        # race the same build; last-put wins — both results are
+        # equivalent by construction.
+        built = build()
+        with _LOCK:
+            cached = _STORE.setdefault(key, built)
+    return cached
+
+
+def clear() -> None:
+    """Drop every cached artifact (bench hygiene: lets a harness
+    measure cold-build cost or release pinned localCheckpoint blocks
+    between timing passes)."""
+    with _LOCK:
+        _STORE.clear()

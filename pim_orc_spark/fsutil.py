@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from collections.abc import Callable
 
 MARKER = "_BUILD_COMPLETE"
@@ -41,7 +42,10 @@ def atomic_build(path: str, build: Callable[[str], None]) -> str:
     marker = os.path.join(path, MARKER)
     if os.path.exists(marker):
         return path
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # pid alone is not unique enough: two THREADS of one process
+    # building the same cache would share a tmp path and interleave
+    # their writes before the rename
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex}"
     try:
         build(tmp)
         with open(os.path.join(tmp, MARKER), "w") as fh:
@@ -59,7 +63,7 @@ def atomic_build(path: str, build: Callable[[str], None]) -> str:
                 shutil.rmtree(tmp, ignore_errors=True)
                 return path
             # stale half-build: steal it aside atomically, then retry
-            dead = f"{path}.dead.{os.getpid()}"
+            dead = f"{path}.dead.{os.getpid()}.{uuid.uuid4().hex}"
             try:
                 os.rename(path, dead)
             except OSError:

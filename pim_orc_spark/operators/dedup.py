@@ -432,6 +432,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _doc_signatures(
             spark, load_table(spark, sf_dir, "documents")
         ),
+        # localCheckpoint blocks are NOT fault-tolerant: if an executor
+        # died since the build, touching the cached frame raises — the
+        # probe catches that and cached_artifact rebuilds instead of
+        # every later reuse failing unrecoverably
+        probe=lambda art: art[0].isEmpty() or True,
     )
     if nb == 0:
         return _empty_pairs(spark)
@@ -976,21 +981,24 @@ def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_pairs`` engine) span them.
 
     Scale shape: the pair set is the LSH engine's output — orders of
-    magnitude smaller than the corpus — so source attribution joins
-    the (doc_id, source) projection against the BROADCAST pair list
-    twice (fact side streams, pair side replicates), and the matrix
-    aggregate is |sources|² rows at most. If a pathological corpus
-    made the pair set exceed broadcast size, both joins flip to
-    shuffle equi-joins on doc_id with no semantic change."""
+    magnitude smaller than the corpus — so source attribution is two
+    equi-joins of the (doc_id, source) projection against the pair
+    list, and the matrix aggregate is |sources|² rows at most. The
+    joins carry NO strategy hint on purpose (r5 verdict #5: a forced
+    ``F.broadcast`` here would OOM executors on an adversarial corpus
+    whose banding admits ~all pairs — the regime this module's
+    fixtures document): AQE sizes the pair side at runtime, picks
+    broadcast when it is small (always, under the LSH contract), and
+    degrades to a shuffle equi-join instead of an OOM when it isn't."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     pairs = minhash_pairs(spark, d.select("doc_id", "text"))
     src = d.select("doc_id", "source")
     with_a = src.join(
-        F.broadcast(pairs.select("doc_a", "doc_b")),
+        pairs.select("doc_a", "doc_b"),
         F.col("doc_id") == F.col("doc_a"),
     ).select("doc_a", "doc_b", F.col("source").alias("source_a"))
     with_ab = src.join(
-        F.broadcast(with_a), F.col("doc_id") == F.col("doc_b")
+        with_a, F.col("doc_id") == F.col("doc_b")
     ).select("source_a", F.col("source").alias("source_b"))
     return (
         with_ab.select(

@@ -691,7 +691,17 @@ def q29_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             F.size("qtys").alias("n_lines"),
             F.element_at("qtys", 1).alias("first_qty"),
-            F.expr("slice(qtys, 1, 3)").alias("first3"),
+            # arrays stay INTERNAL, outputs are scalars (the q35 map
+            # policy; r5 verdict #1 — a raw array<double> column
+            # crashed the driver's pandas canonicalizer): the slice is
+            # still exercised, its scalar decomposition is exported
+            F.expr(
+                "aggregate(slice(qtys, 1, 3), CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + x)"
+            ).alias("first3_sum"),
+            # try_: ANSI element_at raises on out-of-bounds, and
+            # single-line orders exist; DuckDB's qtys[2] is NULL there
+            F.try_element_at("qtys", F.lit(2)).alias("second_qty"),
             F.array_contains("qtys", 1.0).alias("has_qty_1"),
             F.expr("aggregate(qtys, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").alias(
                 "qty_sum"
@@ -1676,50 +1686,72 @@ def q53_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~50% in one key) and l_orderkey (~4 rows/key) bracket the two
     regimes.
 
-    Scale shape: one map-side-partial count per key column (shuffle
-    carries (key, partial) rows), then metadata-sized statistics over
-    the |distinct keys| relation; exact integer percentile index
-    (ceil(0.99·n)-th by ordered rank) so both engines pick the same
-    element — no interpolation ambiguity."""
+    Scale shape (r5 verdict #4 rebuilt this — the first version ranked
+    EVERY distinct key in one window task, which is exactly the
+    high-cardinality regime the operator exists to diagnose): one
+    map-side-partial count per key column (shuffle carries (key,
+    partial) rows), then three BOUNDED reductions over the
+    distinct-key relation:
+
+    - n_keys / n_rows / max_group: plain partial+final aggregates.
+    - p99 exact: rank-r (r = ceil(0.99·n_keys), ordered by (cnt, key))
+      falls inside some count-VALUE bucket regardless of the key
+      tiebreak, so the exact ranked element is recoverable from the
+      GROUP-SIZE HISTOGRAM — groupBy(cnt) → (cnt, #keys), cumulative
+      rank ranges by running sum, p99 = min cnt whose cumulative key
+      count reaches r. The histogram's cardinality is the number of
+      DISTINCT group sizes, ≤ √(2·n_rows) by a pigeonhole argument
+      (distinct sizes s₁<s₂<… sum to ≤ n_rows), so its
+      single-partition running-sum window is ~1.4 M rows even at
+      10¹² fact rows — metadata-sized for real, unlike the key
+      relation itself.
+    - top-K share: TakeOrderedAndProject (distributed per-partition
+      top-K, constant K) over the key counts — never a global sort.
+
+    The three 1-row frames recombine via 1-row×1-row crossJoins."""
     li = load_table(spark, sf_dir, "lineitem")
     reports = []
     for key in ("l_returnflag", "l_orderkey"):
         g = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
-        # rank + total over the DISTINCT-KEY relation (metadata-sized
-        # next to the fact table; the single-partition window is over
-        # group counts, never rows)
-        w_all = Window.orderBy(F.col("cnt").asc(), F.col(key).asc())
-        ranked = g.select(
-            "cnt",
-            F.row_number().over(w_all).alias("rn"),
-            F.count(F.lit(1))
-            .over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .alias("nk"),
+        stats = g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_group"),
         )
-        p99 = F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(0.99) * F.col("nk")),
-                F.col("cnt"),
-            )
+        hist = g.groupBy("cnt").agg(F.count(F.lit(1)).alias("keys_at"))
+        w_cum = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
-        topk = F.sum(
-            F.when(
-                F.col("rn") > F.col("nk") - SKEW_TOP_KEYS, F.col("cnt")
-            ).otherwise(0)
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        p99 = (
+            hist.select(
+                "cnt",
+                F.sum("keys_at").over(w_cum).alias("cum_keys"),
+                F.sum("keys_at").over(w_all).alias("nk"),
+            )
+            .filter(
+                F.col("cum_keys") >= F.ceil(F.lit(0.99) * F.col("nk"))
+            )
+            .agg(F.min("cnt").cast("long").alias("p99_group"))
+        )
+        topk = (
+            g.orderBy(F.col("cnt").desc(), F.col(key).desc())
+            .limit(SKEW_TOP_KEYS)
+            .agg(F.sum("cnt").alias("topk_rows"))
         )
         reports.append(
-            ranked.agg(
+            stats.crossJoin(p99)
+            .crossJoin(topk)
+            .select(
                 F.lit(key).alias("key_column"),
-                F.max("nk").cast("long").alias("n_keys"),
-                F.sum("cnt").cast("long").alias("n_rows"),
-                F.max("cnt").cast("long").alias("max_group"),
-                p99.cast("long").alias("p99_group"),
+                "n_keys",
+                "n_rows",
+                "max_group",
+                "p99_group",
                 F.round(
-                    topk / F.sum("cnt") * 100.0, 6
+                    F.col("topk_rows") / F.col("n_rows") * 100.0, 6
                 ).alias("topk_share_pct"),
             )
         )
@@ -1729,12 +1761,572 @@ def q53_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------------------------------------------------- TPC-H
+# completion (round 6): the nine workload shapes missing from the
+# suite, adapted to the fixture schema where it lacks a TPC-H column
+# or table (no partsupp / commitdate / receiptdate / phone; every
+# adaptation is documented in the docstring and preserves the query's
+# PLAN shape — the thing being tested — not its exact business
+# parameters). With these, all 22 TPC-H query shapes are implemented
+# and oracle-checked.
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q54_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between two nations
+    by year — the double-dimension-attribution join (supplier nation
+    AND customer nation on the same fact row).
+
+    Scale shape: supplier⋈nation is joined FIRST (the two-nation
+    filter cuts the fact to ~2/25ths before the expensive orderkey
+    shuffle); nation broadcasts explicitly (25 rows); supplier and
+    customer carry no hint — AQE broadcasts them at fixture scale and
+    degrades to shuffle joins at 100 TB where a 1.5B-row customer
+    side can't broadcast. The nation-pair disjunction is applied
+    after both attributions (it needs both sides)."""
+    n = load_table(spark, sf_dir, "nation")
+    pair = n.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(exact_revenue())
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "ECONOMY"
+
+
+def q55_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of a
+    region's revenue for one part type, by year — the
+    conditional-numerator-over-total ratio on a 6-way join tree.
+
+    Scale shape: part is filtered to one type and joined first (fact
+    cut ~6×), then orders (date-pruned at the scan), then the
+    customer→nation→region market restriction, then supplier→nation
+    attribution; nation/region broadcast explicitly, the rest is
+    AQE's call. Numerator and denominator are ONE aggregate (SUM of a
+    CASE'd exact-integer item — no second pass), share rounded at 6dp
+    in both engines."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    market_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("mkt_nationkey"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(market_nations),
+        F.col("c_nationkey") == F.col("mkt_nationkey"),
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    item = revenue_item()
+    target = F.when(
+        F.col("supp_nation") == Q8_NATION, item
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).alias("_num"),
+            F.sum(item).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_num").cast("double")
+                / F.col("_den").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# no partsupp table in the fixture: supply cost is proxied as 50% of
+# the part's retail price — exact in integer arithmetic (retail cents
+# × qty × 50 is the hundredth-of-cent representation of
+# 0.5·retail·qty), so the profit aggregate stays order-independent
+# and hash-comparable
+Q9_COST_PCT = 50
+
+
+def q56_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted): profit by supplier
+    nation and year over parts matching a name pattern. Adaptation:
+    the fixture has no partsupp, so ps_supplycost is proxied by
+    {Q9_COST_PCT}% of p_retailprice (see Q9_COST_PCT) — the plan
+    (LIKE-filtered part dimension joined into the fact, per-row
+    profit arithmetic, nation attribution, two-key rollup) is the
+    spec's.
+
+    Scale shape: the LIKE filter can't prune at the scan (parquet has
+    no substring stats) but cuts the broadcast side ~4×; profit is a
+    single exact decimal(38,0) sum of integer items."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    cost_item = (
+        cents("p_retailprice")
+        * F.col("l_quantity").cast("long")
+        * F.lit(Q9_COST_PCT)
+    ).cast("decimal(38,0)")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            (
+                F.sum(revenue_item() - cost_item).cast("double")
+                / 10000.0
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q2_REGION = "ASIA"
+Q2_SIZE = 15
+Q2_TYPE = "SMALL"
+
+
+def q57_tpch_q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier, adapted): for each part of one
+    size+type, the region's supplier offering it cheapest. Adaptation:
+    no partsupp, so the supply relation is DERIVED from lineitem —
+    supplier s "offers" part p at the minimum line price (exact
+    cents) observed across their transactions; the correlated
+    min-subquery shape (supply cost = MIN over the part's regional
+    offers) is the spec's, decorrelated by both engines into an
+    aggregate + join.
+
+    Scale shape: the offers aggregate is one fact-table groupBy on
+    (part, supplier); everything downstream is dimension-sized. The
+    per-part MIN reuses the same shuffle partitioning (groupBy of a
+    groupBy on a prefix key)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    region_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(region_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey")
+        .agg(F.min(cents("l_extendedprice")).alias("cost_c"))
+    )
+    min_cost = offers.groupBy("p_partkey").agg(
+        F.min("cost_c").alias("min_c")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (offers["p_partkey"] == min_cost["p_partkey"])
+            & (F.col("cost_c") == F.col("min_c")),
+        )
+        .drop(min_cost["p_partkey"])
+        .join(region_supp, "s_suppkey")
+        .join(F.broadcast(p.select("p_partkey", "p_brand")), "p_partkey")
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("cost_c").cast("double") / 100.0).alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q11_NATION = "NATION_5"
+Q11_FRACTION = 1000  # HAVING value > total/1000
+
+
+def q58_tpch_q11_important_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 (important stock, adapted): parts whose transacted
+    value through one nation's suppliers exceeds a fixed fraction of
+    that nation's total — the HAVING-against-a-scalar-subquery shape
+    (the same derived aggregate consumed per-group AND as the global
+    threshold). Adaptation: no partsupp, so "stock value" is the
+    exact-cents extendedprice total from lineitem.
+
+    Scale shape: ONE fact aggregate to |parts| rows; the scalar total
+    re-aggregates those rows (not the fact) and broadcasts as a
+    1-row cross join."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == Q11_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    value = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+    )
+    total = value.agg(F.sum("value_c").alias("total_c"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(
+            F.col("value_c") > F.col("total_c") / F.lit(Q11_FRACTION)
+        )
+        .select(
+            "l_partkey",
+            (F.col("value_c").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def q59_tpch_q16_supplier_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship count, adapted): how
+    many DISTINCT suppliers serve each surviving (brand, type, size)
+    bucket, excluding a complaint set — COUNT(DISTINCT) over a
+    derived relationship relation plus a NOT-IN anti join.
+    Adaptation: the supplier⇄part relation is the distinct
+    (l_partkey, l_suppkey) pairs from lineitem (no partsupp), and
+    "complaint" suppliers are those with negative account balance
+    (no s_comment column).
+
+    Scale shape: the pairs DISTINCT is the only fact-sized shuffle;
+    the anti join's right side is dimension-sized and broadcasts;
+    COUNT(DISTINCT suppkey) per 3-key group plans as the standard
+    two-phase expand/aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        pairs.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(complaints.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q20_NATION = "NATION_7"
+
+
+def q60_tpch_q20_excess_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (potential part promotion, adapted): suppliers in one
+    nation who hold "excess" positions — they moved more than half of
+    a name-filtered part's total 1997 volume — the nested-IN-subquery
+    chain (suppliers IN (pairs whose qty > 0.5 × part total), parts
+    IN (LIKE filter)) decorrelated into aggregate + semi joins.
+    Adaptation: availqty has no partsupp source, so "excess" compares
+    the pair's transacted quantity against the part's corpus-wide
+    total (same > 0.5·Σ shape as the spec's availqty > 0.5·Σ).
+
+    Scale shape: two stacked fact aggregates share the l_partkey
+    shuffle prefix; the survivor pair set is tiny and the final
+    supplier attach is a broadcast semi join."""
+    blue = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            F.broadcast(blue.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    ps_qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    part_total = li.groupBy(
+        F.col("l_partkey").alias("pt_partkey")
+    ).agg(F.sum("l_quantity").alias("part_qty"))
+    excess = ps_qty.join(
+        part_total, F.col("l_partkey") == F.col("pt_partkey")
+    ).filter(F.col("pair_qty") * 2 > F.col("part_qty"))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name") == Q20_NATION
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        s.join(
+            excess.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+Q21_NATION = "NATION_4"
+
+
+def q61_tpch_q21_waiting_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting, adapted): for
+    finished multi-supplier orders, the supplier who ALONE shipped
+    last — the EXISTS (another supplier participated) + NOT EXISTS
+    (another supplier shipped as late) double correlation, expressed
+    as co-partitioned aggregates on the orderkey. Adaptation: the
+    fixture has no commitdate/receiptdate, so "late" is "holds the
+    order's strictly-latest ship date" (l_shipdate is the only
+    lateness signal available).
+
+    Scale shape: every stage — the per-order max/distinct-count, the
+    at-max pair DISTINCT, and the n_at_max re-aggregate — shuffles on
+    the SAME orderkey, so Catalyst reuses one exchange; the supplier
+    attach at the end is dimension-sized."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lo = load_table(spark, sf_dir, "lineitem").join(
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    at_max = (
+        lo.join(
+            per_order,
+            (lo["l_orderkey"] == per_order["l_orderkey"])
+            & (F.col("l_shipdate") == F.col("max_ship")),
+        )
+        .drop(per_order["l_orderkey"])
+        .select("l_orderkey", "l_suppkey", "n_supp")
+        .distinct()
+    )
+    n_at_max = at_max.groupBy(
+        F.col("l_orderkey").alias("nm_orderkey")
+    ).agg(F.count(F.lit(1)).alias("n_at_max"))
+    waiting = at_max.join(
+        n_at_max, F.col("l_orderkey") == F.col("nm_orderkey")
+    ).filter((F.col("n_at_max") == 1) & (F.col("n_supp") >= 2))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name") == Q21_NATION
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q22_CODES = (1, 3, 5, 7, 9, 11, 13)
+# "dormant" horizon: the spec's NOT EXISTS(orders in the last 7 years);
+# every fixture customer has SOME order, so the adapted cutoff keeps
+# the anti join non-vacuous
+Q22_SINCE = "1999-01-01"
+
+
+def q62_tpch_q22_dormant_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity, adapted): well-funded
+    customers in target countries who never ordered — an
+    above-average filter (scalar subquery over the SAME filtered
+    relation) plus NOT EXISTS(orders) as a LEFT ANTI join.
+    Adaptation: no c_phone, so the "country code" is c_nationkey.
+
+    Scale shape: the average is an exact-cents 1-row aggregate
+    broadcast into the filter; the anti join is the only fact-sized
+    operation and AQE picks its side strategy. Comparison against the
+    average happens on exact integer cents scaled by the count —
+    cents·n > Σcents — so no float boundary exists for engines to
+    disagree on."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*Q22_CODES)
+    )
+    avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents("c_acctbal")).alias("sum_c"),
+        F.count(F.lit(1)).alias("n_c"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= Q22_SINCE)
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_pos))
+        .filter(cents("c_acctbal") * F.col("n_c") > F.col("sum_c"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (
+                F.sum(cents("c_acctbal")).cast("double") / 100.0
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
     "q52_referential_audit": q52_referential_audit,
     "q53_key_skew_report": q53_key_skew_report,
+    "q54_tpch_q7_nation_volume": q54_tpch_q7_nation_volume,
+    "q55_tpch_q8_market_share": q55_tpch_q8_market_share,
+    "q56_tpch_q9_product_profit": q56_tpch_q9_product_profit,
+    "q57_tpch_q2_min_cost_supplier": q57_tpch_q2_min_cost_supplier,
+    "q58_tpch_q11_important_parts": q58_tpch_q11_important_parts,
+    "q59_tpch_q16_supplier_count": q59_tpch_q16_supplier_count,
+    "q60_tpch_q20_excess_suppliers": q60_tpch_q20_excess_suppliers,
+    "q61_tpch_q21_waiting_supplier": q61_tpch_q21_waiting_supplier,
+    "q62_tpch_q22_dormant_customers": q62_tpch_q22_dormant_customers,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -1987,6 +2579,180 @@ ORACLES = {
         """
         for key in ("l_returnflag", "l_orderkey")
     ),
+    "q54_tpch_q7_nation_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {exact_revenue_sql()}
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+          AND ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+            OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q55_tpch_q8_market_share": f"""
+        WITH base AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 {revenue_item_sql()} AS item,
+                 n1.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n2 ON n2.n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n2.n_regionkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n1 ON n1.n_nationkey = s_nationkey
+          WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+            AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        )
+        SELECT o_year,
+               round(CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                                   THEN item ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(item) AS DOUBLE), 6) AS mkt_share
+        FROM base GROUP BY o_year ORDER BY o_year
+    """,
+    "q56_tpch_q9_product_profit": f"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM({revenue_item_sql()}
+                        - {cents_sql("p_retailprice")}
+                          * CAST(l_quantity AS BIGINT) * {Q9_COST_PCT})
+                    AS DOUBLE) / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "q57_tpch_q2_min_cost_supplier": f"""
+        WITH region_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          WHERE r_name = '{Q2_REGION}'
+        ), offers AS (
+          SELECT l_partkey AS p_partkey, s_suppkey,
+                 MIN({cents_sql("l_extendedprice")}) AS cost_c
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN region_supp ON s_suppkey = l_suppkey
+          WHERE p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}'
+          GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name, o.p_partkey, p_brand,
+               CAST(cost_c AS DOUBLE) / 100.0 AS min_cost
+        FROM offers o
+        JOIN region_supp USING (s_suppkey)
+        JOIN part ON part.p_partkey = o.p_partkey
+        WHERE cost_c = (SELECT MIN(cost_c) FROM offers o2
+                        WHERE o2.p_partkey = o.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, o.p_partkey
+        LIMIT 100
+    """,
+    "q58_tpch_q11_important_parts": f"""
+        WITH value AS (
+          SELECT l_partkey, SUM({cents_sql("l_extendedprice")}) AS value_c
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = '{Q11_NATION}'
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+        FROM value
+        WHERE value_c > (SELECT SUM(value_c) FROM value)
+                        / {Q11_FRACTION}
+        ORDER BY value DESC, l_partkey
+    """,
+    "q59_tpch_q16_supplier_count": f"""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+          AND p_size IN {Q16_SIZES}
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q60_tpch_q20_excess_suppliers": f"""
+        WITH l97 AS (
+          SELECT l_partkey, l_suppkey, l_quantity
+          FROM lineitem
+          WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            AND l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+        ), ps AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS pair_qty
+          FROM l97 GROUP BY 1, 2
+        ), pt AS (
+          SELECT l_partkey, SUM(l_quantity) AS part_qty
+          FROM l97 GROUP BY 1
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = '{Q20_NATION}'
+          AND s_suppkey IN (SELECT l_suppkey FROM ps JOIN pt
+                            USING (l_partkey)
+                            WHERE pair_qty * 2 > part_qty)
+        ORDER BY s_name
+    """,
+    "q61_tpch_q21_waiting_supplier": f"""
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+        ), per_order AS (
+          SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+                 COUNT(DISTINCT l_suppkey) AS n_supp
+          FROM lo GROUP BY 1
+        ), at_max AS (
+          SELECT DISTINCT lo.l_orderkey, l_suppkey, n_supp
+          FROM lo JOIN per_order
+            ON lo.l_orderkey = per_order.l_orderkey
+           AND l_shipdate = max_ship
+        ), n_at AS (
+          SELECT l_orderkey, COUNT(*) AS n_at_max
+          FROM at_max GROUP BY 1
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM at_max
+        JOIN n_at USING (l_orderkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_at_max = 1 AND n_supp >= 2 AND n_name = '{Q21_NATION}'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    "q62_tpch_q22_dormant_customers": f"""
+        WITH pool AS (
+          SELECT c_custkey, c_nationkey,
+                 {cents_sql("c_acctbal")} AS bal_c
+          FROM customer WHERE c_nationkey IN {Q22_CODES}
+        ), avg_pos AS (
+          SELECT SUM(bal_c) AS sum_c, COUNT(*) AS n_c
+          FROM pool WHERE bal_c > 0
+        )
+        SELECT c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        FROM pool, avg_pos
+        WHERE bal_c * n_c > sum_c
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= '{Q22_SINCE}')
+        GROUP BY 1 ORDER BY 1
+    """,
     "q51_numeric_profile": "\nUNION ALL\n".join(
         f"""
         SELECT '{col}' AS column_name,
@@ -2226,7 +2992,9 @@ ORACLES = {
         SELECT l_orderkey,
                CAST(len(qtys) AS INT) AS n_lines,
                qtys[1] AS first_qty,
-               qtys[1:3] AS first3,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), qtys[1:3]),
+                           (a, x) -> a + x) AS first3_sum,
+               qtys[2] AS second_qty,
                list_contains(qtys, 1.0) AS has_qty_1,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), qtys),
                            (a, x) -> a + x) AS qty_sum,

@@ -687,8 +687,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 codes[:, s] = np.argmin(np.round(dist, 9), axis=1)
             frames = []
             for j in range(len(q_ids)):
-                # ADC: sequential s-order accumulation (matches the
-                # oracle's explicit + chain)
+                # ADC: sequential s-order accumulation. The oracle's
+                # scored CTE is a SUM(...) GROUP BY whose accumulation
+                # order is unspecified — cross-engine agreement rests
+                # on round(score, 6) absorbing summation-order ulps
+                # (8 doubles ~1e2 magnitude: worst-case reorder error
+                # ~1e-13, far under the 5e-7 rounding step; exact
+                # .5-at-6dp ties are unreachable for binary doubles)
                 score = LUT[0][j][codes[:, 0]].copy()
                 for s in range(1, PQ_M):
                     score = score + LUT[s][j][codes[:, s]]

@@ -407,6 +407,54 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence statistics THROUGH the UDTF — the
+    oracle-checkable projection of ``text_sentences`` (r5 verdict #3:
+    after five rounds the §2.8 UDTF surface had no green driver row
+    because the per-sentence export is oracle-less by nature). The
+    plan still contains the LATERAL UDTF eval — the Python splitter
+    runs for every document — but the exported columns are per-doc
+    scalars (count / total chars / max chars), which ARE
+    SQL-expressible: the abbreviation lookbehind the row-level split
+    needs becomes, at the aggregate level, a length-preserving
+    protection rewrite (each abbreviation's final period swapped for
+    a sentinel via one non-lookaround regex, exploiting that a
+    protected period was never a split point) followed by an ordinary
+    regex split. Docs that yield zero sentences drop out through the
+    inner lateral join in both engines.
+
+    Scale: identical to ``text_sentences`` — the UDTF is the one
+    justified per-row Python path, and the added per-doc aggregate is
+    a map-side-partial HashAggregate on the already-partitioned
+    doc_id."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(split_sentences(text)):
+                yield i, s, len(s)
+
+    spark.udtf.register("sentence_split_stats", SentenceSplit)
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d.select("doc_id", "text").createOrReplaceTempView(
+        "docs_for_sentence_stats"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(s.n_chars) AS BIGINT) AS total_sent_chars,
+               CAST(MAX(s.n_chars) AS BIGINT) AS max_sent_chars
+        FROM docs_for_sentence_stats d,
+             LATERAL sentence_split_stats(d.text) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
 def text_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source z-score of document length via GROUPED-MAP
     ``applyInPandas`` — the remaining corner of the §2.8 UDx matrix
@@ -734,8 +782,62 @@ QUERIES = {
     # tests compare row-for-row against the shared split_sentences
     # reference; a driver export would run as a rows-only check
     "text_sentences": text_sentences,
+    "text_sentence_stats": text_sentence_stats,
     "text_zscore": text_zscore,
 }
+
+
+def _sentence_stats_sql() -> str:
+    """Aggregate-level oracle for the sentence splitter.
+
+    The splitter's rule — break after [.!?]+space unless the period
+    ends a whole abbreviation word — is not RE2-expressible per row
+    (no lookbehind), but the per-doc AGGREGATES are: (1) PROTECT each
+    abbreviation's sentence-final period by swapping it for chr(1)
+    (length-preserving, so character counts survive; the leading
+    `(^| )` anchor replicates the splitter's whole-last-word check,
+    and consuming the LEADING space never starves a following match
+    because the pattern leaves its trailing context unread); (2)
+    split on '[.!?] '; (3) each non-tail fragment is the Python
+    segment minus its leading space and trailing punct, so its
+    stripped length is len(ltrim(frag)) + 1; the tail fragment is
+    compared fully trimmed. Python's str.strip() maps to the explicit
+    ' \\t\\n\\r' trim set (fixture text is ASCII)."""
+    ws = "' ' || chr(9) || chr(10) || chr(13)"
+    return f"""
+        WITH prot AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   text, '(^| )(mrs|mr|dr|e\\.g|i\\.e|etc)\\.',
+                   '\\1\\2' || chr(1), 'gi') AS t
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, regexp_split_to_array(t, '[.!?] ') AS arr
+          FROM prot
+        ), lens AS (
+          SELECT doc_id,
+                 list_transform(arr[1:len(arr) - 1],
+                                x -> len(ltrim(x, {ws})) + 1) AS body_lens,
+                 len(trim(arr[len(arr)], {ws})) AS tail_len
+          FROM parts
+        ), stats AS (
+          SELECT doc_id,
+                 len(body_lens)
+                   + CASE WHEN tail_len > 0 THEN 1 ELSE 0 END
+                   AS n_sentences,
+                 CAST(coalesce(list_sum(body_lens), 0)
+                   + CASE WHEN tail_len > 0 THEN tail_len ELSE 0 END
+                   AS BIGINT) AS total_sent_chars,
+                 CAST(greatest(
+                   coalesce(list_max(body_lens), 0),
+                   CASE WHEN tail_len > 0 THEN tail_len ELSE 0 END)
+                   AS BIGINT) AS max_sent_chars
+          FROM lens
+        )
+        SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+               total_sent_chars, max_sent_chars
+        FROM stats WHERE n_sentences > 0
+    """
 
 
 def _langid_sql() -> str:
@@ -972,6 +1074,7 @@ ORACLES = {
                MAX(doc_id) AS last_doc_id
         FROM c GROUP BY source, pack_id
     """,
+    "text_sentence_stats": _sentence_stats_sql(),
     "text_zscore": """
         SELECT doc_id, source, n_chars,
                CASE WHEN stddev_samp(n_chars) OVER w IS NULL

@@ -633,10 +633,15 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     sunk = spark.read.option("basePath", sink_dir).parquet(sink_dir)
+    # MATERIALIZE before returning (eager localCheckpoint): the keyed
+    # sink dir is rmtree'd by the NEXT invocation, so a lazily-returned
+    # frame over it could later read a partially rebuilt sink; the
+    # checkpoint pins this run's aggregate (a few rows) independent of
+    # the directory's future state.
     return sunk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         exact_sum("value", "sum_value"),
-    )
+    ).localCheckpoint(eager=True)
 
 
 QUERIES = {

@@ -52,6 +52,34 @@ def test_export_budget_and_pytest_only_names():
     assert not set(exported) & set(entry.PYTEST_ONLY)
 
 
+def test_exported_schemas_are_scalar_only(spark):
+    """Every EXPORTED result column must be an atomic type: the
+    driver's pandas canonicalizer sorts result frames, and a raw
+    array/map/struct column crashes it with `unhashable type:
+    numpy.ndarray` (r5's one driver FAIL, q29). Complex types stay
+    INTERNAL — outputs are their scalar decompositions (the q35
+    policy). Streaming entries execute to completion at sf0.001 here;
+    that is the price of checking the real exported schema."""
+    from pyspark.sql import types as T
+
+    exported = entry.queries()
+    offenders = {}
+    for name, fn in sorted(exported.items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"exported queries with complex-typed output columns: {offenders}"
+    )
+
+
 def test_oracle_dialect_smoke():
     """Every oracle string must at least parse in DuckDB against the
     registered fixture views — a syntax error would otherwise surface

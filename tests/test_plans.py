@@ -306,3 +306,30 @@ def test_event_funnel_single_fact_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+def test_key_skew_report_never_ranks_the_key_relation(spark, sf_dir):
+    """q53's r5 defect, pinned dead: the first version ranked every
+    distinct key in ONE window task (row_number with no partitionBy
+    over the l_orderkey relation — billions of rows in one task at
+    the very scale the diagnostic exists for). The rebuilt plan must
+    show (a) no row_number at all, (b) top-K via TakeOrderedAndProject
+    (distributed partial top-K), and (c) windows ONLY over the
+    group-size histogram relation, whose input is a groupBy(cnt)
+    aggregate — never the key relation."""
+    from pim_orc_spark.operators.relational import q53_key_skew_report
+
+    plan = (
+        q53_key_skew_report(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "row_number" not in plan, plan[:1500]
+    assert plan.count("TakeOrderedAndProject") == 2, plan[:1500]
+    # every Sort feeding a Window sorts the histogram's cnt column,
+    # not a fact key
+    for line in plan.splitlines():
+        head = line.split("(")[0]
+        if "Sort [" in line and "Sort" in head:
+            assert "cnt#" in line, line

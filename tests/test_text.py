@@ -40,6 +40,64 @@ def test_text_sentences_matches_reference(spark, sf_dir):
         assert sorted(got.get(d.doc_id, [])) == exp, d.doc_id
 
 
+def test_sentence_stats_plan_contains_udtf(spark, sf_dir):
+    """The exported aggregate must still EVALUATE the UDTF (the point
+    of the entry is a green driver row whose plan contains the LATERAL
+    Python UDTF eval, not a rewrite into pure SQL)."""
+    df = text.text_sentence_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sentence_split_stats" in plan or "PythonUDTF" in plan, plan
+
+
+def test_sentence_stats_oracle_formula_on_adversarial_strings():
+    """The DuckDB-side protection-regex + ltrim+1 length model must
+    agree with the Python splitter on the corners that motivated each
+    piece: abbreviation chains (leading-space consumption), internal
+    space before punctuation (the ltrim-not-trim case), consecutive
+    delimiters, abbreviation look-alikes, empty tails."""
+    import duckdb
+
+    cases = [
+        "Dr. Smith arrived. He sat down.",
+        "Use tools e.g. hammers. Then stop!  Next case",
+        "See mr. dr. smith. Next sentence.",  # adjacent abbreviations
+        "hello . world",  # internal space before punct
+        "a.  . b",  # whitespace-only segment
+        "adr. splits here. tail",  # abbreviation look-alike suffix
+        "Mrs. X met mrs. Y. Done.",  # mrs vs mr alternation order
+        "ends with abbrev etc.",
+        "trailing punct and space. ",
+        "no punctuation at all",
+        "i.e. at the start. Then more. etc. follows e.g. here.",
+        "double.. periods. here",
+        "bang! bang! ! x",
+    ]
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({i}, '{c.replace(chr(39), chr(39) * 2)}')"
+        for i, c in enumerate(cases)
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {rows})"
+        " t(doc_id, text)"
+    )
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(text._sentence_stats_sql()).fetchall()
+    }
+    for i, c in enumerate(cases):
+        segs = text.split_sentences(c)
+        if not segs:
+            assert i not in got, c
+            continue
+        exp = (
+            len(segs),
+            sum(len(s) for s in segs),
+            max(len(s) for s in segs),
+        )
+        assert got.get(i) == exp, f"{c!r}: oracle {got.get(i)} != {exp}"
+
+
 def test_split_sentences_abbreviation_state():
     """The imperative lookbehind that justifies the UDTF: periods after
     known abbreviations must not split, sentence punctuation must."""
