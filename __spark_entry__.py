@@ -151,6 +151,7 @@ PYTEST_ONLY = {
     "q60_tpch_q20_excess_suppliers",  # nested-IN semi-join chain
     "q61_tpch_q21_waiting_supplier",  # EXISTS/NOT-EXISTS via co-partitioned aggs
     "q62_tpch_q22_dormant_customers",  # above-average filter + anti join
+    "q63_tpch_q21_sql_front_door",  # EXISTS/NOT-EXISTS decorrelation, identical SQL
     # Round-5 newcomers NOT yet promoted (pytest-oracle-green; next in
     # line for the round-7 rotation):
     "q36_tpch_q18_large_orders",  # aggregate-then-semi-filter (HAVING) workload

@@ -2215,37 +2215,53 @@ def q61_tpch_q21_waiting_supplier(
     order's strictly-latest ship date" (l_shipdate is the only
     lateness signal available).
 
-    Scale shape: every stage — the per-order max/distinct-count, the
-    at-max pair DISTINCT, and the n_at_max re-aggregate — shuffles on
-    the SAME orderkey, so Catalyst reuses one exchange; the supplier
-    attach at the end is dimension-sized."""
+    Scale shape: ONE orderkey exchange serves the whole correlation
+    pipeline — the per-order max/participant-count are WINDOW
+    functions over partitionBy(orderkey) (a first self-join draft
+    paid 13 exchanges because Catalyst's per-branch column pruning
+    defeats exchange reuse across a reused DataFrame), and every
+    later stage (the at-max pair DISTINCT, the n_at_max re-aggregate,
+    their join) groups or joins on an orderkey-prefixed key, which
+    the existing hash partitioning already satisfies (Spark's
+    ClusteredDistribution accepts a subset partitioning) — so no
+    further exchange until the final dimension-sized supplier
+    attach. The window's collect_set holds ≤ |lines per order|
+    elements — bounded by the order, not the corpus."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
-    lo = load_table(spark, sf_dir, "lineitem").join(
-        o.select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
+    lo = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    w = Window.partitionBy("l_orderkey")
+    marked = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
     )
     at_max = (
-        lo.join(
-            per_order,
-            (lo["l_orderkey"] == per_order["l_orderkey"])
-            & (F.col("l_shipdate") == F.col("max_ship")),
+        marked.filter(
+            (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supp") >= 2)
         )
-        .drop(per_order["l_orderkey"])
-        .select("l_orderkey", "l_suppkey", "n_supp")
+        .select("l_orderkey", "l_suppkey")
         .distinct()
     )
     n_at_max = at_max.groupBy(
         F.col("l_orderkey").alias("nm_orderkey")
     ).agg(F.count(F.lit(1)).alias("n_at_max"))
     waiting = at_max.join(
-        n_at_max, F.col("l_orderkey") == F.col("nm_orderkey")
-    ).filter((F.col("n_at_max") == 1) & (F.col("n_supp") >= 2))
+        n_at_max,
+        (F.col("l_orderkey") == F.col("nm_orderkey"))
+        & (F.col("n_at_max") == 1),
+    )
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(
             load_table(spark, sf_dir, "nation").filter(
@@ -2312,6 +2328,54 @@ def q62_tpch_q22_dormant_customers(
     )
 
 
+# TPC-H Q21 via the SQL FRONT DOOR (the third identical-SQL entry
+# after q34/q49, and the only one exercising EXISTS + NOT EXISTS
+# decorrelation): Catalyst rewrites the EXISTS into a LeftSemi and the
+# NOT EXISTS into a null-aware LeftAnti, both with the non-equi
+# same-order/different-supplier condition attached; DuckDB runs its
+# own decorrelation on the IDENTICAL string — value equality certifies
+# both rewrites. Lateness is adapted to the fixture schema (no
+# commitdate/receiptdate): a line is late when it ships > 60 days
+# after its order date; the NOT EXISTS correlates on the OUTER query's
+# o_orderdate (same order), keeping the subquery single-table.
+_Q63_SQL = f"""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE o_orderstatus = 'F'
+          AND n_name = '{Q21_NATION}'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate
+                                > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """
+
+
+def q63_tpch_q21_sql_front_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 issued as plain SQL (see _Q63_SQL): the
+    spec-structured EXISTS/NOT-EXISTS formulation, whose oracle runs
+    the IDENTICAL string — complementing q61, which implements the
+    same business question as a hand-planned one-exchange pipeline.
+    Together they certify that Catalyst's decorrelation and the
+    manual plan agree with a second engine's decorrelation."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q63_SQL)
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
@@ -2327,6 +2391,7 @@ QUERIES = {
     "q60_tpch_q20_excess_suppliers": q60_tpch_q20_excess_suppliers,
     "q61_tpch_q21_waiting_supplier": q61_tpch_q21_waiting_supplier,
     "q62_tpch_q22_dormant_customers": q62_tpch_q22_dormant_customers,
+    "q63_tpch_q21_sql_front_door": q63_tpch_q21_sql_front_door,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -2753,6 +2818,7 @@ ORACLES = {
                             AND o_orderdate >= '{Q22_SINCE}')
         GROUP BY 1 ORDER BY 1
     """,
+    "q63_tpch_q21_sql_front_door": _Q63_SQL,
     "q51_numeric_profile": "\nUNION ALL\n".join(
         f"""
         SELECT '{col}' AS column_name,

@@ -333,3 +333,21 @@ def test_key_skew_report_never_ranks_the_key_relation(spark, sf_dir):
         head = line.split("(")[0]
         if "Sort [" in line and "Sort" in head:
             assert "cnt#" in line, line
+
+
+def test_q21_correlation_pipeline_single_orderkey_exchange(spark, sf_dir):
+    """q61's scale claim pinned: the EXISTS/NOT-EXISTS correlation
+    (per-order window stats → at-max DISTINCT → n_at_max re-aggregate
+    → their join) must ride ONE orderkey exchange — every downstream
+    key is orderkey-prefixed, which the existing partitioning
+    satisfies. Budget: that window exchange + the fact join's own +
+    the final dimension-sized s_name aggregate."""
+    from pim_orc_spark.operators.relational import q61_tpch_q21_waiting_supplier
+
+    plan = (
+        q61_tpch_q21_waiting_supplier(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
