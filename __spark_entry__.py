@@ -152,6 +152,8 @@ PYTEST_ONLY = {
     "q61_tpch_q21_waiting_supplier",  # EXISTS/NOT-EXISTS via co-partitioned aggs
     "q62_tpch_q22_dormant_customers",  # above-average filter + anti join
     "q63_tpch_q21_sql_front_door",  # EXISTS/NOT-EXISTS decorrelation, identical SQL
+    "q64_incremental_mv_maintenance",  # MV delta-apply == full recompute proof
+    "stream_click_abandonment",  # stream-stream LEFT OUTER join (watermark-expiry emission)
     # Round-5 newcomers NOT yet promoted (pytest-oracle-green; next in
     # line for the round-7 rotation):
     "q36_tpch_q18_large_orders",  # aggregate-then-semi-filter (HAVING) workload

@@ -1245,6 +1245,47 @@ def q43_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_changes(c: DataFrame) -> DataFrame:
+    """The deterministic CDC change feed shared by q44 (full MERGE)
+    and q64 (incremental MV maintenance): custkey % 7 → UPDATE
+    (acctbal + 100), % 97 → DELETE (delete wins where both match),
+    % 11 → INSERT of a new key in 'NEW_SEGMENT'. Derived from the
+    base so both engines see the identical batch."""
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+        F.lit(None).cast("string").alias("new_segment"),
+    )
+    dele = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_acctbal"),
+        F.lit(None).cast("string").alias("new_segment"),
+    )
+    ins = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(42.0).alias("new_acctbal"),
+        F.lit("NEW_SEGMENT").alias("new_segment"),
+    )
+    return (
+        upd.unionByName(dele)
+        .unionByName(ins)
+        .withColumn(
+            "pri", F.when(F.col("op") == "D", 0).otherwise(1)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("pri", "op")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("pri", "rn")
+    )
+
+
 def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE (upsert + delete) — the daily lakehouse maintenance
     query: apply a change batch (INSERT / UPDATE / DELETE rows keyed
@@ -1269,41 +1310,9 @@ def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-segment count + exact acctbal sum + action counters) proves
     every row landed in exactly one of keep/update/delete/insert."""
     c = load_table(spark, sf_dir, "customer")
-    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
-        F.col("c_custkey").alias("k"),
-        F.lit("U").alias("op"),
-        (F.col("c_acctbal") + 100.0).alias("new_acctbal"),
-        F.lit(None).cast("string").alias("new_segment"),
-    )
-    dele = c.filter(F.col("c_custkey") % 97 == 0).select(
-        F.col("c_custkey").alias("k"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("new_acctbal"),
-        F.lit(None).cast("string").alias("new_segment"),
-    )
-    ins = c.filter(F.col("c_custkey") % 11 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("k"),
-        F.lit("I").alias("op"),
-        F.lit(42.0).alias("new_acctbal"),
-        F.lit("NEW_SEGMENT").alias("new_segment"),
-    )
     # one change row per key: D beats U (a key matching both rules
     # resolves to delete in both engines)
-    changes = (
-        upd.unionByName(dele)
-        .unionByName(ins)
-        .withColumn(
-            "pri", F.when(F.col("op") == "D", 0).otherwise(1)
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("k").orderBy("pri", "op")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("pri", "rn")
-    )
+    changes = _cdc_changes(c)
     m = c.join(changes, c.c_custkey == changes.k, "full_outer")
     # MERGE semantics per row: change absent -> keep; D -> drop;
     # U -> keep with the updated column; I against an ABSENT base key
@@ -2328,6 +2337,140 @@ def q62_tpch_q22_dormant_customers(
     )
 
 
+# DuckDB CTE chain producing the post-merge `merged` relation — the
+# shared truth for q44's MERGE report and q64's full-recompute oracle
+# (mirrors _cdc_changes + q44's CASE resolution)
+_CDC_MERGED_CTE = """
+        WITH upd AS (
+          SELECT c_custkey AS k, 'U' AS op,
+                 c_acctbal + 100.0 AS new_acctbal,
+                 CAST(NULL AS VARCHAR) AS new_segment
+          FROM customer WHERE c_custkey % 7 = 0
+        ), dele AS (
+          SELECT c_custkey, 'D', CAST(NULL AS DOUBLE),
+                 CAST(NULL AS VARCHAR)
+          FROM customer WHERE c_custkey % 97 = 0
+        ), ins AS (
+          SELECT c_custkey + 1000000, 'I', 42.0, 'NEW_SEGMENT'
+          FROM customer WHERE c_custkey % 11 = 0
+        ), allc AS (
+          SELECT * FROM upd
+          UNION ALL SELECT * FROM dele
+          UNION ALL SELECT * FROM ins
+        ), changes AS (
+          SELECT k, op, new_acctbal, new_segment FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY k
+              ORDER BY CASE WHEN op = 'D' THEN 0 ELSE 1 END, op) AS rn
+            FROM allc
+          ) WHERE rn = 1
+        ), m AS (
+          SELECT * FROM customer
+          FULL OUTER JOIN changes ON c_custkey = k
+        ), merged AS (
+          SELECT coalesce(c_custkey, k) AS custkey,
+                 CASE WHEN op = 'I' AND c_custkey IS NULL
+                      THEN new_segment ELSE c_mktsegment END AS segment,
+                 CASE WHEN op = 'U' THEN new_acctbal
+                      WHEN op = 'I' AND c_custkey IS NULL
+                      THEN new_acctbal
+                      ELSE c_acctbal END AS acctbal,
+                 CASE WHEN op = 'U' THEN 'U'
+                      WHEN op = 'I' AND c_custkey IS NULL THEN 'I'
+                      ELSE 'K' END AS action
+          FROM m
+          WHERE op IS NULL OR op = 'U' OR op = 'I'
+        )
+"""
+
+
+def q64_incremental_mv_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the other half of
+    the CDC story q44 starts: instead of re-merging and re-aggregating
+    the whole base table, maintain a per-segment aggregate MV
+    (row count + exact-cents balance total) by applying DELTAS derived
+    from the change batch alone. The algebra: U contributes
+    (0, new−old), D contributes (−1, −old), a fresh I contributes
+    (+1, +new) to its segment; a matched I and changes against absent
+    keys are no-ops — the same mergeable-partial property that makes
+    the engine's two-phase aggregates work makes the MV maintainable.
+
+    The ORACLE recomputes the post-merge aggregate from scratch
+    (q44's merged CTE, aggregated), so equality IS the
+    view-maintenance correctness proof: incremental result ≡ full
+    recompute.
+
+    Scale shape: the stored MV here is rebuilt in-query for
+    determinism (production reads it as an artifact); the INCREMENTAL
+    path touches base only through the change-key join — |changes|
+    rows, which AQE broadcasts — and the delta aggregate and final
+    full-outer merge are |segments|-sized. At 100 TB this is the
+    difference between a nightly full rescan and a seconds-long
+    delta apply."""
+    c = load_table(spark, sf_dir, "customer")
+    changes = _cdc_changes(c)
+    zero = F.lit(0).cast("long")
+    mv = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("mv_rows"),
+        F.sum(cents("c_acctbal")).alias("mv_bal_c"),
+    )
+    affected = changes.join(
+        c.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        F.col("k") == F.col("c_custkey"),
+        "left",
+    )
+    matched = F.col("c_custkey").isNotNull()
+    fresh_ins = (F.col("op") == "I") & ~matched
+    old_c = cents("c_acctbal")
+    new_c = cents("new_acctbal")
+    d_rows = (
+        F.when((F.col("op") == "D") & matched, F.lit(-1))
+        .when(fresh_ins, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    d_bal = (
+        F.when((F.col("op") == "D") & matched, -old_c)
+        .when((F.col("op") == "U") & matched, new_c - old_c)
+        .when(fresh_ins, new_c)
+        .otherwise(zero)
+    )
+    seg = F.when(fresh_ins, F.col("new_segment")).otherwise(
+        F.col("c_mktsegment")
+    )
+    deltas = (
+        affected.select(
+            seg.alias("segment"),
+            d_rows.alias("d_rows"),
+            d_bal.alias("d_bal"),
+        )
+        # a U/D against an absent key has NULL segment — a no-op
+        .filter(F.col("segment").isNotNull())
+        .groupBy("segment")
+        .agg(F.sum("d_rows").alias("dr"), F.sum("d_bal").alias("db"))
+    )
+    return (
+        mv.join(deltas, "segment", "full_outer")
+        .select(
+            "segment",
+            (F.coalesce("mv_rows", zero) + F.coalesce("dr", zero))
+            .cast("long")
+            .alias("n_rows"),
+            (
+                (
+                    F.coalesce("mv_bal_c", zero)
+                    + F.coalesce("db", zero)
+                ).cast("double")
+                / 100.0
+            ).alias("sum_acctbal"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("segment")
+    )
+
+
 # TPC-H Q21 via the SQL FRONT DOOR (the third identical-SQL entry
 # after q34/q49, and the only one exercising EXISTS + NOT EXISTS
 # decorrelation): Catalyst rewrites the EXISTS into a LeftSemi and the
@@ -2392,6 +2535,7 @@ QUERIES = {
     "q61_tpch_q21_waiting_supplier": q61_tpch_q21_waiting_supplier,
     "q62_tpch_q22_dormant_customers": q62_tpch_q22_dormant_customers,
     "q63_tpch_q21_sql_front_door": q63_tpch_q21_sql_front_door,
+    "q64_incremental_mv_maintenance": q64_incremental_mv_maintenance,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -2908,52 +3052,22 @@ ORACLES = {
                         AND counts.event_type = t.event_type
     """,
     "q44_merge_upsert_cdc": f"""
-        WITH upd AS (
-          SELECT c_custkey AS k, 'U' AS op,
-                 c_acctbal + 100.0 AS new_acctbal,
-                 CAST(NULL AS VARCHAR) AS new_segment
-          FROM customer WHERE c_custkey % 7 = 0
-        ), dele AS (
-          SELECT c_custkey, 'D', CAST(NULL AS DOUBLE),
-                 CAST(NULL AS VARCHAR)
-          FROM customer WHERE c_custkey % 97 = 0
-        ), ins AS (
-          SELECT c_custkey + 1000000, 'I', 42.0, 'NEW_SEGMENT'
-          FROM customer WHERE c_custkey % 11 = 0
-        ), allc AS (
-          SELECT * FROM upd
-          UNION ALL SELECT * FROM dele
-          UNION ALL SELECT * FROM ins
-        ), changes AS (
-          SELECT k, op, new_acctbal, new_segment FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY k
-              ORDER BY CASE WHEN op = 'D' THEN 0 ELSE 1 END, op) AS rn
-            FROM allc
-          ) WHERE rn = 1
-        ), m AS (
-          SELECT * FROM customer
-          FULL OUTER JOIN changes ON c_custkey = k
-        ), merged AS (
-          SELECT coalesce(c_custkey, k) AS custkey,
-                 CASE WHEN op = 'I' AND c_custkey IS NULL
-                      THEN new_segment ELSE c_mktsegment END AS segment,
-                 CASE WHEN op = 'U' THEN new_acctbal
-                      WHEN op = 'I' AND c_custkey IS NULL
-                      THEN new_acctbal
-                      ELSE c_acctbal END AS acctbal,
-                 CASE WHEN op = 'U' THEN 'U'
-                      WHEN op = 'I' AND c_custkey IS NULL THEN 'I'
-                      ELSE 'K' END AS action
-          FROM m
-          WHERE op IS NULL OR op = 'U' OR op = 'I'
-        )
+        {_CDC_MERGED_CTE}
         SELECT segment, COUNT(*) AS n_rows,
                {exact_sum_sql('acctbal', 'sum_acctbal')},
                CAST(SUM(CASE WHEN action = 'U' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_updated,
                CAST(SUM(CASE WHEN action = 'I' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_inserted
+        FROM merged GROUP BY segment ORDER BY segment
+    """,
+    # the oracle is the FULL RECOMPUTE of the post-merge aggregate —
+    # equality with the engine's incremental (MV + deltas) path is the
+    # view-maintenance correctness proof
+    "q64_incremental_mv_maintenance": f"""
+        {_CDC_MERGED_CTE}
+        SELECT segment, COUNT(*) AS n_rows,
+               {exact_sum_sql('acctbal', 'sum_acctbal')}
         FROM merged GROUP BY segment ORDER BY segment
     """,
     "q43_event_funnel": f"""

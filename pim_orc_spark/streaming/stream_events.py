@@ -403,6 +403,67 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, "stream_click_attribution", "append")
 
 
+def stream_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join — the state-EVICTION-driven
+    output shape the inner join (``stream_click_attribution``) never
+    exercises: clicks with NO same-user purchase inside the
+    attribution horizon. An outer stream-stream join cannot emit the
+    null-extended row when the click arrives (a matching purchase may
+    still come); Spark emits it only when the click's state EXPIRES —
+    when the global watermark (min of both sides' per-stream
+    watermarks) passes click_ts + horizon, proving no future purchase
+    can match. The row is then emitted exactly once and the state
+    slot freed.
+
+    Consequence the oracle must model: clicks too close to the end of
+    the (finite) input never expire — their verdict is genuinely
+    unknown at stream end — so the batch oracle applies the SAME
+    cutoff (click_ts + horizon + delay < min(max click ts, max
+    purchase ts), the watermark at the final no-data batch; the
+    strict `<` matches Spark's state-removal predicate `ts <
+    eviction watermark`). Scale: state per side is one
+    horizon+delay's worth of events, independent of corpus size —
+    the property that lets the join run forever."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}")
+        ),
+        "left_outer",
+    )
+    abandoned = joined.filter(F.col("purchase_id").isNull()).select(
+        "user_id",
+        "click_id",
+        F.unix_micros(F.col("click_ts")).alias("click_us"),
+    )
+    return run_to_completion(
+        abandoned, "stream_click_abandonment", "append"
+    )
+
+
 def stream_tws_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming via ``transformWithStateInPandas``
     — Spark 4's successor API to applyInPandasWithState, with
@@ -657,6 +718,7 @@ QUERIES = {
     # protobuf package this container lacks (see its docstring gate)
     "stream_enriched_totals": stream_enriched_totals,
     "stream_click_attribution": stream_click_attribution,
+    "stream_click_abandonment": stream_click_abandonment,
 }
 
 ORACLES = {
@@ -747,6 +809,29 @@ ORACLES = {
         JOIN customer c ON e.user_id = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n_name
+    """,
+    # watermark-expiry cutoff: only clicks whose whole match window
+    # passed the final watermark (min of both sides' max ts - delay)
+    # are emitted by the streaming outer join; the oracle applies the
+    # identical cutoff (see stream_click_abandonment docstring)
+    "stream_click_abandonment": f"""
+        WITH wm AS (
+          SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+          ) - INTERVAL 1 HOUR AS w
+        )
+        SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+        FROM events c, wm
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_HORIZON}
+          )
+          AND c.ts + INTERVAL {ATTRIBUTION_HORIZON} < wm.w
     """,
     "stream_click_attribution": f"""
         SELECT a.user_id, a.event_id AS click_id,
