@@ -16,5 +16,41 @@ semantics. Zero custom Catalyst rules are needed for reference parity.
 
 from pim_orc_spark.session import get_spark, ensure_parity_confs
 
-__all__ = ["get_spark", "ensure_parity_confs"]
+
+def __getattr__(name: str):
+    """Lazy re-exports of the first-class operator KERNELS — the
+    user-facing API beyond the named queries (import cost of the
+    operator modules is deferred so `import pim_orc_spark` stays
+    cheap):
+
+    - ``asof_join(left, right, key, left_ts, right_ts, value_cols)``
+    - ``sessionize(df, key, ts, gap_seconds, order_cols=())``
+    - ``salted_join(large, small, key, n_salts=8)``
+    - ``minhash_pairs(spark, docs)`` — near-duplicate pairs, J ≥ 0.8
+    """
+    kernels = {
+        "asof_join": ("pim_orc_spark.operators.relational", "asof_join"),
+        "sessionize": ("pim_orc_spark.operators.relational", "sessionize"),
+        "salted_join": (
+            "pim_orc_spark.operators.relational",
+            "salted_join",
+        ),
+        "minhash_pairs": ("pim_orc_spark.operators.dedup", "minhash_pairs"),
+    }
+    if name in kernels:
+        import importlib
+
+        mod, attr = kernels[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark",
+    "ensure_parity_confs",
+    "asof_join",
+    "sessionize",
+    "salted_join",
+    "minhash_pairs",
+]
 __version__ = "0.1.0"

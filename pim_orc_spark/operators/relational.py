@@ -346,21 +346,12 @@ def q17_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via gap detection (30-min inactivity): lag → gap
-    flag → running session index per user. Two window passes over one
-    shuffle on user_id — the scalable form (no per-user collect)."""
+    """Sessionization via gap detection (30-min inactivity) — thin
+    wrapper over the first-class ``sessionize`` kernel (lag → gap flag
+    → running session index, one user_id shuffle, no per-user
+    collect)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = (
-        F.col("ts").cast("long")
-        - F.lag(F.col("ts").cast("long"), 1).over(w)
-    )
-    sess = (
-        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
-        .withColumn("session_idx", F.sum("new_sess").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ))
-    )
+    sess = sessionize(e, "user_id", "ts", 1800, order_cols=("event_id",))
     return (
         sess.groupBy("user_id", "session_idx")
         .agg(
@@ -437,58 +428,128 @@ def q21_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """FIRST-CLASS SESSIONIZATION KERNEL: append a 1-based
+    ``session_idx`` per ``key`` — a new session starts when the gap to
+    the previous event (by ``ts`` seconds, ties broken by
+    ``order_cols``) exceeds ``gap_seconds``. Two window passes over
+    ONE shuffle on the key (lag → flag → running sum); no per-key
+    collect, so it scales with partitions, not key sizes.
+    Property-tested against a pure-Python greedy splitter on random
+    timelines (tests/test_kernel_contract.py) and consumed by
+    ``q18_sessionization``."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long"), 1).over(w)
+    return df.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("new_sess")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: tuple[str, ...],
+) -> DataFrame:
+    """FIRST-CLASS AS-OF JOIN KERNEL (custom temporal operator —
+    absent from Spark's built-ins): every left row picks the right
+    row with the greatest ``right_ts`` at-or-before its ``left_ts``
+    for the same ``key`` (right must share the left's key column
+    name; rename before calling). Returns the left columns plus
+    ``value_cols`` from the matched right row (NULL when nothing
+    precedes).
+
+    Scalable form = union + carry-forward window, NOT a range join:
+    tag both inputs, sort each key's merged timeline once (right rows
+    before left at equal timestamps — at-or-before), carry the last
+    seen right values forward with last(ignoreNulls). ONE shuffle on
+    the key, O(n log n) per partition, no candidate-range explosion
+    at 100 TB. Determinism requires right unique per (key,
+    right_ts) — dedup upstream (see q22's max_by) or ties are
+    partition-order-dependent. Property-tested against a pure-Python
+    latest-at-or-before reference on random timelines
+    (tests/test_kernel_contract.py)."""
+    from pyspark.sql import types as T
+
+    lrow_type = T.StructType(left.schema.fields)
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        F.struct(*left.columns).alias("__lrow"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        F.lit(None).cast(lrow_type).alias("__lrow"),
+        *value_cols,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r_tagged.unionByName(l_tagged).select(
+        "__is_l",
+        "__lrow",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_l") == 1).select(
+        "__lrow.*", *value_cols
+    )
+
+
 def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (custom temporal operator — absent from both the
     reference and Spark's built-ins): each event picks the customer's
     latest order at-or-before the event time.
 
-    Scalable form = union + carry-forward window, NOT a range join: tag
-    both inputs, sort each key's timeline once (orders before events at
-    equal timestamps), and carry the last seen order forward with
-    ``last(ignoreNulls)``. One shuffle on the key, O(n log n) in the
-    partition — no candidate-range explosion at 100 TB. Orders are
-    pre-deduplicated to unique (key, time) via max_by so the as-of pick
-    is deterministic in both engines; oracle is DuckDB's native ASOF
-    LEFT JOIN."""
+    Thin wrapper over the first-class ``asof_join`` kernel (see its
+    docstring for the union + carry-forward plan rationale — one key
+    shuffle, no range explosion). Orders are pre-deduplicated to
+    unique (key, time) via max_by so the as-of pick is deterministic
+    in both engines; oracle is DuckDB's native ASOF LEFT JOIN."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+        "event_id", "user_id", "ts"
     )
     orders = (
         load_table(spark, sf_dir, "orders")
         .groupBy(
-            F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t")
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("o_ts"),
         )
         .agg(
             F.max("o_orderkey").alias("order_key"),
             F.max_by("o_totalprice", "o_orderkey").alias("order_price"),
         )
     )
-    o_tagged = orders.select(
-        "k", "t", F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
-        "order_key", "order_price",
-    )
-    e_tagged = ev.select(
-        "k", "t", F.lit(1).alias("is_event"), "event_id",
-        F.lit(None).cast("long").alias("order_key"),
-        F.lit(None).cast("double").alias("order_price"),
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy(F.col("t").asc(), F.col("is_event").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = o_tagged.unionByName(e_tagged).select(
-        "k", "t", "is_event", "event_id",
-        F.last("order_key", ignorenulls=True).over(w).alias("order_key"),
-        F.last("order_price", ignorenulls=True).over(w).alias("order_price"),
-    )
-    return carried.filter(F.col("is_event") == 1).select(
-        "event_id",
-        F.col("k").alias("user_id"),
-        "order_key",
-        "order_price",
-    )
+    return asof_join(
+        ev, orders, "user_id", "ts", "o_ts", ("order_key", "order_price")
+    ).select("event_id", "user_id", "order_key", "order_price")
 
 
 def q23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:

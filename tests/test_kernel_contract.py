@@ -144,3 +144,118 @@ def test_list_dot_product_is_sequential_fold():
         assert got == expected or (
             math.isnan(got) and math.isnan(expected)
         ), f"list_dot_product diverged from the sequential fold: {got} != {expected}"
+
+
+def test_sessionize_matches_greedy_reference(spark):
+    """Property: the windowed sessionize kernel equals the pure-Python
+    greedy gap splitter on random timelines — duplicate timestamps,
+    single-event users, gaps straddling the threshold exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.operators.relational import sessionize
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # key
+                st.integers(min_value=0, max_value=40),  # ts seconds
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        gap=st.integers(min_value=1, max_value=12),
+    )
+    def check(rows, gap):
+        rows = [(k, t, i) for i, (k, t) in enumerate(rows)]
+        df = spark.createDataFrame(rows, "k long, t long, rid long")
+        got = {
+            (r.k, r.t, r.rid): r.session_idx
+            for r in sessionize(
+                df, "k", "t", gap, order_cols=("rid",)
+            ).collect()
+        }
+        # greedy reference: sort (t, rid) per key, split when delta > gap
+        exp = {}
+        bykey = {}
+        for k, t, rid in rows:
+            bykey.setdefault(k, []).append((t, rid))
+        for k, evs in bykey.items():
+            evs.sort()
+            prev, idx = None, 0
+            for t, rid in evs:
+                if prev is None or t - prev > gap:
+                    idx += 1
+                exp[(k, t, rid)] = idx
+                prev = t
+        assert got == exp
+
+    check()
+
+
+def test_asof_join_matches_latest_at_or_before_reference(spark):
+    """Property: the carry-forward asof_join equals the naive
+    per-left-row argmax (latest right at-or-before) — exact timestamp
+    ties, left rows before any right row, keys on one side only."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.operators.relational import asof_join
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        left=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        right=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+    )
+    def check(left, right):
+        lrows = [(k, t, i) for i, (k, t) in enumerate(left)]
+        # right must be unique per (key, ts): dedup keeping max payload
+        rmap = {}
+        for k, t in right:
+            rmap[(k, t)] = max(rmap.get((k, t), 0), k * 1000 + t)
+        rrows = [(k, t, v) for (k, t), v in rmap.items()]
+        ldf = spark.createDataFrame(lrows, "k long, lt long, lid long")
+        rdf = spark.createDataFrame(
+            rrows or [(None, None, None)], "k long, rt long, payload long"
+        )
+        if not rrows:
+            rdf = rdf.filter("k IS NOT NULL")
+        got = {
+            (r.k, r.lt, r.lid): r.payload
+            for r in asof_join(
+                ldf, rdf, "k", "lt", "rt", ("payload",)
+            ).collect()
+        }
+        exp = {}
+        for k, t, lid in lrows:
+            best = None
+            for (rk, rt), v in rmap.items():
+                if rk == k and rt <= t and (best is None or rt > best[0]):
+                    best = (rt, v)
+            exp[(k, t, lid)] = best[1] if best else None
+        assert got == exp
+
+    check()
