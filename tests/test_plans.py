@@ -351,3 +351,55 @@ def test_q21_correlation_pipeline_single_orderkey_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
+
+
+def test_q8_market_share_is_one_aggregate_pass(spark, sf_dir):
+    """q55's ratio must come from ONE aggregate over ONE fact scan
+    (conditional numerator CASE'd into the same SUM pass) — the naive
+    two-query form scans and shuffles the 6-way join twice."""
+    from pim_orc_spark.operators.relational import q55_tpch_q8_market_share
+
+    plan = (
+        q55_tpch_q8_market_share(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") == 2, plan[:1500]  # partial+final
+    assert plan.lower().count("lineitem") == 1, plan[:1500]
+
+
+def test_q7_nation_volume_single_fact_aggregate(spark, sf_dir):
+    """q54: one fact scan, one partial+final aggregate, and the
+    orderkey shuffle happens on the nation-filtered fact (the
+    supplier attribution join precedes it in the plan)."""
+    from pim_orc_spark.operators.relational import q54_tpch_q7_nation_volume
+
+    plan = (
+        q54_tpch_q7_nation_volume(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") == 2, plan[:1500]
+    assert plan.lower().count("lineitem") == 1, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:1500]
+
+
+def test_incremental_mv_never_rescans_the_fact(spark, sf_dir):
+    """q64's incremental path may read the base (customer) for the MV
+    artifact stand-in and the change-key lookups, but must never
+    touch the fact table at all — maintenance cost is O(changes +
+    segments), not O(corpus)."""
+    from pim_orc_spark.operators.relational import (
+        q64_incremental_mv_maintenance,
+    )
+
+    plan = (
+        q64_incremental_mv_maintenance(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lineitem" not in plan.lower(), plan[:1500]
+    assert "orders" not in plan.lower(), plan[:1500]
