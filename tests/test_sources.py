@@ -280,3 +280,46 @@ def test_atomic_build_concurrent_builders(tmp_path):
         if e.name.startswith("cache.") and not e.name == "cache"
     ]
     assert not debris, debris
+
+
+def test_atomic_build_concurrent_threads(tmp_path):
+    """Round-6 ADVICE fix pinned: two THREADS of one process building
+    the same cache must not share a tmp dir (pid alone collides; the
+    uuid suffix separates them). Both must observe a complete build
+    and leave no temp debris."""
+    import threading
+
+    from pim_orc_spark.fsutil import MARKER, atomic_build
+
+    target = str(tmp_path / "cache")
+    barrier = threading.Barrier(4)
+    errors = []
+
+    def build(tmp):
+        import os
+        import time
+
+        os.makedirs(tmp, exist_ok=True)
+        time.sleep(0.05)  # widen the interleave window
+        with open(os.path.join(tmp, "data"), "w") as fh:
+            fh.write("payload")
+
+    def worker():
+        try:
+            barrier.wait()
+            atomic_build(target, build)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    import os
+
+    assert not errors
+    assert os.path.exists(os.path.join(target, MARKER))
+    assert os.path.exists(os.path.join(target, "data"))
+    debris = [d for d in os.listdir(tmp_path) if ".tmp." in d or ".dead." in d]
+    assert not debris, debris
