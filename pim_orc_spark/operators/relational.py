@@ -1627,7 +1627,14 @@ def q50_tpch_q15_top_supplier(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
-    rev = li.groupBy("l_suppkey").agg(exact_revenue(alias="total_revenue"))
+    # materialized (lazy localCheckpoint): rev feeds both the join
+    # input and the MAX scalar; without the lineage cut each branch
+    # re-runs the fact aggregate (see q58's comment)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(exact_revenue(alias="total_revenue"))
+        .localCheckpoint(eager=False)
+    )
     s = load_table(spark, sf_dir, "supplier")
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -2087,16 +2094,15 @@ def q57_tpch_q2_min_cost_supplier(
         .groupBy("p_partkey", "s_suppkey")
         .agg(F.min(cents("l_extendedprice")).alias("cost_c"))
     )
-    min_cost = offers.groupBy("p_partkey").agg(
-        F.min("cost_c").alias("min_c")
-    )
+    # per-part MIN as a window over the offers aggregate — referencing
+    # offers once keeps the plan at one fact scan (the agg +
+    # self-join form recomputes the upstream per branch); the window
+    # partitions on the partkey prefix of the aggregate's own shuffle
     return (
-        offers.join(
-            min_cost,
-            (offers["p_partkey"] == min_cost["p_partkey"])
-            & (F.col("cost_c") == F.col("min_c")),
+        offers.withColumn(
+            "min_c", F.min("cost_c").over(Window.partitionBy("p_partkey"))
         )
-        .drop(min_cost["p_partkey"])
+        .filter(F.col("cost_c") == F.col("min_c"))
         .join(region_supp, "s_suppkey")
         .join(F.broadcast(p.select("p_partkey", "p_brand")), "p_partkey")
         .select(
@@ -2148,6 +2154,14 @@ def q58_tpch_q11_important_parts(
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+        # MATERIALIZE the per-part aggregate (lazy localCheckpoint):
+        # it feeds both the HAVING side and the scalar total, and
+        # without a lineage cut Catalyst recomputes the whole fact
+        # scan per branch (exchange reuse never fires across
+        # differently-pruned subtrees). The checkpoint is |parts|
+        # rows × 2 columns — the bounded intermediate a production
+        # Q11 keeps anyway.
+        .localCheckpoint(eager=False)
     )
     total = value.agg(F.sum("value_c").alias("total_c"))
     return (
@@ -2245,11 +2259,16 @@ def q60_tpch_q20_excess_suppliers(
     ps_qty = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("pair_qty")
     )
-    part_total = li.groupBy(
-        F.col("l_partkey").alias("pt_partkey")
-    ).agg(F.sum("l_quantity").alias("part_qty"))
-    excess = ps_qty.join(
-        part_total, F.col("l_partkey") == F.col("pt_partkey")
+    # the part total is a WINDOW over the pair aggregate (sum across
+    # the part's suppliers) — referencing ps_qty once keeps the plan
+    # at ONE fact scan (the agg-then-self-join form recomputes the
+    # whole upstream per branch: Catalyst reuses exchanges only when
+    # the subtrees are identical, which per-branch pruning defeats);
+    # the window input is |pairs| rows, partitioned on the partkey
+    # prefix of the aggregate's own shuffle key
+    excess = ps_qty.withColumn(
+        "part_qty",
+        F.sum("pair_qty").over(Window.partitionBy("l_partkey")),
     ).filter(F.col("pair_qty") * 2 > F.col("part_qty"))
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(

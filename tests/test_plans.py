@@ -403,3 +403,31 @@ def test_incremental_mv_never_rescans_the_fact(spark, sf_dir):
     )
     assert "lineitem" not in plan.lower(), plan[:1500]
     assert "orders" not in plan.lower(), plan[:1500]
+
+
+def test_derived_aggregate_consumers_scan_the_fact_once(spark, sf_dir):
+    """The round-6 double-lineage audit, pinned: queries whose derived
+    aggregate feeds TWO consumers (a HAVING/scalar total, a per-group
+    MIN, a part total) must not recompute the fact scan per branch —
+    via a window over the aggregate (q57/q60) or a bounded
+    materialization (q58/q50's lazy localCheckpoint). Catalyst's
+    exchange reuse never fires across differently-pruned subtrees, so
+    the naive agg + self-join form silently pays 2× the fact I/O."""
+    from pim_orc_spark.operators import relational as R
+
+    for name, max_scans in [
+        ("q57_tpch_q2_min_cost_supplier", 1),
+        ("q60_tpch_q20_excess_suppliers", 1),
+        ("q58_tpch_q11_important_parts", 1),
+        ("q50_tpch_q15_top_supplier", 1),
+    ]:
+        plan = (
+            R.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.lower().count("lineitem") <= max_scans, (
+            name,
+            plan[:1200],
+        )
