@@ -222,36 +222,78 @@ def main() -> None:
     # Scan-agg throughput for the flagship (reference continuity metric).
     n_rows = qs["q05_metadata_count"](spark, SF_DIR).collect()[0][0]
     flagship = timings["q01_flagship_sum"]
-    total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver records only the LAST 2000 chars of bench output and
+    # parses the final line as JSON — round 6's line outgrew that
+    # window when the q44 slot was added (five per-query dicts × 14
+    # slots) and the headline value came back unparseable. The printed
+    # line therefore carries only the contract keys plus small scalars;
+    # the full diagnostics (per-query min, partition sweep, scaling
+    # slope) land in BENCH_DETAIL.json next to this script.
+    detail = {
+        "queries_min": timings_min,
+        "partition_sweep_q01": sweep,
+        "queries_small_sf": small_timings,
+        "scale_ratio": scale_ratio,
+        # present only when the slope pass actually ran, so an empty
+        # ratio map is distinguishable from a skipped pass
+        **(
+            {"small_sf": SMALL_SF_DIR.rstrip("/").rsplit("sf", 1)[-1]}
+            if small_timings
+            else {}
+        ),
+    }
+    try:
+        with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:  # read-only checkout: diagnostics to stderr
+        print(f"bench: BENCH_DETAIL.json not written ({exc})", file=sys.stderr)
+        print(json.dumps(detail), file=sys.stderr)
     print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "value_min": round(sum(timings_min.values()), 4),
-                "spread_flags": spread_flags,
-                "partition_sweep_q01": sweep,
-                "queries_small_sf": small_timings,
-                "scale_ratio": scale_ratio,
-                # present only when the slope pass actually ran, so an
-                # empty ratio map is distinguishable from a skipped pass
-                **(
-                    {"small_sf": SMALL_SF_DIR.rstrip("/").rsplit("sf", 1)[-1]}
-                    if small_timings
-                    else {}
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "iterations": ITERS,
-                "lineitem_rows": n_rows,
-                "flagship_rows_per_sec": round(n_rows / flagship) if flagship else None,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
-            }
+        headline_json(
+            timings=timings,
+            value_min=round(sum(timings_min.values()), 4),
+            spread_flags=spread_flags,
+            sf=float(sf) if sf.replace(".", "").isdigit() else sf,
+            lineitem_rows=n_rows,
+            flagship_rows_per_sec=(
+                round(n_rows / flagship) if flagship else None
+            ),
         )
     )
+
+
+def headline_json(
+    *,
+    timings: dict[str, float],
+    value_min: float,
+    spread_flags: dict[str, float],
+    sf,
+    lineitem_rows: int,
+    flagship_rows_per_sec,
+) -> str:
+    """Serialize the one driver-parsed JSON line, guaranteed to fit the
+    driver's 2000-char output window (tested in test_entry_contract)."""
+    headline_line = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "value_min": value_min,
+        "spread_flags": spread_flags,
+        "sf": sf,
+        "iterations": ITERS,
+        "lineitem_rows": lineitem_rows,
+        "flagship_rows_per_sec": flagship_rows_per_sec,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(headline_line)
+    if len(line) > 1800:  # belt-and-braces under the 2000-char window
+        headline_line.pop("spread_flags", None)
+        headline_line.pop("detail", None)
+        line = json.dumps(headline_line)
+    return line
 
 
 if __name__ == "__main__":

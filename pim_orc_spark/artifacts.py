@@ -26,11 +26,31 @@ from typing import Any
 
 _STORE: dict[tuple[str, str, str, float], Any] = {}
 _LOCK = threading.Lock()
+# Distinguish "not cached" from "build() legitimately returned None" —
+# with a plain .get(None) a None-valued artifact would rebuild on
+# every access.
+_MISS = object()
 
 
 def _dir_mtime(sf_dir: str) -> float:
+    """Version stamp for a table directory: the max of the directory's
+    own mtime and every direct entry's mtime. The directory mtime alone
+    changes only on entry add/remove/rename; an in-place same-name
+    file rewrite moves only the file's own mtime, so per-entry stats
+    are required for rewrites to invalidate. (Stats are shallow — one
+    listdir, no recursion — because every fixture table is a flat
+    directory or a single file; granularity is the filesystem's.)"""
     try:
-        return os.stat(sf_dir).st_mtime
+        mt = os.stat(sf_dir).st_mtime
+        if os.path.isdir(sf_dir):
+            for name in os.listdir(sf_dir):
+                try:
+                    mt = max(
+                        mt, os.stat(os.path.join(sf_dir, name)).st_mtime
+                    )
+                except OSError:
+                    continue
+        return mt
     except OSError:
         return 0.0
 
@@ -61,8 +81,8 @@ def cached_artifact(
         ]
         for stale in stale_keys:
             del _STORE[stale]
-        cached = _STORE.get(key)
-    if cached is not None and probe is not None:
+        cached = _STORE.get(key, _MISS)
+    if cached is not _MISS and probe is not None:
         try:
             ok = probe(cached)
         except Exception:
@@ -70,11 +90,11 @@ def cached_artifact(
         if not ok:
             with _LOCK:
                 _STORE.pop(key, None)
-            cached = None
-    if cached is None:
+            cached = _MISS
+    if cached is _MISS:
         # build OUTSIDE the lock (builds run Spark jobs; holding the
         # lock would serialize unrelated families). Two threads may
-        # race the same build; last-put wins — both results are
+        # race the same build; first-put wins — both results are
         # equivalent by construction.
         built = build()
         with _LOCK:

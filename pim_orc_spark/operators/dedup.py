@@ -425,6 +425,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for arbitrary (possibly changing) input DataFrames.
     from pim_orc_spark.artifacts import cached_artifact
 
+    def _sig_probe(art) -> bool:
+        # localCheckpoint blocks are NOT fault-tolerant: if an executor
+        # died since the build, touching the cached frame raises — the
+        # probe's exception makes cached_artifact rebuild instead of
+        # every later reuse failing unrecoverably. The touch runs one
+        # (cheap, single-partition-short-circuited) Spark job per cache
+        # hit; that per-hit cost is the price of detecting lost blocks
+        # BEFORE the pair stage wastes a full pass on them. The return
+        # value is deliberately ignored: an empty-but-alive frame is a
+        # valid artifact.
+        art[0].isEmpty()
+        return True
+
     per_doc, nb = cached_artifact(
         "minhash_sigs",
         spark,
@@ -432,11 +445,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _doc_signatures(
             spark, load_table(spark, sf_dir, "documents")
         ),
-        # localCheckpoint blocks are NOT fault-tolerant: if an executor
-        # died since the build, touching the cached frame raises — the
-        # probe catches that and cached_artifact rebuilds instead of
-        # every later reuse failing unrecoverably
-        probe=lambda art: art[0].isEmpty() or True,
+        probe=_sig_probe,
     )
     if nb == 0:
         return _empty_pairs(spark)

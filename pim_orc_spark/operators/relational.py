@@ -443,20 +443,33 @@ def sessionize(
     collect, so it scales with partitions, not key sizes.
     Property-tested against a pure-Python greedy splitter on random
     timelines (tests/test_kernel_contract.py) and consumed by
-    ``q18_sessionization``."""
+    ``q18_sessionization``.
+
+    Raises if the input already carries a ``session_idx`` column —
+    silently overwriting a caller's column is worse than an error for
+    a public kernel; the session-flag intermediate uses a uniquified
+    internal name so it can never collide."""
+    if "session_idx" in df.columns:
+        raise ValueError(
+            "sessionize: input already has a 'session_idx' column; "
+            "rename or drop it before calling"
+        )
+    flag = "__sess_flag"
+    while flag in df.columns:  # uniquify against pathological schemas
+        flag += "_"
     w = Window.partitionBy(key).orderBy(
         F.col(ts).asc(), *[F.col(c).asc() for c in order_cols]
     )
     gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long"), 1).over(w)
     return df.withColumn(
-        "new_sess",
+        flag,
         F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0),
     ).withColumn(
         "session_idx",
-        F.sum("new_sess").over(
+        F.sum(flag).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).drop("new_sess")
+    ).drop(flag)
 
 
 def asof_join(
@@ -484,7 +497,31 @@ def asof_join(
     right_ts) — dedup upstream (see q22's max_by) or ties are
     partition-order-dependent. Property-tested against a pure-Python
     latest-at-or-before reference on random timelines
-    (tests/test_kernel_contract.py)."""
+    (tests/test_kernel_contract.py).
+
+    Input contract (validated up front): ``value_cols`` must not
+    collide with left's columns (the output is left's schema +
+    ``value_cols``, so an overlap would yield duplicate/ambiguous
+    columns), and neither input may use the kernel's reserved
+    ``__``-prefixed tagging names."""
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join: value_cols {sorted(overlap)} collide with left "
+            "columns; rename on one side before calling"
+        )
+    reserved = {"__k", "__t", "__is_l", "__lrow"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"asof_join: reserved internal column names in input: "
+            f"{sorted(taken)}"
+        )
+    missing = set(value_cols) - set(right.columns)
+    if missing:
+        raise ValueError(
+            f"asof_join: value_cols not in right: {sorted(missing)}"
+        )
     from pyspark.sql import types as T
 
     lrow_type = T.StructType(left.schema.fields)

@@ -344,6 +344,11 @@ def stream_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ATTRIBUTION_HORIZON = "30 minutes"  # purchase counts if ≤ 30 min after click
+# One shared late-data allowance for BOTH sides of the stream-stream
+# joins AND the oracles' watermark-expiry cutoff — the three uses
+# must agree or the outer join's eviction-driven emission no longer
+# matches the batch truth, so the literal exists exactly once.
+JOIN_WATERMARK_DELAY = "1 hour"
 
 
 def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +375,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "1 hour")
+        .withWatermark("click_ts", JOIN_WATERMARK_DELAY)
     )
     purchases = (
         read_events_stream(spark, sf_dir)
@@ -380,7 +385,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "1 hour")
+        .withWatermark("purchase_ts", JOIN_WATERMARK_DELAY)
     )
     joined = clicks.join(
         purchases,
@@ -432,7 +437,7 @@ def stream_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "1 hour")
+        .withWatermark("click_ts", JOIN_WATERMARK_DELAY)
     )
     purchases = (
         read_events_stream(spark, sf_dir)
@@ -442,7 +447,7 @@ def stream_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "1 hour")
+        .withWatermark("purchase_ts", JOIN_WATERMARK_DELAY)
     )
     joined = clicks.join(
         purchases,
@@ -819,7 +824,7 @@ ORACLES = {
           SELECT LEAST(
             (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
             (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
-          ) - INTERVAL 1 HOUR AS w
+          ) - INTERVAL {JOIN_WATERMARK_DELAY} AS w
         )
         SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
         FROM events c, wm

@@ -132,3 +132,41 @@ def test_threaded_access_is_consistent(tmp_path):
     assert len(results) == 16
     first = results[0]
     assert all(r is first for r in results)
+
+
+def test_none_valued_artifact_is_cached(tmp_path):
+    """A build() that legitimately returns None must still cache (the
+    pre-round-7 .get(None) treated None as a miss and rebuilt every
+    access)."""
+    artifacts.clear()
+    spark = _StubSpark("app-1")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return None
+
+    for _ in range(3):
+        got = artifacts.cached_artifact("fam", spark, str(tmp_path), build)
+        assert got is None
+    assert len(calls) == 1
+
+
+def test_in_place_file_rewrite_invalidates(tmp_path):
+    """Overwriting a file WITHOUT renaming it leaves the directory's
+    own mtime untouched on many filesystems — the key must include
+    per-entry mtimes so an in-place table rewrite evicts the artifact."""
+    artifacts.clear()
+    spark = _StubSpark("app-1")
+    f = tmp_path / "part-0.parquet"
+    f.write_bytes(b"v1")
+    calls = []
+    artifacts.cached_artifact("fam", spark, str(tmp_path), _counter_build(calls))
+    # same name, new content, mtime pushed forward; pin the directory's
+    # own mtime back so only the per-file stat can catch the rewrite
+    dstat = os.stat(tmp_path)
+    f.write_bytes(b"v2")
+    os.utime(f, (dstat.st_atime, dstat.st_mtime + 10))
+    os.utime(tmp_path, (dstat.st_atime, dstat.st_mtime))
+    artifacts.cached_artifact("fam", spark, str(tmp_path), _counter_build(calls))
+    assert len(calls) == 2

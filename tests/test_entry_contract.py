@@ -80,6 +80,32 @@ def test_exported_schemas_are_scalar_only(spark):
     )
 
 
+def test_bench_headline_line_fits_driver_window():
+    """The driver keeps only the LAST 2000 chars of bench output and
+    parses the final line as JSON. Round 6's line outgrew the window
+    when a 14th slot joined five per-query dicts, and the recorded
+    headline value came back null. The printed line must stay safely
+    inside the window at worst-case float widths, including the slot
+    count one additive-per-round rule would reach several rounds out."""
+    import bench
+
+    worst = {f"q{n:02d}_some_long_query_name_here": 12345.6789 for n in range(20)}
+    line = bench.headline_json(
+        timings=worst,
+        value_min=12345.6789,
+        spread_flags={k: 99.99 for k in list(worst)[:5]},
+        sf=0.1,
+        lineitem_rows=600_000_000,
+        flagship_rows_per_sec=123_456_789,
+    )
+    assert len(line) < 1900, len(line)
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total"
+    assert parsed["queries"] == worst
+
+
 def test_oracle_dialect_smoke():
     """Every oracle string must at least parse in DuckDB against the
     registered fixture views — a syntax error would otherwise surface

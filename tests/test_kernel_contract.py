@@ -259,3 +259,39 @@ def test_asof_join_matches_latest_at_or_before_reference(spark):
         assert got == exp
 
     check()
+
+
+def test_public_kernel_input_guards(spark):
+    """Round-6 ADVICE: the exported kernels validate their inputs
+    instead of silently producing ambiguous/overwritten columns."""
+    import pytest
+
+    from pim_orc_spark.operators.relational import asof_join, sessionize
+
+    left = spark.createDataFrame([(1, 10, "x")], "k int, t int, v string")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, rt int, price double")
+
+    # value_cols colliding with a left column
+    with pytest.raises(ValueError, match="collide with left"):
+        asof_join(left, right, "k", "t", "rt", ("v",))
+    # reserved internal names in either input
+    bad = left.withColumnRenamed("v", "__lrow")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(bad, right, "k", "t", "rt", ("price",))
+    # value_cols absent from right
+    with pytest.raises(ValueError, match="not in right"):
+        asof_join(left, right, "k", "t", "rt", ("nope",))
+    # valid call still works
+    out = asof_join(left, right, "k", "t", "rt", ("price",))
+    assert out.columns == ["k", "t", "v", "price"]
+    assert out.collect()[0]["price"] == 1.0
+
+    # sessionize refuses to clobber a caller's session_idx
+    has_idx = left.withColumnRenamed("v", "session_idx")
+    with pytest.raises(ValueError, match="session_idx"):
+        sessionize(has_idx, "k", "t", 60)
+    # a column named like the internal flag must not perturb results
+    flagged = left.withColumnRenamed("v", "__sess_flag")
+    out = sessionize(flagged, "k", "t", 60)
+    assert [r["session_idx"] for r in out.collect()] == [1]
+    assert "__sess_flag" in out.columns  # caller's column survives
