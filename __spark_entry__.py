@@ -140,6 +140,10 @@ PYTEST_ONLY = {
     # r6-driver-green (last attestation on file) with a surviving
     # exported twin, documented inline below.
     #
+    # NEW round-7 operators (pytest-oracle-green; first in line for the
+    # round-8 rotation):
+    "ann_kmeans_clusters",  # distributed Lloyd k-means (semantic-dedup /
+    #                     quantizer-training primitive); unrolled-SQL oracle
     # rotated out THIS round (round-7), each r6-green with its twin:
     "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same

@@ -731,8 +731,90 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_K = 8  # clusters — fixture-sized; the plan is k-independent
+KM_ITERS = 2  # Lloyd iterations (fixed => SQL-unrollable oracle)
+KM_ROUND = 6  # dp rounding making centroid updates cross-engine exact
+
+
+def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment step: nearest centroid by squared L2, computed as
+    v·v − 2v·c + c·c with the shared sequential-fold dot kernel (DuckDB
+    ``list_dot_product`` matches it term-for-term — proven in
+    test_kernel_contract), rounded so both engines argmin over
+    IDENTICAL keys; ties break to the lowest cluster id via a
+    lexicographic struct-min (never arg_min, whose tie pick is
+    engine-dependent). The centroid side is k×dim — always broadcast;
+    the corpus is never shuffled by assignment."""
+    d2 = F.round(
+        dot_unrolled(F.col("v"), F.col("v"), DIM)
+        - 2 * dot_unrolled(F.col("v"), F.col("c"), DIM)
+        + dot_unrolled(F.col("c"), F.col("c"), DIM),
+        KM_ROUND,
+    )
+    return (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", F.struct(d2.alias("d"), F.col("cid").alias("c")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+        .select("vec_id", "v", F.col("m.c").alias("cid"))
+    )
+
+
+def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus — the
+    clustering primitive behind semantic dedup (SemDeDup-style: near-
+    duplicate pruning WITHIN semantic clusters) and offline IVF/PQ
+    quantizer training (ann_ivf_topk's histogram quantizer documents
+    that a production system trains its partitioner exactly this way).
+
+    Deterministic contract (hash-matched against an unrolled-SQL
+    oracle): seeds = the K lowest vec_ids' vectors; KM_ITERS fixed
+    Lloyd iterations; distances and per-dimension centroid means
+    rounded to KM_ROUND dp each step so summation-order ulps can never
+    flip an argmin across engines; ties to the lowest cluster id.
+
+    100 TB shape: assignment broadcasts the k×dim centroid relation
+    and never shuffles the corpus; the update is posexplode →
+    partial-aggregated groupBy(cid, dim) — the shuffle carries
+    k×dim×partitions partial sums, not rows — and the new centroid
+    relation is rebuilt DISTRIBUTED (sorted collect_list per cid;
+    k×dim values total), no driver collect anywhere. Exported output
+    is integer-only per-cluster facts (size + vec_id checksum), so
+    the driver hash exercises every assignment without floating
+    output columns."""
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    pts = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+    cents = pts.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(KM_ITERS):
+        assigned = _km_assign(pts, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), KM_ROUND).alias("cx"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cx"))
+                ).alias("pc")
+            )
+            .select("cid", F.col("pc.cx").alias("c"))
+        )
+    final = _km_assign(pts, cents)
+    return (
+        final.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_kmeans_clusters": ann_kmeans_clusters,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_rp_topk": ann_rp_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -1069,8 +1151,52 @@ _ANN_RECALL_SQL = f"""
         FROM pq_hits
     """
 
+def _km_assign_sql(pts: str, cents: str, out: str) -> str:
+    """One unrolled assignment step; struct-min ties to lowest cid
+    (mirrors _km_assign — see its docstring for the rounding contract)."""
+    return f"""
+{out} AS (
+  SELECT vec_id,
+         (min(struct_pack(d := round(
+              list_dot_product(p.v, p.v)
+              - 2 * list_dot_product(p.v, c.c)
+              + list_dot_product(c.c, c.c), {KM_ROUND}), c := c.cid))).c AS cid
+  FROM {pts} p CROSS JOIN {cents} c
+  GROUP BY vec_id
+)"""
+
+
+def _km_update_sql(asg: str, pts: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT cid, list(cx ORDER BY i) AS c FROM (
+    SELECT a.cid, r.i, round(avg(p.v[CAST(r.i AS INT)]), {KM_ROUND}) AS cx
+    FROM {asg} a JOIN {pts} p USING (vec_id), range(1, {DIM + 1}) r(i)
+    GROUP BY a.cid, r.i
+  ) GROUP BY cid
+)"""
+
+
+def _kmeans_sql() -> str:
+    steps, prev = [], "c0"
+    for it in range(1, KM_ITERS + 1):
+        steps.append(_km_assign_sql("pts", prev, f"a{it}"))
+        steps.append(_km_update_sql(f"a{it}", "pts", f"c{it}"))
+        prev = f"c{it}"
+    steps.append(_km_assign_sql("pts", prev, "af"))
+    body = ",".join(steps)
+    return f"""
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id < {KM_K}),
+{body}
+SELECT cid AS cluster_id, COUNT(*) AS n_members, SUM(vec_id) AS sum_vec_id
+FROM af GROUP BY cid ORDER BY cluster_id
+"""
+
+
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
+    "ann_kmeans_clusters": _kmeans_sql(),
     "ann_rp_topk": _rp_sql(),
     "ann_pq_topk": _pq_sql(),
     "ann_sq_topk": _ANN_SQ_SQL,

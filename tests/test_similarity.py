@@ -63,3 +63,23 @@ def test_scale_paths_have_no_allpairs_join(spark, sf_dir):
         )
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmeans_partitions_the_corpus(spark, sf_dir):
+    """The final assignment must be a PARTITION of the corpus: member
+    counts sum to the corpus size and the vec_id checksums sum to the
+    corpus total (each point in exactly one cluster), with at most
+    KM_K clusters and cluster ids drawn from the seed id range."""
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.catalog import load_table
+
+    out = similarity.ann_kmeans_clusters(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    n, id_sum = e.agg(
+        F.count(F.lit(1)), F.sum("vec_id")
+    ).collect()[0]
+    assert len(out) <= similarity.KM_K
+    assert {r.cluster_id for r in out} <= set(range(similarity.KM_K))
+    assert sum(r.n_members for r in out) == n
+    assert sum(r.sum_vec_id for r in out) == id_sum
