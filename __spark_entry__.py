@@ -144,6 +144,8 @@ PYTEST_ONLY = {
     # round-8 rotation):
     "ann_kmeans_clusters",  # distributed Lloyd k-means (semantic-dedup /
     #                     quantizer-training primitive); unrolled-SQL oracle
+    "q65_nation_pagerank",  # weighted damped PageRank w/ dangling mass —
+    #                     fixed-point iteration family; unrolled-SQL oracle
     # rotated out THIS round (round-7), each r6-green with its twin:
     "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same

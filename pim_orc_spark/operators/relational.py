@@ -2636,6 +2636,166 @@ def q63_tpch_q21_sql_front_door(
     return spark.sql(_Q63_SQL)
 
 
+PR_DAMP = 0.85
+PR_ITERS = 3  # fixed => SQL-unrollable oracle
+PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
+#               IDENTICAL rank vectors, so summation-order ulps in the
+#               per-node in-edge sums can never compound across steps
+
+
+def q65_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted damped PageRank over the nation trade graph (edges:
+    customer nation → supplier nation, weight = line count) — the
+    iterative GRAPH family beyond connected components (dedup_clusters
+    covers propagation-to-fixpoint; this covers fixed-point iteration
+    with weights, damping, and dangling-mass redistribution).
+
+    100 TB shape: one edge-materialization pass (4-table join with
+    broadcast dimensions, grouped to the src×dst edge relation, then
+    localCheckpoint — a production system materializes its graph once
+    and iterates on it), then per iteration ONE edge⋈rank shuffle plus
+    two metadata-sized side relations (the 1-row dangling-mass and
+    node-count aggregates join via crossJoin broadcast). Rank state
+    lives in a DataFrame keyed by node — never collected; iteration
+    count fixed so the oracle unrolls to CTEs. Per-iteration rounding
+    (PR_ROUND) keeps both engines bit-identical; the contribution
+    expression (rank * w / out_w) is written in the same operation
+    order on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()  # materialize the graph once, iterate on it
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row
+    ranks = nodes.crossJoin(nn).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), PR_ROUND).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        # dangling mass: rank held by nodes with no outgoing edges,
+        # redistributed uniformly (1 row)
+        dm = ranks.join(
+            outw, ranks.node == outw.src, "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("w") / F.col("out_w")
+                ).alias("contrib")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dm))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - PR_DAMP) / F.col("n")
+                    + F.lit(PR_DAMP)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    ),
+                    PR_ROUND,
+                ).alias("rank"),
+            )
+        )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        ranks.join(
+            F.broadcast(nation), ranks.node == nation.n_nationkey
+        )
+        .select("n_name", "rank")
+        .orderBy("n_name")
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-CTE mirror of q65_nation_pagerank (same rounding, same
+    expression order — see its docstring)."""
+
+    def dang(prev: str, out: str) -> str:
+        return f"""
+dang_{out} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS dm
+  FROM {prev} r ANTI JOIN outw ow ON ow.src = r.node
+),
+"""
+
+    def step(prev: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT n.node,
+         round((1 - {PR_DAMP}) / (SELECT n FROM nn)
+               + {PR_DAMP} * (COALESCE(c.contrib, 0)
+                        + (SELECT dm FROM dang_{out})
+                          / (SELECT n FROM nn)), {PR_ROUND}) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * e.w / ow.out_w) AS contrib
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN outw ow ON ow.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+),
+"""
+
+    iters, prev = "", "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters += dang(prev, f"r{i}") + step(prev, f"r{i}")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), {PR_ROUND}) AS rank
+       FROM nodes),
+{iters}
+sink AS (SELECT 1)
+SELECT nat.n_name, r.rank
+FROM {prev} r JOIN nation nat ON nat.n_nationkey = r.node
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
@@ -2653,6 +2813,7 @@ QUERIES = {
     "q62_tpch_q22_dormant_customers": q62_tpch_q22_dormant_customers,
     "q63_tpch_q21_sql_front_door": q63_tpch_q21_sql_front_door,
     "q64_incremental_mv_maintenance": q64_incremental_mv_maintenance,
+    "q65_nation_pagerank": q65_nation_pagerank,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -3187,6 +3348,7 @@ ORACLES = {
                {exact_sum_sql('acctbal', 'sum_acctbal')}
         FROM merged GROUP BY segment ORDER BY segment
     """,
+    "q65_nation_pagerank": _pagerank_sql(),
     "q43_event_funnel": f"""
         WITH t1 AS (
           SELECT user_id, MIN(ts) AS ts1 FROM events

@@ -103,3 +103,16 @@ def test_q44_merge_conserves_rows(spark, sf_dir):
         for r in q44_merge_upsert_cdc(spark, sf_dir).collect()
     )
     assert got == n_base - n_del + n_fresh_ins
+
+
+def test_pagerank_is_a_probability_vector(spark, sf_dir):
+    """Invariants a correct damped PageRank must satisfy regardless of
+    graph shape: ranks form a (rounding-tolerant) probability vector,
+    and every node holds at least the teleport floor (1-d)/n."""
+    out = relational.q65_nation_pagerank(spark, sf_dir).collect()
+    n = len(out)
+    assert n > 0
+    total = sum(r["rank"] for r in out)
+    assert abs(total - 1.0) < 1e-6, total
+    floor = (1 - relational.PR_DAMP) / n
+    assert all(r["rank"] >= floor - 1e-9 for r in out)
