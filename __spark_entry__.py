@@ -146,6 +146,8 @@ PYTEST_ONLY = {
     #                     quantizer-training primitive); unrolled-SQL oracle
     "q65_nation_pagerank",  # weighted damped PageRank w/ dangling mass —
     #                     fixed-point iteration family; unrolled-SQL oracle
+    "maintenance_zorder_sum",  # Morton-curve 2-d clustered rewrite; footer
+    #                     envelope assertions in pytest, integrity oracle
     # rotated out THIS round (round-7), each r6-green with its twin:
     "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same

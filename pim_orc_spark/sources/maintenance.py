@@ -102,6 +102,95 @@ def clustered_table(spark: SparkSession, sf_dir: str) -> str:
     return _atomic_build(path, build)
 
 
+ZORDER_BITS = 8  # bits per dimension → 16-bit z-values (256×256 cells)
+
+
+def _zcell(col: str, mn: str, mx: str) -> F.Column:
+    """Min-max scale an integer key into [0, 2^ZORDER_BITS) — integer
+    arithmetic only, so the cell id is exactly reproducible."""
+    span = F.col(mx) - F.col(mn) + F.lit(1)
+    return F.floor(
+        (F.col(col) - F.col(mn)) * F.lit(1 << ZORDER_BITS) / span
+    ).cast("long")
+
+
+def _zinterleave(a: F.Column, b: F.Column) -> F.Column:
+    """Bit-interleave two ZORDER_BITS-wide cell ids into the Morton
+    (Z-curve) value: a's bit i lands at 2i+1, b's at 2i. Unrolled to
+    2×ZORDER_BITS flat shift/mask terms — whole-stage-codegen
+    arithmetic, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zordered_table(spark: SparkSession, sf_dir: str) -> str:
+    """Z-ORDER (Morton-curve) clustered rewrite of lineitem on
+    (l_partkey, l_suppkey): multi-dimensional data skipping. A 1-d sort
+    (clustered_table) gives narrow envelopes on ONE key and leaves
+    every other column's row-group envelope spanning ~the full range;
+    interleaving the bits of both keys and range-partitioning + sorting
+    on the Morton value bounds EVERY row group in BOTH dimensions, so
+    2-d box predicates skip row groups on either key (the layout Delta
+    Lake's OPTIMIZE ZORDER BY produces). Key→cell scaling is min-max
+    integer arithmetic from a 1-row broadcast aggregate; the z-value is
+    unrolled shift/mask Catalyst arithmetic (no UDF); the rewrite is a
+    distributed range-partitioned sorted write, same as the 1-d path."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_zordered")
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        mm = li.agg(
+            F.min("l_partkey").alias("pmin"),
+            F.max("l_partkey").alias("pmax"),
+            F.min("l_suppkey").alias("smin"),
+            F.max("l_suppkey").alias("smax"),
+        )
+        z = _zinterleave(
+            _zcell("l_partkey", "pmin", "pmax"),
+            _zcell("l_suppkey", "smin", "smax"),
+        )
+        (
+            li.crossJoin(F.broadcast(mm))
+            .withColumn("__z", z)
+            .repartitionByRange(CLUSTER_BUCKETS, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", "pmin", "pmax", "smin", "smax")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    return _atomic_build(path, build)
+
+
+# 2-d box predicate (exists at every fixture SF: part/supplier keys
+# start at 0/1); the z-ordered layout skips row groups on BOTH bounds
+_ZQ_PART_MAX = 100
+_ZQ_SUPP_MAX = 5
+
+
+def maintenance_zorder_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-d box query over the z-ordered rewrite: must equal the same
+    box query on the unsorted source (the oracle) — reordering never
+    drops rows. The multi-dimensional skippable-statistics property
+    (bounded row-group envelopes in BOTH key dimensions) is asserted
+    from the parquet footers in pytest."""
+    t = spark.read.parquet(zordered_table(spark, sf_dir))
+    return t.filter(
+        (F.col("l_partkey") <= _ZQ_PART_MAX)
+        & (F.col("l_suppkey") <= _ZQ_SUPP_MAX)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_extendedprice", "sum_price"),
+    )
+
+
 def maintenance_compact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity proof of compaction: the compacted directory must hold
     exactly the source's rows (count + exact decimal sum). The
@@ -131,6 +220,7 @@ def maintenance_clustered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "maintenance_compact_sum": maintenance_compact_sum,
     "maintenance_clustered_sum": maintenance_clustered_sum,
+    "maintenance_zorder_sum": maintenance_zorder_sum,
 }
 
 ORACLES = {
@@ -143,5 +233,10 @@ ORACLES = {
         f"{exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1997-02-01'"
+    ),
+    "maintenance_zorder_sum": (
+        "SELECT COUNT(*) AS n_rows, "
+        f"{exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem "
+        f"WHERE l_partkey <= {_ZQ_PART_MAX} AND l_suppkey <= {_ZQ_SUPP_MAX}"
     ),
 }
