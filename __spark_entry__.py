@@ -148,6 +148,8 @@ PYTEST_ONLY = {
     #                     fixed-point iteration family; unrolled-SQL oracle
     "maintenance_zorder_sum",  # Morton-curve 2-d clustered rewrite; footer
     #                     envelope assertions in pytest, integrity oracle
+    "q66_constraint_suite",  # Deequ-style gating assertions: 4 row-local
+    #                     checks fused into ONE scan + uniqueness + ref
     # rotated out THIS round (round-7), each r6-green with its twin:
     "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same

@@ -2796,6 +2796,97 @@ ORDER BY n_name
 """
 
 
+def q66_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality CONSTRAINT SUITE (the Deequ/dbt-test
+    shape): a set of named assertions evaluated together, each emitting
+    (check_name, observed violation count, passed). Complements the
+    ops layer's descriptive diagnostics (q51 profile, q52 referential
+    audit, q53 skew) with the assertion form a pipeline GATES on.
+
+    One-pass design: the four row-local checks (completeness, bounds,
+    domain, sign) fuse into a SINGLE aggregate scan and unpivot via
+    stack(); only the two checks that inherently need another plan pay
+    for one — primary-key uniqueness (one groupBy) and referential
+    integrity (one LEFT ANTI join). At 100 TB that is one full scan +
+    two key-only shuffles for six constraints, not six scans. NULL
+    semantics are explicit: a NULL comparison is not a violation (both
+    engines' CASE/when agree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.agg(
+        F.sum(
+            F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+        ).alias("c_null"),
+        F.sum(
+            F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)
+        ).alias("c_qty"),
+        F.sum(
+            F.when(
+                ~F.col("l_returnflag").isin("A", "N", "R"), 1
+            ).otherwise(0)
+        ).alias("c_flag"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)
+        ).alias("c_neg"),
+    )
+    row_checks = base.select(
+        F.expr(
+            "stack(4, "
+            "'completeness_l_orderkey', c_null, "
+            "'bounds_quantity_1_50', c_qty, "
+            "'domain_returnflag', c_flag, "
+            "'nonneg_extendedprice', c_neg) AS (check_name, observed)"
+        )
+    )
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .select(F.lit("unique_pk").alias("check_name"), "observed")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    orph = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .select(
+            F.lit("ref_lineitem_orders").alias("check_name"), "observed"
+        )
+    )
+    return (
+        row_checks.unionByName(dup)
+        .unionByName(orph)
+        .withColumn(
+            "passed", (F.col("observed") == 0).cast("int")
+        )
+        .orderBy("check_name")
+    )
+
+
+_Q66_SQL = """
+WITH base AS (SELECT
+  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS c_null,
+  SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS c_qty,
+  SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS c_flag,
+  SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS c_neg
+ FROM lineitem),
+dup AS (SELECT COUNT(*) AS c FROM
+        (SELECT 1 FROM lineitem
+         GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+orph AS (SELECT COUNT(*) AS c FROM lineitem l
+         ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT check_name, observed,
+       CAST(CASE WHEN observed = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+FROM (
+ SELECT 'completeness_l_orderkey' AS check_name, c_null AS observed FROM base
+ UNION ALL SELECT 'bounds_quantity_1_50', c_qty FROM base
+ UNION ALL SELECT 'domain_returnflag', c_flag FROM base
+ UNION ALL SELECT 'nonneg_extendedprice', c_neg FROM base
+ UNION ALL SELECT 'unique_pk', c FROM dup
+ UNION ALL SELECT 'ref_lineitem_orders', c FROM orph
+) ORDER BY check_name
+"""
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
@@ -2814,6 +2905,7 @@ QUERIES = {
     "q63_tpch_q21_sql_front_door": q63_tpch_q21_sql_front_door,
     "q64_incremental_mv_maintenance": q64_incremental_mv_maintenance,
     "q65_nation_pagerank": q65_nation_pagerank,
+    "q66_constraint_suite": q66_constraint_suite,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -3349,6 +3441,7 @@ ORACLES = {
         FROM merged GROUP BY segment ORDER BY segment
     """,
     "q65_nation_pagerank": _pagerank_sql(),
+    "q66_constraint_suite": _Q66_SQL,
     "q43_event_funnel": f"""
         WITH t1 AS (
           SELECT user_id, MIN(ts) AS ts1 FROM events

@@ -431,3 +431,20 @@ def test_derived_aggregate_consumers_scan_the_fact_once(spark, sf_dir):
             name,
             plan[:1200],
         )
+
+
+def test_constraint_suite_fuses_row_checks_into_one_scan(spark, sf_dir):
+    """q66's four row-local checks must share ONE lineitem scan (fused
+    aggregate + stack unpivot); only uniqueness and referential
+    integrity may add scans — 3 total, not 6."""
+    from pim_orc_spark.operators.relational import q66_constraint_suite
+
+    plan = explain_profile(q66_constraint_suite(spark, sf_dir), execute=False)
+    # formatted plans put the table path on the scan node's Location
+    # detail line, not the header line
+    n_li_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "Location" in line and "lineitem" in line
+    )
+    assert n_li_scans == 3, f"expected 3 lineitem scans, saw {n_li_scans}\n{plan}"
