@@ -150,6 +150,8 @@ PYTEST_ONLY = {
     #                     envelope assertions in pytest, integrity oracle
     "q66_constraint_suite",  # Deequ-style gating assertions: 4 row-local
     #                     checks fused into ONE scan + uniqueness + ref
+    "dedup_semantic_pairs",  # SemDeDup-shape: cosine near-dup pairs scoped
+    #                     to k-means clusters (learned-bucket candidate cut)
     # rotated out THIS round (round-7), each r6-green with its twin:
     "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same

@@ -760,6 +760,31 @@ def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _km_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared KM_ITERS-iteration Lloyd run → final (vec_id, v, cid)
+    assignment (see ann_kmeans_clusters for the full contract)."""
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    pts = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+    cents = pts.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(KM_ITERS):
+        assigned = _km_assign(pts, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), KM_ROUND).alias("cx"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cx"))
+                ).alias("pc")
+            )
+            .select("cid", F.col("pc.cx").alias("c"))
+        )
+    return _km_assign(pts, cents)
+
+
 def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus — the
     clustering primitive behind semantic dedup (SemDeDup-style: near-
@@ -782,26 +807,7 @@ def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer-only per-cluster facts (size + vec_id checksum), so
     the driver hash exercises every assignment without floating
     output columns."""
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    pts = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
-    cents = pts.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    for _ in range(KM_ITERS):
-        assigned = _km_assign(pts, cents)
-        cents = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), KM_ROUND).alias("cx"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "cx"))
-                ).alias("pc")
-            )
-            .select("cid", F.col("pc.cx").alias("c"))
-        )
-    final = _km_assign(pts, cents)
+    final = _km_assignments(spark, sf_dir)
     return (
         final.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
@@ -812,9 +818,66 @@ def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_TAU = 0.4  # fixture-calibrated: this synthetic corpus is diffuse
+#               (max within-cluster cosine ≈ 0.51), so the semantic-dup
+#               cut sits where the fixture HAS near-neighbors; on real
+#               text embeddings the same operator runs at ~0.9+.
+
+
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP (SemDeDup-shape): near-duplicate pairs by
+    embedding cosine, with the pair search scoped to k-means clusters —
+    the composition that makes embedding dedup tractable at corpus
+    scale. A global cosine self-join is O(n²); clustering first bounds
+    the candidate space to within-cluster pairs (sum of |cluster|²,
+    tunable via k), and the join shuffles ON THE CLUSTER ID — the same
+    candidate-restriction trade the MinHash band join and the
+    hyperplane-LSH dedup make, here with learned rather than hashed
+    buckets.
+
+    Reuses the shared _km_assignments Lloyd run (identical contract to
+    ann_kmeans_clusters, so the oracle reuses the same unrolled CTE
+    prefix); norms are precomputed per row BEFORE the pair join (never
+    per pair); the rounded cosine is compared against SEM_TAU
+    identically in both engines."""
+    a = _km_assignments(spark, sf_dir)
+    nv = a.select(
+        "vec_id",
+        "v",
+        "cid",
+        F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias("nrm"),
+    )
+    b = nv.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("cid").alias("cid_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        dot_unrolled(F.col("v"), F.col("vb"), DIM)
+        / (F.col("nrm") * F.col("nrm_b")),
+        6,
+    )
+    return (
+        nv.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_TAU)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_kmeans_clusters": ann_kmeans_clusters,
+    "dedup_semantic_pairs": dedup_semantic_pairs,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_rp_topk": ann_rp_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -1177,7 +1240,9 @@ def _km_update_sql(asg: str, pts: str, out: str) -> str:
 )"""
 
 
-def _kmeans_sql() -> str:
+def _kmeans_cte_prefix() -> str:
+    """The WITH-chain ending in ``af`` (the final assignment) — shared
+    by the k-means oracle and the semantic-dedup oracle."""
     steps, prev = [], "c0"
     for it in range(1, KM_ITERS + 1):
         steps.append(_km_assign_sql("pts", prev, f"a{it}"))
@@ -1189,14 +1254,38 @@ def _kmeans_sql() -> str:
 WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id < {KM_K}),
 {body}
+"""
+
+
+def _kmeans_sql() -> str:
+    return (
+        _kmeans_cte_prefix()
+        + """
 SELECT cid AS cluster_id, COUNT(*) AS n_members, SUM(vec_id) AS sum_vec_id
 FROM af GROUP BY cid ORDER BY cluster_id
 """
+    )
+
+
+def _semantic_pairs_sql() -> str:
+    return (
+        _kmeans_cte_prefix()
+        + f""",
+nv AS (SELECT p.vec_id, p.v, a.cid, sqrt(list_dot_product(p.v, p.v)) AS nrm
+       FROM pts p JOIN af a ON a.vec_id = p.vec_id)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM nv a JOIN nv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {SEM_TAU}
+ORDER BY vec_a, vec_b
+"""
+    )
 
 
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
     "ann_kmeans_clusters": _kmeans_sql(),
+    "dedup_semantic_pairs": _semantic_pairs_sql(),
     "ann_rp_topk": _rp_sql(),
     "ann_pq_topk": _pq_sql(),
     "ann_sq_topk": _ANN_SQ_SQL,
