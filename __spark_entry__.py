@@ -152,6 +152,8 @@ PYTEST_ONLY = {
     #                     checks fused into ONE scan + uniqueness + ref
     "dedup_semantic_pairs",  # SemDeDup-shape: cosine near-dup pairs scoped
     #                     to k-means clusters (learned-bucket candidate cut)
+    "q67_snapshot_diff",  # lakehouse table_changes: full-outer key diff of
+    #                     two snapshots w/ null-safe per-column change counts
     # rotated out THIS round (round-7), each r6-green with its twin:
     "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same

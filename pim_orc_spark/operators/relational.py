@@ -1384,6 +1384,42 @@ def _cdc_changes(c: DataFrame) -> DataFrame:
     )
 
 
+def _cdc_apply(m: DataFrame) -> DataFrame:
+    """MERGE resolution over the full-outer (base × changes) relation —
+    shared by q44 (per-segment report), and q67 (snapshot diff). See
+    q44's docstring for the per-row semantics."""
+    fresh_insert = (F.col("op") == "I") & F.col("c_custkey").isNull()
+    return (
+        m.filter(
+            (F.col("op").isNull())  # untouched base row
+            | (F.col("op") == "U")
+            | (F.col("op") == "I")  # fresh insert OR matched no-op
+        )
+        .select(
+            F.coalesce("c_custkey", "k").alias("custkey"),
+            F.when(fresh_insert, F.col("new_segment"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.when(F.col("op") == "U", F.col("new_acctbal"))
+            .when(fresh_insert, F.col("new_acctbal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.when(F.col("op") == "U", F.lit("U"))
+            .when(fresh_insert, F.lit("I"))
+            .otherwise(F.lit("K"))
+            .alias("action"),
+        )
+    )
+
+
+def _cdc_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-MERGE customer snapshot (custkey, segment, acctbal,
+    action) — v2 in snapshot-diff terms."""
+    c = load_table(spark, sf_dir, "customer")
+    changes = _cdc_changes(c)
+    return _cdc_apply(c.join(changes, c.c_custkey == changes.k, "full_outer"))
+
+
 def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE (upsert + delete) — the daily lakehouse maintenance
     query: apply a change batch (INSERT / UPDATE / DELETE rows keyed
@@ -1419,28 +1455,7 @@ def q44_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # review: the earlier filter dropped BOTH rows in that collision,
     # silently losing the base customer — a row-loss class the oracle
     # could never catch because it mirrored the same filter).
-    fresh_insert = (F.col("op") == "I") & F.col("c_custkey").isNull()
-    merged = (
-        m.filter(
-            (F.col("op").isNull())  # untouched base row
-            | (F.col("op") == "U")
-            | (F.col("op") == "I")  # fresh insert OR matched no-op
-        )
-        .select(
-            F.coalesce("c_custkey", "k").alias("custkey"),
-            F.when(fresh_insert, F.col("new_segment"))
-            .otherwise(F.col("c_mktsegment"))
-            .alias("segment"),
-            F.when(F.col("op") == "U", F.col("new_acctbal"))
-            .when(fresh_insert, F.col("new_acctbal"))
-            .otherwise(F.col("c_acctbal"))
-            .alias("acctbal"),
-            F.when(F.col("op") == "U", F.lit("U"))
-            .when(fresh_insert, F.lit("I"))
-            .otherwise(F.lit("K"))
-            .alias("action"),
-        )
-    )
+    merged = _cdc_apply(m)
     return (
         merged.groupBy("segment")
         .agg(
@@ -2796,6 +2811,58 @@ ORDER BY n_name
 """
 
 
+def q67_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the lakehouse ``table_changes`` shape: compare
+    two versions of a table by key and report what changed, per
+    column. v1 = the base customer table; v2 = the CDC-merged snapshot
+    (the identical deterministic change feed q44 applies, via the
+    shared _cdc_merged), so the expected diff is exactly the change
+    batch and the operator proves it from the DATA, not the feed.
+
+    Plan: ONE full-outer join on the key + ONE aggregate pass with
+    conditional counters, unpivoted via stack() — at 100 TB that is a
+    single key shuffle over both snapshots, with null-safe per-column
+    comparison (eqNullSafe / IS DISTINCT FROM) so NULL→value edits
+    count as changes in both engines."""
+    v1 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    v2 = _cdc_merged(spark, sf_dir).select(
+        F.col("custkey").alias("key2"),
+        F.col("segment").alias("segment2"),
+        F.col("acctbal").alias("acctbal2"),
+    )
+    j = v1.join(v2, F.col("key") == F.col("key2"), "full_outer")
+    both = F.col("key").isNotNull() & F.col("key2").isNotNull()
+    seg_diff = ~F.col("segment").eqNullSafe(F.col("segment2"))
+    bal_diff = ~F.col("acctbal").eqNullSafe(F.col("acctbal2"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    agg = j.agg(
+        cnt(F.col("key").isNull()).alias("n_added"),
+        cnt(F.col("key2").isNull()).alias("n_removed"),
+        cnt(both & (seg_diff | bal_diff)).alias("n_changed"),
+        cnt(both & ~seg_diff & ~bal_diff).alias("n_unchanged"),
+        cnt(both & bal_diff).alias("acctbal_changed"),
+        cnt(both & seg_diff).alias("segment_changed"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, "
+            "'n_added', n_added, "
+            "'n_removed', n_removed, "
+            "'n_changed', n_changed, "
+            "'n_unchanged', n_unchanged, "
+            "'acctbal_changed', acctbal_changed, "
+            "'segment_changed', segment_changed) AS (metric, n)"
+        )
+    ).orderBy("metric")
+
+
 def q66_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality CONSTRAINT SUITE (the Deequ/dbt-test
     shape): a set of named assertions evaluated together, each emitting
@@ -2906,6 +2973,7 @@ QUERIES = {
     "q64_incremental_mv_maintenance": q64_incremental_mv_maintenance,
     "q65_nation_pagerank": q65_nation_pagerank,
     "q66_constraint_suite": q66_constraint_suite,
+    "q67_snapshot_diff": q67_snapshot_diff,
     "q49_tpch_q17_small_quantity": q49_tpch_q17_small_quantity,
     "q50_tpch_q15_top_supplier": q50_tpch_q15_top_supplier,
     "q43_event_funnel": q43_event_funnel,
@@ -3442,6 +3510,40 @@ ORACLES = {
     """,
     "q65_nation_pagerank": _pagerank_sql(),
     "q66_constraint_suite": _Q66_SQL,
+    "q67_snapshot_diff": f"""
+        {_CDC_MERGED_CTE},
+        v1 AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+                      c_acctbal AS acctbal FROM customer),
+        v2 AS (SELECT custkey AS key2, segment AS segment2,
+                      acctbal AS acctbal2 FROM merged),
+        j AS (SELECT * FROM v1 FULL OUTER JOIN v2 ON key = key2),
+        agg AS (SELECT
+          SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS n_added,
+          SUM(CASE WHEN key2 IS NULL THEN 1 ELSE 0 END) AS n_removed,
+          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+                    AND (segment IS DISTINCT FROM segment2
+                         OR acctbal IS DISTINCT FROM acctbal2)
+                   THEN 1 ELSE 0 END) AS n_changed,
+          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+                    AND segment IS NOT DISTINCT FROM segment2
+                    AND acctbal IS NOT DISTINCT FROM acctbal2
+                   THEN 1 ELSE 0 END) AS n_unchanged,
+          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+                    AND acctbal IS DISTINCT FROM acctbal2
+                   THEN 1 ELSE 0 END) AS acctbal_changed,
+          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+                    AND segment IS DISTINCT FROM segment2
+                   THEN 1 ELSE 0 END) AS segment_changed
+          FROM j)
+        SELECT metric, n FROM (
+          SELECT 'n_added' AS metric, n_added AS n FROM agg
+          UNION ALL SELECT 'n_removed', n_removed FROM agg
+          UNION ALL SELECT 'n_changed', n_changed FROM agg
+          UNION ALL SELECT 'n_unchanged', n_unchanged FROM agg
+          UNION ALL SELECT 'acctbal_changed', acctbal_changed FROM agg
+          UNION ALL SELECT 'segment_changed', segment_changed FROM agg
+        ) ORDER BY metric
+    """,
     "q43_event_funnel": f"""
         WITH t1 AS (
           SELECT user_id, MIN(ts) AS ts1 FROM events
