@@ -781,6 +781,13 @@ def _km_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pc")
             )
             .select("cid", F.col("pc.cx").alias("c"))
+            # materialize the k×dim centroid state each iteration:
+            # without this the plan recurses (iteration i re-derives
+            # every earlier assignment+update), multiplying stages —
+            # measured 6.7 s → ~1 s at fixture scale. Centroids are
+            # metadata-sized by construction, exactly what a
+            # production trainer persists between iterations.
+            .localCheckpoint()
         )
     return _km_assign(pts, cents)
 
