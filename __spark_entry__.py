@@ -125,6 +125,35 @@ def _modules():
 #                           DSv2) + the PushedAggregation plan
 #                           assertion in tests/test_plans.py (ORC DSv2)
 PYTEST_ONLY = {
+    # ROUND-8 ROTATION: the 6 round-7 newcomers promote in one pass
+    # (ann_kmeans_clusters, q65_nation_pagerank, maintenance_zorder_sum,
+    # q66_constraint_suite, dedup_semantic_pairs, q67_snapshot_diff) —
+    # after it the attestation queue holds only this round's own new
+    # operators. 6 slots rotate out to hold the sweep at exactly 50;
+    # every one is r7-driver-green (last attestation on file,
+    # CORRECTNESS_r07) with a surviving exported twin:
+    "q36_tpch_q18_large_orders",  # HAVING-over-grouped-subquery + top-k
+    #                     attested by q58 (Q11's HAVING over a scalar
+    #                     subquery, stays) + q31's TakeOrderedAndProject
+    #                     (stays exported and benched)
+    "q37_tpch_q10_returned_items",  # fact-join-group-topk family attested
+    #                     by q31 TPC-H Q3 (stays exported + benched) and
+    #                     q55/q56's multi-join profit trees (stay)
+    "q42_tpch_q14_promo_revenue",  # single-scan CASE-ratio attested by
+    #                     q48's disjunctive CASE revenue + q41's
+    #                     dual-CASE sums (both stay exported)
+    "q46_tpch_q6_forecast_revenue",  # single-scan filtered agg attested
+    #                     by q01 (stays, benched) + q04's grouped form
+    #                     (stays, benched); PushedFilters plan assert
+    #                     in test_plans is the stronger pushdown check
+    "q50_tpch_q15_top_supplier",  # scalar-subquery max-view attested by
+    #                     q57's correlated min-cost (stays) + q58's
+    #                     HAVING scalar subquery (stays)
+    "maintenance_compact_sum",  # rewrite-roundtrip integrity family's
+    #                     export is now promoted maintenance_zorder_sum
+    #                     (same read→rewrite→re-aggregate contract PLUS
+    #                     Morton clustering); compaction's shuffle-free
+    #                     coalesce sizing stays pytest-asserted
     # ROUND-7 ROTATION (verdict r5 #2 pattern, applied to the round-6
     # queue): ALL 22 remaining never-attested operators promoted in one
     # pass — the 11 round-6 TPC-H completions (q54-q64: Q7/Q8/Q9/Q2/
@@ -135,25 +164,8 @@ PYTEST_ONLY = {
     # round-5 TPC-H/timeseries shapes (q36/q37/q40-q42/q45-q48/q50).
     # After this rotation every operator in the package has either a
     # green driver CORRECTNESS row on file or a documented twin-attested
-    # demotion — the attestation queue is EMPTY for the first time.
-    # 22 slots rotate out to hold the sweep at exactly 50; every one is
-    # r6-driver-green (last attestation on file) with a surviving
-    # exported twin, documented inline below.
-    #
-    # NEW round-7 operators (pytest-oracle-green; first in line for the
-    # round-8 rotation):
-    "ann_kmeans_clusters",  # distributed Lloyd k-means (semantic-dedup /
-    #                     quantizer-training primitive); unrolled-SQL oracle
-    "q65_nation_pagerank",  # weighted damped PageRank w/ dangling mass —
-    #                     fixed-point iteration family; unrolled-SQL oracle
-    "maintenance_zorder_sum",  # Morton-curve 2-d clustered rewrite; footer
-    #                     envelope assertions in pytest, integrity oracle
-    "q66_constraint_suite",  # Deequ-style gating assertions: 4 row-local
-    #                     checks fused into ONE scan + uniqueness + ref
-    "dedup_semantic_pairs",  # SemDeDup-shape: cosine near-dup pairs scoped
-    #                     to k-means clusters (learned-bucket candidate cut)
-    "q67_snapshot_diff",  # lakehouse table_changes: full-outer key diff of
-    #                     two snapshots w/ null-safe per-column change counts
+    # demotion. 22 slots rotated out, every one r6-driver-green with a
+    # surviving exported twin, documented inline below.
     # rotated out THIS round (round-7), each r6-green with its twin:
     "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same

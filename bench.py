@@ -293,6 +293,15 @@ def headline_json(
         headline_line.pop("spread_flags", None)
         headline_line.pop("detail", None)
         line = json.dumps(headline_line)
+    if len(line) > 1800:
+        # queries is the one term that grows a slot per round; its
+        # per-query numbers live on in BENCH_DETAIL.json — truncate it
+        # deterministically (alphabetical head) rather than let the
+        # line outgrow the driver's window with no mitigation left.
+        keep = dict(sorted(timings.items())[:10])
+        headline_line["queries"] = keep
+        headline_line["queries_truncated"] = len(timings) - len(keep)
+        line = json.dumps(headline_line)
     return line
 
 

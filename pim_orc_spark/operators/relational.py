@@ -2770,8 +2770,8 @@ dang_{out} AS (
         return f"""
 {out} AS (
   SELECT n.node,
-         round((1 - {PR_DAMP}) / (SELECT n FROM nn)
-               + {PR_DAMP} * (COALESCE(c.contrib, 0)
+         round(CAST({1.0 - PR_DAMP!r} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({PR_DAMP!r} AS DOUBLE) * (COALESCE(c.contrib, 0)
                         + (SELECT dm FROM dang_{out})
                           / (SELECT n FROM nn)), {PR_ROUND}) AS rank
   FROM nodes n LEFT JOIN (
@@ -2801,7 +2801,9 @@ nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
-r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), {PR_ROUND}) AS rank
+r0 AS (SELECT node,
+              round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), {PR_ROUND})
+              AS rank
        FROM nodes),
 {iters}
 sink AS (SELECT 1)

@@ -26,6 +26,7 @@ from pim_orc_spark.functions.vector import (
     as_double_vec,
     cosine_sql,
     dot_unrolled,
+    dot_unrolled_sql,
     unit_vec,
 )
 from pim_orc_spark.plans import spread
@@ -745,10 +746,17 @@ def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     lexicographic struct-min (never arg_min, whose tie pick is
     engine-dependent). The centroid side is k×dim — always broadcast;
     the corpus is never shuffled by assignment."""
+    # One parsed SQL string instead of Column algebra: building the
+    # three unrolled dots with Column operators costs ~3·dim py4j
+    # round-trips PER DOT and _km_assign runs once per Lloyd iteration;
+    # F.expr is a single gateway call with identical semantics
+    # (left-associated adds, 0-based subscript == getItem).
     d2 = F.round(
-        dot_unrolled(F.col("v"), F.col("v"), DIM)
-        - 2 * dot_unrolled(F.col("v"), F.col("c"), DIM)
-        + dot_unrolled(F.col("c"), F.col("c"), DIM),
+        F.expr(
+            f"{dot_unrolled_sql('v', 'v', DIM)}"
+            f" - 2 * {dot_unrolled_sql('v', 'c', DIM)}"
+            f" + {dot_unrolled_sql('c', 'c', DIM)}"
+        ),
         KM_ROUND,
     )
     return (

@@ -106,6 +106,34 @@ def test_bench_headline_line_fits_driver_window():
     assert parsed["queries"] == worst
 
 
+def test_bench_headline_truncates_queries_when_all_else_fails():
+    """Once the benched set outgrows what dropping spread_flags/detail
+    can absorb, the fallback must truncate the queries dict itself
+    (deterministically — alphabetical head) instead of emitting a line
+    the driver's 2000-char window would cut mid-JSON. Per-query numbers
+    always live in BENCH_DETAIL.json regardless."""
+    import json
+
+    import bench
+
+    worst = {f"q{n:02d}_some_long_query_name_here": 12345.6789 for n in range(60)}
+    line = bench.headline_json(
+        timings=worst,
+        value_min=12345.6789,
+        spread_flags={k: 99.99 for k in list(worst)[:5]},
+        sf=0.1,
+        lineitem_rows=600_000_000,
+        flagship_rows_per_sec=123_456_789,
+    )
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total"
+    # headline total still covers EVERY slot even when the dict shrank
+    assert parsed["value"] == round(sum(worst.values()), 4)
+    assert parsed["queries"] == dict(sorted(worst.items())[:10])
+    assert parsed["queries_truncated"] == 50
+
+
 def test_oracle_dialect_smoke():
     """Every oracle string must at least parse in DuckDB against the
     registered fixture views — a syntax error would otherwise surface
