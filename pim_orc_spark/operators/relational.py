@@ -2956,8 +2956,86 @@ FROM (
 """
 
 
+def q68_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 HISTORY BUILD — collapse each user's event-type
+    observation stream into versioned dimension rows with
+    ``valid_from`` / ``valid_to`` / ``is_current`` (the
+    slowly-changing-dimension shape every warehouse load job needs;
+    the reference has no temporal versioning — this extends its
+    event-scan surface, reader.cc:50-63, with the classic
+    gaps-and-islands rewrite).
+
+    Plan: ONE user_id shuffle does everything. Run boundaries come
+    from ``lag`` (a change = previous observation IS DISTINCT FROM
+    the current one), the run index from a running SUM over the same
+    window, the per-run collapse from a groupBy on (user, version) —
+    same partitioning, no second exchange — and ``valid_to`` from
+    ``lead`` over the per-user version sequence (again the same
+    partitioning). Every window is partitioned by user_id, so no task
+    ever materializes more than one user's history: the 100 TB cost
+    is one key shuffle of the observation stream, which is the
+    information-theoretic floor for per-entity versioning."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = e.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(w2)
+    return g.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+        "n_obs",
+    )
+
+
+_Q68_SQL = """
+WITH obs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM obs
+),
+g AS (
+  SELECT user_id, version, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_obs
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+       valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+       n_obs
+FROM g
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
+    "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
     "q52_referential_audit": q52_referential_audit,
@@ -3027,6 +3105,7 @@ QUERIES = {
 
 
 ORACLES = {
+    "q68_scd2_history": _Q68_SQL,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,
