@@ -125,6 +125,17 @@ def _modules():
 #                           DSv2) + the PushedAggregation plan
 #                           assertion in tests/test_plans.py (ORC DSv2)
 PYTEST_ONLY = {
+    # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
+    # q68_scd2_history as a 51st export without a compensating
+    # demotion, so maintenance_zorder_sum (last in module order) fell
+    # off the driver's 50-row sweep unattested. One r8-driver-green
+    # slot rotates out to restore the exact-50 budget:
+    "q40_tpch_q4_order_priority",  # EXISTS + non-equi-predicate semi
+    #                     join attested by q63 (identical-SQL
+    #                     EXISTS/NOT-EXISTS through the same spark.sql
+    #                     front door, stays exported) + q61's Q21
+    #                     exists/not-exists semi/anti joins (stays);
+    #                     its oracle still re-runs in pytest every round
     # ROUND-8 ROTATION: the 6 round-7 newcomers promote in one pass
     # (ann_kmeans_clusters, q65_nation_pagerank, maintenance_zorder_sum,
     # q66_constraint_suite, dedup_semantic_pairs, q67_snapshot_diff) —
@@ -171,8 +182,9 @@ PYTEST_ONLY = {
     #                     promoted q63 (EXISTS/NOT-EXISTS through the same
     #                     spark.sql path); correlated scalar-agg
     #                     decorrelation by promoted q57's correlated min
-    "q43_event_funnel",  # ordered-sequence semantics attested by promoted
-    #                     q40 (TPC-H Q4's EXISTS + non-equi predicate);
+    "q43_event_funnel",  # ordered-sequence semantics attested by q61's
+    #                     exists/not-exists + non-equi predicates (stays
+    #                     exported; q40 rotated out in r9);
     #                     chained-window machinery by text_pack's
     #                     cumulative window (stays exported)
     "q39_skew_salted_join",  # salt-count-invariance hypothesis test is the

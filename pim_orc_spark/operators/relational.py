@@ -2933,10 +2933,14 @@ def q66_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q66_SQL = """
 WITH base AS (SELECT
-  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS c_null,
-  SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS c_qty,
-  SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS c_flag,
-  SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS c_neg
+  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS c_null,
+  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END)
+    AS BIGINT) AS c_qty,
+  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+    AS BIGINT) AS c_flag,
+  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS c_neg
  FROM lineitem),
 dup AS (SELECT COUNT(*) AS c FROM
         (SELECT 1 FROM lineitem
@@ -3599,22 +3603,24 @@ ORACLES = {
                       acctbal AS acctbal2 FROM merged),
         j AS (SELECT * FROM v1 FULL OUTER JOIN v2 ON key = key2),
         agg AS (SELECT
-          SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS n_added,
-          SUM(CASE WHEN key2 IS NULL THEN 1 ELSE 0 END) AS n_removed,
-          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+          CAST(SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_added,
+          CAST(SUM(CASE WHEN key2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed,
+          CAST(SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
                     AND (segment IS DISTINCT FROM segment2
                          OR acctbal IS DISTINCT FROM acctbal2)
-                   THEN 1 ELSE 0 END) AS n_changed,
-          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
                     AND segment IS NOT DISTINCT FROM segment2
                     AND acctbal IS NOT DISTINCT FROM acctbal2
-                   THEN 1 ELSE 0 END) AS n_unchanged,
-          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+          CAST(SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
                     AND acctbal IS DISTINCT FROM acctbal2
-                   THEN 1 ELSE 0 END) AS acctbal_changed,
-          SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS acctbal_changed,
+          CAST(SUM(CASE WHEN key IS NOT NULL AND key2 IS NOT NULL
                     AND segment IS DISTINCT FROM segment2
-                   THEN 1 ELSE 0 END) AS segment_changed
+                   THEN 1 ELSE 0 END) AS BIGINT) AS segment_changed
           FROM j)
         SELECT metric, n FROM (
           SELECT 'n_added' AS metric, n_added AS n FROM agg

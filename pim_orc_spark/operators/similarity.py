@@ -1276,7 +1276,8 @@ def _kmeans_sql() -> str:
     return (
         _kmeans_cte_prefix()
         + """
-SELECT cid AS cluster_id, COUNT(*) AS n_members, SUM(vec_id) AS sum_vec_id
+SELECT cid AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
 FROM af GROUP BY cid ORDER BY cluster_id
 """
     )

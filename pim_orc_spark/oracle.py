@@ -68,24 +68,74 @@ def _values_match(a: Any, b: Any) -> bool:
     return a == b
 
 
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _hash_divergent_types(
+    spark_dtypes: dict[str, str], arrow_types: dict[str, str]
+) -> list[str]:
+    """Columns where the driver's type-sensitive exact hash WILL
+    diverge even though the values are equal.
+
+    Round-8 postmortem (VERDICT r8 #1/#5): DuckDB's ``SUM(int)``
+    returns HUGEINT, which arrives through Arrow as
+    ``decimal128(38,0)`` while Spark emits bigint; the driver hashes
+    the typed Arrow values, so ``rows_match``/``schema_match`` pass
+    and ``hash_match`` fails — and the old ``Decimal → float``
+    canonicalization here made the local gate blind to exactly that
+    class. Fail loudly instead: any column that is decimal on one
+    side and integral on the other needs an explicit
+    ``CAST(... AS BIGINT)`` in the oracle SQL (the repo convention).
+    """
+    bad = []
+    for col, a_type in arrow_types.items():
+        s_type = spark_dtypes.get(col)
+        if s_type is None:
+            continue
+        a_decimal = a_type.startswith("decimal")
+        s_decimal = s_type.startswith("decimal")
+        if a_decimal and s_type in _SPARK_INTEGRAL:
+            bad.append(
+                f"{col}: duckdb {a_type} vs spark {s_type} — un-cast"
+                " integer aggregate in the oracle? CAST(... AS BIGINT)"
+            )
+        elif s_decimal and a_type in {"int8", "int16", "int32", "int64"}:
+            bad.append(
+                f"{col}: spark {s_type} vs duckdb {a_type} — cast the"
+                " Spark column or the oracle so both sides agree"
+            )
+    return bad
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
     """Return (ok, message). Columns sorted by name, rows order-insensitive,
     floats compared with tight tolerance (exact-decimal aggregates should
     match bitwise; the tolerance only absorbs summation-order rounding in
-    intentionally-floating kernels like cosine)."""
+    intentionally-floating kernels like cosine).
+
+    The DuckDB side is fetched through Arrow so the comparator sees
+    the same typed values the driver hashes — a decimal128 oracle
+    column facing an integral Spark column fails here even when the
+    Python values are equal (the round-8 HUGEINT class)."""
     con = duckdb_connection(sf_dir)
     try:
-        res = con.execute(sql)
-        d_cols = [c[0] for c in res.description]
-        d_rows = res.fetchall()
+        tbl = con.execute(sql).fetch_arrow_table()
     finally:
         con.close()
+    d_cols = list(tbl.column_names)
+    arrow_types = {
+        name: str(t) for name, t in zip(tbl.schema.names, tbl.schema.types)
+    }
+    d_rows = [tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()]
 
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    divergent = _hash_divergent_types(dict(spark_df.dtypes), arrow_types)
+    if divergent:
+        return False, "driver-hash type divergence:\n  " + "\n  ".join(divergent)
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
 

@@ -134,6 +134,60 @@ def test_bench_headline_truncates_queries_when_all_else_fails():
     assert parsed["queries_truncated"] == 50
 
 
+def test_oracle_comparator_rejects_hugeint_vs_bigint(spark):
+    """Regression for the round-8 driver failures: DuckDB ``SUM(int)``
+    returns HUGEINT (Arrow decimal128(38,0)) while Spark emits bigint;
+    the driver's exact hash is type-sensitive, and the old comparator
+    canonicalized Decimal→float and passed. compare() must now FAIL
+    the un-cast form even though the values are equal, and pass the
+    CAST(... AS BIGINT) form."""
+    from pim_orc_spark.oracle import compare
+
+    sf = "/root/testdata/sf0.001"
+    df = (
+        spark.read.parquet(f"{sf}/region.parquet")
+        .selectExpr("CAST(SUM(r_regionkey) AS BIGINT) AS s")
+    )
+    ok, msg = compare(df, "SELECT SUM(r_regionkey) AS s FROM region", sf)
+    assert not ok and "type divergence" in msg, msg
+    ok, msg = compare(
+        df, "SELECT CAST(SUM(r_regionkey) AS BIGINT) AS s FROM region", sf
+    )
+    assert ok, msg
+
+
+def test_no_oracle_emits_hugeint_columns():
+    """Static lint over every ORACLES string: plan it in DuckDB and
+    reject any output column whose Arrow type is decimal128(38,0) —
+    the HUGEINT fingerprint of an un-cast integer aggregate (the
+    round-8 bug class). Intentional decimal aggregates (e.g. TPC-H
+    money columns) carry real scales and don't match (38,0)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    _, os_ = _all_queries_and_oracles()
+    offenders = {}
+    for name, sql in sorted(os_.items()):
+        tbl = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").fetch_arrow_table()
+        bad = [
+            f"{n}: {t}"
+            for n, t in zip(tbl.schema.names, tbl.schema.types)
+            if str(t) == "decimal128(38, 0)"
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle columns arriving as HUGEINT/decimal128(38,0) — add "
+        f"CAST(... AS BIGINT): {offenders}"
+    )
+
+
 def test_oracle_dialect_smoke():
     """Every oracle string must at least parse in DuckDB against the
     registered fixture views — a syntax error would otherwise surface
