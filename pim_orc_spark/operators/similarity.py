@@ -837,6 +837,94 @@ SEM_TAU = 0.4  # fixture-calibrated: this synthetic corpus is diffuse
 #               (max within-cluster cosine ≈ 0.51), so the semantic-dup
 #               cut sits where the fixture HAS near-neighbors; on real
 #               text embeddings the same operator runs at ~0.9+.
+SEM_SALT = 8  # tasks a hot cluster's pair work is split across
+SEM_HOT_CLUSTER = 32  # rows — above this a cluster's |c|²/2 pair
+#               evals no longer belong in ONE join task. Deliberately
+#               low so the fixture (≈60 rows/cluster at sf0.01)
+#               exercises the salted path in every driver sweep; at
+#               100 TB with a production k, essentially every cluster
+#               crosses it, which is the regime the salt exists for.
+
+
+def _semantic_pairs_from(
+    nv: DataFrame,
+    salt: int = SEM_SALT,
+    hot_threshold: int = SEM_HOT_CLUSTER,
+) -> DataFrame:
+    """Within-cluster cosine pair join over (vec_id, v, cid, nrm),
+    with hot clusters SALTED: the equi-key of the self-join is the
+    cluster id, and with k ≪ n every cluster is a straggler-sized
+    bucket — one join task per cluster, Θ(|c|²) pair evals in it
+    (exactly the degenerate-band-key problem `_salted_band_candidates`
+    solves for MinHash, dedup.py:210-376; same fix here, learned
+    buckets instead of hashed ones).
+
+    Mechanics mirror the band join: a partial-aggregated size count
+    finds clusters > ``hot_threshold`` (the hot set is ≤ k rows —
+    always broadcast); the left side gets salt = xxhash64(vec_id) %
+    ``salt`` for hot clusters (0 otherwise); the right side explodes
+    all ``salt`` values for hot clusters. Every (a, b) pair still
+    meets on exactly one (cid, salt) cell — the OUTPUT IS IDENTICAL to
+    the unsalted join for any salt count (property-tested) — but a hot
+    cluster's pair work now spreads across ``salt`` tasks. The join is
+    pinned sort-merge: at corpus scale neither side broadcasts, and a
+    deterministic strategy keeps the measured plan stable across SFs.
+    When no cluster is hot the plain cid join runs (no tag join, no
+    explode) — the probe costs one k-row aggregate over the
+    checkpointed assignments."""
+    b_cols = [
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+        "cid",
+    ]
+    cos = F.round(
+        dot_unrolled(F.col("v"), F.col("vb"), DIM)
+        / (F.col("nrm") * F.col("nrm_b")),
+        6,
+    )
+
+    def finish(joined: DataFrame) -> DataFrame:
+        return (
+            joined.filter(F.col("vec_id") < F.col("vec_b"))
+            .select(
+                F.col("vec_id").alias("vec_a"),
+                "vec_b",
+                cos.alias("cos"),
+            )
+            .filter(F.col("cos") >= SEM_TAU)
+            .orderBy("vec_a", "vec_b")
+        )
+
+    hot = (
+        nv.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > hot_threshold)
+        .select("cid", F.lit(True).alias("is_hot"))
+    )
+    if hot.limit(1).count() == 0:
+        left = nv.hint("shuffle_merge")
+        return finish(left.join(nv.select(*b_cols), "cid"))
+    tagged = nv.join(F.broadcast(hot), "cid", "left")
+    left = tagged.select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        F.when(F.col("is_hot"), F.pmod(F.xxhash64("vec_id"), F.lit(salt)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    ).hint("shuffle_merge")
+    right = tagged.select(
+        *b_cols,
+        F.explode(
+            F.when(
+                F.col("is_hot"), F.sequence(F.lit(0), F.lit(salt - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("salt"),
+    )
+    return finish(left.join(right, ["cid", "salt"]))
 
 
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,49 +932,33 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding cosine, with the pair search scoped to k-means clusters —
     the composition that makes embedding dedup tractable at corpus
     scale. A global cosine self-join is O(n²); clustering first bounds
-    the candidate space to within-cluster pairs (sum of |cluster|²,
-    tunable via k), and the join shuffles ON THE CLUSTER ID — the same
-    candidate-restriction trade the MinHash band join and the
-    hyperplane-LSH dedup make, here with learned rather than hashed
-    buckets.
+    the candidate space to within-cluster pairs (Σ|cluster|², tuned
+    via k in the SemDeDup regime k ≈ n / target-cluster-size — the
+    fixture pins KM_K so the Lloyd oracle stays SQL-unrollable, and
+    the salt below carries the load k would at production scale), and
+    the join shuffles ON THE CLUSTER ID — the same candidate-
+    restriction trade the MinHash band join and the hyperplane-LSH
+    dedup make, here with learned rather than hashed buckets. Hot
+    clusters are salted across SEM_SALT tasks (see
+    `_semantic_pairs_from`), so no single cluster decides the job's
+    wall clock even when k is small relative to the corpus.
 
     Reuses the shared _km_assignments Lloyd run (identical contract to
     ann_kmeans_clusters, so the oracle reuses the same unrolled CTE
-    prefix); norms are precomputed per row BEFORE the pair join (never
-    per pair); the rounded cosine is compared against SEM_TAU
-    identically in both engines."""
-    a = _km_assignments(spark, sf_dir)
+    prefix), localCheckpointed ONCE: both sides of the self-join and
+    the hot-cluster probe read the materialized assignment instead of
+    re-deriving the Lloyd lineage (a self-join over an unmaterialized
+    iterative lineage computes it twice). Norms are precomputed per
+    row BEFORE the pair join (never per pair); the rounded cosine is
+    compared against SEM_TAU identically in both engines."""
+    a = _km_assignments(spark, sf_dir).localCheckpoint()
     nv = a.select(
         "vec_id",
         "v",
         "cid",
         F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias("nrm"),
     )
-    b = nv.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("cid").alias("cid_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = F.round(
-        dot_unrolled(F.col("v"), F.col("vb"), DIM)
-        / (F.col("nrm") * F.col("nrm_b")),
-        6,
-    )
-    return (
-        nv.join(
-            b,
-            (F.col("cid") == F.col("cid_b"))
-            & (F.col("vec_id") < F.col("vec_b")),
-        )
-        .select(
-            F.col("vec_id").alias("vec_a"),
-            "vec_b",
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= SEM_TAU)
-        .orderBy("vec_a", "vec_b")
-    )
+    return _semantic_pairs_from(nv)
 
 
 QUERIES = {

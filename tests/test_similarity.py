@@ -83,3 +83,43 @@ def test_kmeans_partitions_the_corpus(spark, sf_dir):
     assert {r.cluster_id for r in out} <= set(range(similarity.KM_K))
     assert sum(r.n_members for r in out) == n
     assert sum(r.sum_vec_id for r in out) == id_sum
+
+
+def test_semantic_pairs_invariant_under_salt(spark):
+    """Property: the salted within-cluster pair join returns EXACTLY
+    the unsalted join's pair set for any salt count and any hot
+    threshold — the salt may only change the shuffle layout, never
+    the result (the `_salted_band_candidates` contract, applied to
+    learned buckets). Synthetic skewed corpus: one dominant cluster
+    (the straggler the salt exists for), several small ones."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.similarity import (
+        DIM,
+        _semantic_pairs_from,
+        dot_unrolled,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(5, DIM)) * 3.0
+    rows = []
+    for i in range(90):
+        cid = 0 if i < 60 else 1 + i % 4  # 60-row hot cluster + 4 small
+        v = centers[cid] + rng.normal(size=DIM)  # tight around center →
+        rows.append((i, [float(x) for x in v], cid))  # cosines ≫ SEM_TAU
+    base = spark.createDataFrame(rows, "vec_id: long, v: array<double>, cid: int")
+    nv = base.withColumn(
+        "nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM))
+    ).localCheckpoint()
+
+    def pairs(salt, hot_threshold):
+        got = _semantic_pairs_from(
+            nv, salt=salt, hot_threshold=hot_threshold
+        ).collect()
+        return sorted((r.vec_a, r.vec_b, r.cos) for r in got)
+
+    unsalted = pairs(salt=1, hot_threshold=10**9)  # nothing hot
+    assert unsalted, "fixture must produce at least one pair"
+    for salt, hot in ((2, 0), (5, 0), (8, 30), (3, 59)):
+        assert pairs(salt, hot) == unsalted, (salt, hot)
