@@ -128,14 +128,21 @@ PYTEST_ONLY = {
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell
-    # off the driver's 50-row sweep unattested. One r8-driver-green
-    # slot rotates out to restore the exact-50 budget:
+    # off the driver's 50-row sweep unattested. Two r8-driver-green
+    # slots rotate out: one to restore the exact-50 budget, one to
+    # admit this round's new operator (maintenance_dpp_sum — runtime
+    # dynamic-partition-pruned scan, the SARG-linkage analogue):
     "q40_tpch_q4_order_priority",  # EXISTS + non-equi-predicate semi
     #                     join attested by q63 (identical-SQL
     #                     EXISTS/NOT-EXISTS through the same spark.sql
     #                     front door, stays exported) + q61's Q21
     #                     exists/not-exists semi/anti joins (stays);
     #                     its oracle still re-runs in pytest every round
+    "q47_tpch_q13_order_distribution",  # left-outer join family
+    #                     attested by q44's full-outer MERGE (the
+    #                     superset join, stays exported + benched);
+    #                     grouped count-distribution shape by q04
+    #                     (stays exported + benched)
     # ROUND-8 ROTATION: the 6 round-7 newcomers promote in one pass
     # (ann_kmeans_clusters, q65_nation_pagerank, maintenance_zorder_sum,
     # q66_constraint_suite, dedup_semantic_pairs, q67_snapshot_diff) —

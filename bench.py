@@ -70,6 +70,11 @@ HEADLINE = [
     "text_quality",
     "orc_roundtrip_sum",
     "stream_windowed_counts",
+    # ADDITIVE round-9 slot (r8 verdict #7: at most one new slot, and
+    # this is its pick): fixed-iteration PageRank — the one iterative
+    # multi-pass shape in the suite (edges materialized once, one
+    # edge⋈rank shuffle per iteration), unlike anything else benched
+    "q65_nation_pagerank",
 ]
 
 

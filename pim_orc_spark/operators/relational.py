@@ -2741,6 +2741,14 @@ def q65_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PR_ROUND,
                 ).alias("rank"),
             )
+            # materialize the node-count-sized rank state each
+            # iteration: dm and contrib BOTH reference the previous
+            # ranks, so an unmaterialized lineage fans out ~3× per
+            # iteration (the same recursion the k-means centroid
+            # update hits — see _km_assignments). Rank state is one
+            # row per node by construction, exactly what a production
+            # PageRank persists between iterations.
+            .localCheckpoint()
         )
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"

@@ -73,3 +73,41 @@ def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
     if n_inputs < target:
         return df.repartition(target)
     return df
+
+
+def executed_scan_metrics(df: DataFrame) -> list[dict]:
+    """Post-execution scan metrics, one dict per file-scan node in the
+    EXECUTED physical plan (run an action first — metrics are zero
+    until the plan executes).
+
+    This is how a test proves a runtime-pruned scan actually skipped
+    I/O rather than trusting the plan string: a dynamically-partition-
+    pruned scan reports the files/partitions it READ (``numFiles``,
+    ``numPartitions``) alongside the statically-planned total
+    (``staticFilesNum``) — read < static is the skip, measured by the
+    engine itself. Walks through AQE wrappers (AdaptiveSparkPlanExec,
+    materialized QueryStage nodes) to reach the final executed tree;
+    py4j-side traversal is bounded by plan size, never data."""
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec") or cls.endswith("QueryStage"):
+            walk(node.plan())
+            return
+        if "Scan" in node.nodeName():
+            metrics = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+            out.append(metrics)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

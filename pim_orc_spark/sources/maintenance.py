@@ -191,6 +191,95 @@ def maintenance_zorder_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned rewrite of lineitem by ship month — the layout
+    that turns a time predicate into DIRECTORY pruning (no file even
+    opened), one level coarser than the row-group skipping the
+    clustered/z-ordered rewrites buy. This is the parquet-side analogue
+    of the reference's SARG linkage (orc-parser/Makefile:37 links the
+    ORC search-argument machinery so scans can skip strides): there the
+    skip unit is a row-index stride, here it is a partition directory."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_by_month")
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.withColumn(
+                "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(tmp)
+        )
+
+    return _atomic_build(path, build)
+
+
+def month_dim_table(spark: SparkSession, sf_dir: str) -> str:
+    """Derived calendar dimension (ship_month, qtr) — the standard
+    warehouse date-dim, built once from the data (distinct months ×
+    quarter label) so pruning queries filter a ~100-row relation
+    instead of recomputing date arithmetic against the fact table."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_CACHE_ROOT, sf_tag, "month_dim")
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.select(
+                F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+                F.concat(
+                    F.year("l_shipdate"),
+                    F.lit("Q"),
+                    F.quarter("l_shipdate"),
+                ).alias("qtr"),
+            )
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    return _atomic_build(path, build)
+
+
+_DPP_QTR = "1997Q1"  # the quarter the pruning query selects
+
+
+def maintenance_dpp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME-FILTERED SEMI-JOIN PUSHDOWN (dynamic partition pruning):
+    the fact scan's partition set is decided at RUNTIME by the keys
+    surviving the dimension filter — Catalyst plants a dynamicpruning
+    subquery in the fact scan's PartitionFilters, executes the
+    broadcast dim side first, and the scan then lists only the
+    matching ship_month directories. The declarative form (semi join
+    on the partition column, selective filter on the dim) is all it
+    takes; no key collection, no driver-side IN-list building — the
+    same runtime-statistics flow the reference gets from linking ORC's
+    SARG machinery (orc-parser/Makefile:37), at directory granularity.
+
+    100 TB shape: the dim side is a ~100-row calendar relation
+    (always broadcast); the fact side reads ~3 of ~84 month
+    directories — the scan-time skip IS the plan, asserted from the
+    executed scan's own metrics in pytest (numFiles/numPartitions read
+    vs staticFilesNum planned — see plans.executed_scan_metrics), not
+    inferred from the plan string alone."""
+    fact = spark.read.parquet(partitioned_table(spark, sf_dir))
+    dim = (
+        spark.read.parquet(month_dim_table(spark, sf_dir))
+        .filter(F.col("qtr") == _DPP_QTR)
+        .select("ship_month")
+    )
+    return (
+        fact.join(F.broadcast(dim), "ship_month", "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
 def maintenance_compact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity proof of compaction: the compacted directory must hold
     exactly the source's rows (count + exact decimal sum). The
@@ -221,6 +310,7 @@ QUERIES = {
     "maintenance_compact_sum": maintenance_compact_sum,
     "maintenance_clustered_sum": maintenance_clustered_sum,
     "maintenance_zorder_sum": maintenance_zorder_sum,
+    "maintenance_dpp_sum": maintenance_dpp_sum,
 }
 
 ORACLES = {
@@ -238,5 +328,14 @@ ORACLES = {
         "SELECT COUNT(*) AS n_rows, "
         f"{exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem "
         f"WHERE l_partkey <= {_ZQ_PART_MAX} AND l_suppkey <= {_ZQ_SUPP_MAX}"
+    ),
+    # the semi join against the derived month dim is value-identical to
+    # filtering the fact's own quarter (every dim month comes FROM the
+    # fact, so membership == predicate)
+    "maintenance_dpp_sum": (
+        "SELECT COUNT(*) AS n_rows, "
+        f"{exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem "
+        f"WHERE year(l_shipdate) || 'Q' || quarter(l_shipdate)"
+        f" = '{_DPP_QTR}'"
     ),
 }

@@ -361,3 +361,25 @@ def test_zordered_rowgroups_bound_both_dimensions(spark, sf_dir):
     # 1-d sort cannot make about its non-sort key
     assert sum(pfrac) / len(pfrac) <= 0.75, pfrac
     assert sum(sfrac) / len(sfrac) <= 0.80, sfrac
+
+
+def test_dpp_scan_prunes_partitions_at_runtime(spark, sf_dir):
+    """The DPP query's fact scan must (a) carry a dynamicpruning
+    subquery in its PartitionFilters (the mechanism engaged) and
+    (b) REPORT having read strictly fewer files than the static plan
+    listed (the skip actually happened) — the engine's own executed
+    scan metrics, not plan-string inference. One quarter of ~84 month
+    directories ⇒ ≤ 3 partitions read."""
+    from pim_orc_spark.plans import executed_scan_metrics
+    from pim_orc_spark.sources import maintenance
+
+    df = maintenance.maintenance_dpp_sum(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    scans = executed_scan_metrics(df)
+    fact = [m for m in scans if "staticFilesNum" in m]
+    assert fact, f"no partitioned fact scan found in {scans}"
+    m = fact[0]
+    assert m["numPartitions"] <= 3, m
+    assert m["numFiles"] < m["staticFilesNum"], m
