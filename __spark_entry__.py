@@ -143,6 +143,13 @@ PYTEST_ONLY = {
     #                     superset join, stays exported + benched);
     #                     grouped count-distribution shape by q04
     #                     (stays exported + benched)
+    "q45_gapfill_timeseries",  # dense-grid generate (sequence/explode)
+    #                     attested by text_pack's slice/posexplode
+    #                     machinery (stays exported + benched); the
+    #                     grid left-outer join by q44's full outer
+    #                     (stays); date bucketing by q27's rollup
+    #                     cascade (stays exported) — rotated to admit
+    #                     text_pii_redact at the 50-entry budget
     # ROUND-8 ROTATION: the 6 round-7 newcomers promote in one pass
     # (ann_kmeans_clusters, q65_nation_pagerank, maintenance_zorder_sum,
     # q66_constraint_suite, dedup_semantic_pairs, q67_snapshot_diff) —

@@ -75,6 +75,60 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns — simple character-class regexes chosen to parse
+# identically under Java regex (Spark) and RE2 (DuckDB): no
+# lookarounds, no dialect-specific escapes.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{4}"
+
+
+def _pii_raw_spark() -> F.Column:
+    """Deterministic PII enrichment: every third document gets a
+    synthetic contact line appended (the fixture corpus is clean word
+    soup, so the redactor needs seeded positives to prove it fires —
+    the oracle applies the IDENTICAL enrichment, so what's compared
+    is the redaction, not the seeding)."""
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII SCRUB — the redaction pass every training-data pipeline
+    runs before packing: detect + replace emails and phone-shaped
+    tokens, report per-document counts and the redacted length (the
+    audit trail a compliance review asks for).
+
+    All-JVM Catalyst hot path: regexp_count / regexp_replace are
+    codegen'd string expressions — no Python, no shuffle; the operator
+    is map-only at any corpus size (the 100 TB cost is exactly one
+    scan). Counts are computed BEFORE replacement so the audit can't
+    disagree with the scrub."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    raw = _pii_raw_spark()
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    n_emails = F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("long")
+    n_phones = F.regexp_count(raw, F.lit(_PII_PHONE)).cast("long")
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_phones > 0).cast("int").alias("has_pii"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free language ID heuristic: argmax of stoplist hits over
     {en,de,fr,es}, fixed priority order on ties, 'und' when zero hits."""
@@ -770,6 +824,7 @@ QUERIES = {
     "text_idf": text_idf,
     "text_tfidf_topk": text_tfidf_topk,
     "text_quality": text_quality,
+    "text_pii_redact": text_pii_redact,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_hash_sample": text_hash_sample,
@@ -973,6 +1028,34 @@ ORACLES = {
         FROM s
     """,
     "text_langid": _langid_sql(),
+    # same deterministic enrichment as _pii_raw_spark, so the compared
+    # surface is the redaction; 'g' flag = Spark's replace-all default
+    "text_pii_redact": f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' contact user' || doc_id
+                           || '@example.com call 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE text END AS raw
+          FROM documents
+        ), counted AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}'))
+                      AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(raw, '{_PII_PHONE}'))
+                      AS BIGINT) AS n_phones,
+                 regexp_replace(
+                   regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+          FROM raw
+        )
+        SELECT doc_id, n_emails, n_phones,
+               CAST(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS has_pii,
+               CAST(length(redacted) AS BIGINT) AS redacted_len
+        FROM counted
+    """,
     "text_fingerprint": f"""
         WITH n AS (
           -- list_aggregate over an empty token list is NULL in DuckDB;

@@ -448,3 +448,54 @@ def test_constraint_suite_fuses_row_checks_into_one_scan(spark, sf_dir):
         if "Location" in line and "lineitem" in line
     )
     assert n_li_scans == 3, f"expected 3 lineitem scans, saw {n_li_scans}\n{plan}"
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
+    """Row-granularity runtime semi-join reduction — the companion of
+    maintenance_dpp_sum's directory-granularity pruning: for a SHUFFLE
+    join whose build side carries a selective filter, Catalyst can
+    inject might_contain(bloom_filter_agg(build keys)) onto the probe
+    side, dropping non-matching rows BEFORE the exchange. The feature
+    is on by default but gated on a 10 GB probe-side scan (it only
+    pays off at real scale), so the test lowers that gate to prove the
+    mechanism and the result-invariance; at 100 TB the default gates
+    engage on their own. Asserts (a) the bloom filter is injected,
+    (b) the reduced join returns exactly the default-path result."""
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+
+    def run():
+        q = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # decimal sum: order-independent, so plan changes can't
+            # shake the last float digit loose
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "sum_price"
+            ),
+        )
+        return q, q.collect()
+
+    baseline_q, baseline = run()
+    app_gate = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_gate, old_bcast = spark.conf.get(app_gate), spark.conf.get(bcast)
+    try:
+        spark.conf.set(app_gate, "0")  # fixture-sized probe side
+        spark.conf.set(bcast, "-1")  # bloom reduces SHUFFLE joins only
+        bloom_q, bloom = run()
+    finally:
+        spark.conf.set(app_gate, old_gate)
+        spark.conf.set(bcast, old_bcast)
+    plan = bloom_q._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan[:1500]
+    base_plan = baseline_q._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" not in base_plan  # gate honored by default
+    assert bloom == baseline
