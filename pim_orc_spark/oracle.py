@@ -104,6 +104,21 @@ def _hash_divergent_types(
                 f"{col}: spark {s_type} vs duckdb {a_type} — cast the"
                 " Spark column or the oracle so both sides agree"
             )
+        elif a_decimal and s_type in {"float", "double"}:
+            # same driver failure mode as the HUGEINT class: a Decimal
+            # arrives as a pandas object column, a double as float64 —
+            # equal values, different hash. The local float tolerance
+            # would silently absorb it; fail loudly instead.
+            bad.append(
+                f"{col}: duckdb {a_type} vs spark {s_type} — cast the"
+                " oracle column to DOUBLE (or the Spark side to"
+                " decimal) so both sides agree"
+            )
+        elif s_decimal and a_type == "double":
+            bad.append(
+                f"{col}: spark {s_type} vs duckdb double — cast one"
+                " side so both agree (driver hash is type-sensitive)"
+            )
     return bad
 
 
