@@ -150,6 +150,12 @@ PYTEST_ONLY = {
     #                     (stays); date bucketing by q27's rollup
     #                     cascade (stays exported) — rotated to admit
     #                     text_pii_redact at the 50-entry budget
+    "ann_sq_topk",  # the scalar-quantized path EXECUTES inside
+    #                     ann_recall (stays exported) and its oracle is
+    #                     re-derived verbatim as ann_recall's sq_r CTE;
+    #                     the int8 rounding/cap invariants stay
+    #                     pytest-asserted — rotated to admit
+    #                     dedup_span_report at the 50-entry budget
     # ROUND-8 ROTATION: the 6 round-7 newcomers promote in one pass
     # (ann_kmeans_clusters, q65_nation_pagerank, maintenance_zorder_sum,
     # q66_constraint_suite, dedup_semantic_pairs, q67_snapshot_diff) —

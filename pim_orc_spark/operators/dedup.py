@@ -1019,8 +1019,105 @@ def dedup_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_K = 8  # tokens per span — the dedup granularity between shingles
+#             (4-gram Jaccard features) and whole documents
+
+
+def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-LEVEL DEDUP attribution (the Lee et al. 2022
+    "Deduplicating Training Data" granularity, at token-span
+    resolution): for every document, how many of its SPAN_K-token
+    sliding windows also occur verbatim in at least one OTHER document
+    — the signal that drives span-level scrubbing where doc-level
+    dedup keeps both copies of a mostly-distinct pair that shares a
+    boilerplate paragraph.
+
+    100 TB shape: spans never shuffle as strings — each window is
+    fingerprinted map-side with the shared 31-poly rolling hash
+    (functions/hashing.py, the same fingerprint every minhash oracle
+    re-derives), so both key shuffles carry (doc_id, 8-byte fp) rows:
+    one fp-aggregate finds cross-document fingerprints, one fp
+    semi-join attributes them back, one doc_id aggregate each side.
+    Total shuffled volume is O(total tokens × 16 bytes) — the flatMap
+    floor for span-level analysis. A true suffix-array pass finds
+    variable-length maximal repeats; fixed-K windows are the bounded-
+    state approximation that keeps the plan a pure fingerprint
+    shuffle (any repeat of length ≥ K is still caught by ≥ 1 window).
+
+    The corpus is scanned and span-hashed ONCE: the (fp, doc_id)
+    pre-aggregate (map-side combined) is the only pass over generated
+    spans; cross-document detection is a count window over the
+    REDUCED relation partitioned by fp (group size = docs containing
+    the span — bounded by the corpus doc count, counts only, no join
+    back), and the final doc_id aggregate reads the same reduced
+    rows. A first draft joined a dup-fp set back against the span
+    relation — three scans + three Generates of the corpus; this form
+    was rewritten off the executed plan."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("tok")).filter(
+        F.size("tok") >= SPAN_K
+    )
+    spans = base.select(
+        "doc_id",
+        explode_nonempty(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - F.lit(SPAN_K - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("tok"), i, SPAN_K)
+                ),
+            )
+        ).alias("span"),
+    ).select("doc_id", poly_hash(F.col("span")).alias("fp"))
+    g = spans.groupBy("fp", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    gg = g.withColumn("n_docs", n_docs)
+    n_dup = F.sum(
+        F.when(F.col("n_docs") > 1, F.col("c")).otherwise(F.lit(0))
+    ).cast("long")
+    return gg.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.round(
+            n_dup.cast("double") / F.sum("c"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def _span_report_sql() -> str:
+    tok = tokens_sql("text")
+    return f"""
+        WITH t AS (SELECT doc_id, {tok} AS tok FROM documents),
+        sp0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(tok) - {SPAN_K} + 2),
+                   i -> list_aggregate(tok[i:i + {SPAN_K} - 1],
+                                       'string_agg', ' '))) AS span
+          FROM t WHERE len(tok) >= {SPAN_K}
+        ),
+        sp AS (SELECT doc_id, {poly_hash_sql('span')} AS fp FROM sp0),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id
+        ),
+        dup_fp AS (
+          SELECT fp FROM sp GROUP BY fp
+          HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        dup_per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_dup FROM sp
+          WHERE fp IN (SELECT fp FROM dup_fp) GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_spans,
+               CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+               round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / p.n_spans, 6)
+                 AS dup_ratio
+        FROM per_doc p LEFT JOIN dup_per_doc d USING (doc_id)
+    """
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_span_report": dedup_span_report,
     "dedup_overlap_matrix": dedup_overlap_matrix,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1171,3 +1268,4 @@ def _embedding_lsh_sql() -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_sql()
+ORACLES["dedup_span_report"] = _span_report_sql()
