@@ -75,3 +75,24 @@ def atomic_build(path: str, build: Callable[[str], None]) -> str:
     if os.path.exists(marker):
         return path
     raise OSError(f"atomic_build could not install {path}")
+
+
+def versioned_cache_dir(root: str, sf_dir: str, name: str) -> str:
+    """Cache path for a materialization DERIVED from ``sf_dir``, keyed
+    by the source directory's version stamp (artifacts._dir_mtime —
+    max of the dir's and every direct entry's mtime).
+
+    The driver regenerates /root/testdata between rounds, and round 3
+    proved storage details drift (the events timestamp encoding
+    changed). A marker-complete cache from the previous generation
+    would silently serve stale bytes against fresh oracles; folding
+    the stamp into the path makes a regenerated source miss the cache
+    by construction — no invalidation protocol, just a different key.
+    Old generations' directories leak until /tmp is cleared, which is
+    the standard cache-key trade."""
+    from pim_orc_spark.artifacts import _dir_mtime
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        root, f"{sf_tag}.v{int(_dir_mtime(sf_dir))}", name
+    )

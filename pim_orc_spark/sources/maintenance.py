@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from pim_orc_spark.catalog import load_table
 from pim_orc_spark.fsutil import atomic_build as _atomic_build
+from pim_orc_spark.fsutil import versioned_cache_dir as _versioned_cache_dir
 from pim_orc_spark.functions.numeric import exact_sum, exact_sum_sql
 
 _CACHE_ROOT = os.environ.get(
@@ -48,8 +49,7 @@ CLUSTER_BUCKETS = 8  # range buckets on the sort key
 def fragmented_table(spark: SparkSession, sf_dir: str) -> str:
     """A deliberately fragmented parquet copy of lineitem (the
     many-small-files ingest pathology compaction exists to fix)."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_fragmented")
+    path = _versioned_cache_dir(_CACHE_ROOT, sf_dir, "lineitem_fragmented")
 
     def build(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")
@@ -66,8 +66,7 @@ def compacted_table(spark: SparkSession, sf_dir: str) -> str:
     At 100 TB this runs per-partition-subtree with the same two lines;
     the rewrite itself is a distributed shuffle-free coalesce."""
     frag = fragmented_table(spark, sf_dir)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_compacted")
+    path = _versioned_cache_dir(_CACHE_ROOT, sf_dir, "lineitem_compacted")
 
     def build(tmp: str) -> None:
         total = sum(
@@ -87,8 +86,7 @@ def clustered_table(spark: SparkSession, sf_dir: str) -> str:
     """Range-partitioned + sorted-within-partition rewrite of lineitem
     on l_shipdate: every row group's (min, max) shipdate envelope is
     narrow, so shipdate predicates skip row groups at scan time."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_clustered")
+    path = _versioned_cache_dir(_CACHE_ROOT, sf_dir, "lineitem_clustered")
 
     def build(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")
@@ -141,8 +139,7 @@ def zordered_table(spark: SparkSession, sf_dir: str) -> str:
     integer arithmetic from a 1-row broadcast aggregate; the z-value is
     unrolled shift/mask Catalyst arithmetic (no UDF); the rewrite is a
     distributed range-partitioned sorted write, same as the 1-d path."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_zordered")
+    path = _versioned_cache_dir(_CACHE_ROOT, sf_dir, "lineitem_zordered")
 
     def build(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")
@@ -199,8 +196,7 @@ def partitioned_table(spark: SparkSession, sf_dir: str) -> str:
     of the reference's SARG linkage (orc-parser/Makefile:37 links the
     ORC search-argument machinery so scans can skip strides): there the
     skip unit is a row-index stride, here it is a partition directory."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_CACHE_ROOT, sf_tag, "lineitem_by_month")
+    path = _versioned_cache_dir(_CACHE_ROOT, sf_dir, "lineitem_by_month")
 
     def build(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")
@@ -221,8 +217,7 @@ def month_dim_table(spark: SparkSession, sf_dir: str) -> str:
     warehouse date-dim, built once from the data (distinct months ×
     quarter label) so pruning queries filter a ~100-row relation
     instead of recomputing date arithmetic against the fact table."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_CACHE_ROOT, sf_tag, "month_dim")
+    path = _versioned_cache_dir(_CACHE_ROOT, sf_dir, "month_dim")
 
     def build(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem")

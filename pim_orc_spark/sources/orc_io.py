@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_orc_spark.catalog import load_table
+from pim_orc_spark.fsutil import versioned_cache_dir
 from pim_orc_spark.functions.numeric import exact_sum, exact_sum_sql
 from pim_orc_spark.session import ensure_parity_confs
 
@@ -63,8 +64,7 @@ def orc_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ORC and read back. Idempotent per (sf_dir, table): the write happens
     only if the ORC copy is absent, so repeated queries pay footer reads
     only."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, name)
+    path = versioned_cache_dir(_ORC_CACHE_ROOT, sf_dir, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_orc(load_table(spark, sf_dir, name), path)
     return read_orc(spark, path)
@@ -125,8 +125,7 @@ def text_format_table(
     carry no type metadata, so the declared schema is what makes the
     round-trip lossless for scalar columns; timestamps are written as
     ISO-8601 with µs precision."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, f"{name}_{fmt}")
+    path = versioned_cache_dir(_ORC_CACHE_ROOT, sf_dir, f"{name}_{fmt}")
     src = load_table(spark, sf_dir, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         w = src.write.mode("overwrite")
@@ -171,8 +170,7 @@ def partitioned_table(
     into "never open the other directories at all": the scan shows it
     under PartitionFilters, with zero data or footer reads outside the
     selected partition. Idempotent per (sf_dir, table, column)."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, f"{name}_by_{part_col}")
+    path = versioned_cache_dir(_ORC_CACHE_ROOT, sf_dir, f"{name}_by_{part_col}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             load_table(spark, sf_dir, name)
@@ -207,8 +205,7 @@ def evolved_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     unions file footers into one schema and fills the missing column
     with NULLs for old files (schema evolution without rewriting a
     byte of history). Idempotent per sf_dir."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(_ORC_CACHE_ROOT, sf_tag, "lineitem_evolved")
+    path = versioned_cache_dir(_ORC_CACHE_ROOT, sf_dir, "lineitem_evolved")
     # Spark's _SUCCESS lands when the FIRST of the two write jobs
     # finishes — guarding on it would let an interrupted build (killed
     # between the writes) pass the check forever after with half the

@@ -618,9 +618,10 @@ def _split_events_dir(spark: SparkSession, sf_dir: str) -> str:
     produce."""
     from pim_orc_spark.fsutil import atomic_build
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        "/tmp/pim_orc_spark/stream", sf_tag, "events_split"
+    from pim_orc_spark.fsutil import versioned_cache_dir
+
+    path = versioned_cache_dir(
+        "/tmp/pim_orc_spark/stream", sf_dir, "events_split"
     )
 
     def build(tmp: str) -> None:

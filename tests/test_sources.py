@@ -383,3 +383,26 @@ def test_dpp_scan_prunes_partitions_at_runtime(spark, sf_dir):
     m = fact[0]
     assert m["numPartitions"] <= 3, m
     assert m["numFiles"] < m["staticFilesNum"], m
+
+
+def test_versioned_cache_dir_invalidates_on_source_change(tmp_path):
+    """A regenerated source directory (new mtimes) must produce a NEW
+    cache path — the driver rebuilds /root/testdata between rounds,
+    and a marker-complete cache keyed only by sf tag would silently
+    serve the previous generation's bytes against fresh oracles."""
+    import time
+
+    from pim_orc_spark.fsutil import versioned_cache_dir
+
+    src = tmp_path / "sf0.5"
+    src.mkdir()
+    f = src / "lineitem.parquet"
+    f.write_text("gen1")
+    root = str(tmp_path / "cache")
+    p1 = versioned_cache_dir(root, str(src), "tbl")
+    assert versioned_cache_dir(root, str(src), "tbl") == p1  # stable
+    assert "sf0.5" in p1
+    now = time.time()
+    os.utime(f, (now + 120, now + 120))  # in-place regeneration
+    p2 = versioned_cache_dir(root, str(src), "tbl")
+    assert p2 != p1
