@@ -156,6 +156,11 @@ PYTEST_ONLY = {
     #                     the int8 rounding/cap invariants stay
     #                     pytest-asserted — rotated to admit
     #                     dedup_span_report at the 50-entry budget
+    "multimodal_features",  # the family's export is now
+    #                     multimodal_ppm_decode — the same binary-column
+    #                     Arrow-batched mapInPandas plumbing PLUS a real
+    #                     P6 image codec (the checksum stand-in's strict
+    #                     superset); the checksum oracle stays in pytest
     # ROUND-8 ROTATION: the 6 round-7 newcomers promote in one pass
     # (ann_kmeans_clusters, q65_nation_pagerank, maintenance_zorder_sum,
     # q66_constraint_suite, dedup_semantic_pairs, q67_snapshot_diff) —

@@ -44,3 +44,43 @@ def test_vectorized_checksum_matches_scalar_reference():
     for p in payloads:
         codes = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
         assert multimodal._checksum_np(codes, pows) == multimodal.fake_decode(p)[1]
+
+
+def test_ppm_codec_roundtrip_and_validation():
+    """The P6 codec is REAL: encode→decode round-trips pixels exactly
+    (including a header comment, which the grammar must skip), and
+    every corruption class fails loudly — bad magic, malformed
+    header, unsupported maxval, truncated pixel plane."""
+    import numpy as np
+    import pytest as pt
+
+    from pim_orc_spark.operators.multimodal import (
+        _ppm_dims,
+        _ppm_pixels,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    for doc_id in (0, 7, 123):
+        w, h = _ppm_dims(doc_id)
+        img = _ppm_pixels(doc_id, w, h)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    img = _ppm_pixels(5, *_ppm_dims(5))
+    payload = encode_ppm(img)
+    # header comments are part of the netpbm grammar
+    w, h = _ppm_dims(5)
+    commented = (
+        f"P6\n# synthetic fixture\n{w} {h}\n255\n".encode()
+        + img.tobytes()
+    )
+    assert np.array_equal(decode_ppm(commented), img)
+
+    with pt.raises(ValueError, match="magic"):
+        decode_ppm(b"P5" + payload[2:])
+    with pt.raises(ValueError, match="malformed|header"):
+        decode_ppm(b"P6\nxx yy\n255\n" + img.tobytes())
+    with pt.raises(ValueError, match="maxval"):
+        decode_ppm(encode_ppm(img).replace(b"\n255\n", b"\n65535\n", 1))
+    with pt.raises(ValueError, match="truncated"):
+        decode_ppm(payload[:-5])
