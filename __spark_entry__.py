@@ -125,6 +125,12 @@ def _modules():
 #                           DSv2) + the PushedAggregation plan
 #                           assertion in tests/test_plans.py (ORC DSv2)
 PYTEST_ONLY = {
+    # ROUND-10 ATTESTATION QUEUE: born this round with the budget
+    # already full; promote in the r10 rotation (oracle-checked in
+    # pytest every round until then):
+    "multimodal_wav_decode",  # real RIFF/WAVE codec, the audio twin of
+    #                     exported multimodal_ppm_decode (same Arrow
+    #                     mapInPandas encode→decode→features pipeline)
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell

@@ -442,8 +442,154 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_decode_ppm_batch, PPM_FEATURE_SCHEMA)
 
 
+# Audio analogue of the PPM path: RIFF/WAVE PCM, the uncompressed
+# audio container every toolchain reads, codec = stdlib + numpy.
+
+WAV_RATE = 8000  # Hz, fixture-sized
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return 64 + doc_id % 17
+
+
+def _wav_samples(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic int16 PCM: a closed-form integer function of
+    (doc_id, i) so the oracle recomputes decoded statistics in SQL."""
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 31 + i * 7) % 65536) - 32768).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """Serialize mono int16 PCM as a canonical RIFF/WAVE file."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,  # PCM fmt chunk size
+        1,  # audio format: PCM
+        1,  # channels
+        rate,
+        rate * 2,  # byte rate (16-bit mono)
+        2,  # block align
+        16,  # bits per sample
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode: parse a RIFF/WAVE container into
+    (sample_rate, int16 sample array). Walks the chunk list (so
+    extra chunks like LIST/INFO are tolerated, per the RIFF grammar),
+    validates magic, PCM format, 16-bit mono, and data-chunk length;
+    raises loudly on every corruption class."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file (bad magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported encoding (fmt={audio_fmt}, ch={channels}, "
+            f"bits={bits}); PCM 16-bit mono only"
+        )
+    if len(data) % 2:
+        raise ValueError("odd data-chunk length for 16-bit samples")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("max_amp", LongType()),
+    ]
+)
+
+
+def _encode_wav_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        payloads = [
+            encode_wav(_wav_samples(int(d), _wav_n_samples(int(d))))
+            for d in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _decode_wav_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, rates, ns, sums, maxes = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = decode_wav(bytes(payload))
+            s = samples.astype(np.int64)
+            ids.append(int(doc_id))
+            rates.append(rate)
+            ns.append(len(s))
+            sums.append(int(s.sum()))
+            maxes.append(int(np.abs(s).max()) if len(s) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sample_rate": pd.Series(rates, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "sum_amp": pd.Series(sums, dtype="int64"),
+                "max_amp": pd.Series(maxes, dtype="int64"),
+            }
+        )
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-CODEC audio pipeline — the WAV twin of
+    multimodal_ppm_decode: deterministic int16 PCM waveforms are
+    serialized through a real RIFF/WAVE encoder, decoded by a real
+    chunk-walking parser, and reduced to exact integer statistics;
+    the oracle recomputes every statistic from the closed-form sample
+    function without parsing a byte. Same map-only Arrow-batched
+    plan as the image path."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        _encode_wav_batch,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(_decode_wav_batch, WAV_FEATURE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
@@ -475,6 +621,24 @@ ORACLES = {
                CAST(SUM((2 * doc_id + x * y) % 256) AS BIGINT) AS sum_g,
                CAST(SUM((doc_id + x + 7 * y) % 251) AS BIGINT) AS sum_b
         FROM vals GROUP BY doc_id, w, h
+    """,
+    # sample values are closed-form: ((doc_id*31 + i*7) % 65536) - 32768
+    "multimodal_wav_decode": f"""
+        WITH dims AS (
+          SELECT doc_id, 64 + doc_id % 17 AS n FROM documents
+        ), sm AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims
+        ), vals AS (
+          SELECT doc_id, n,
+                 ((doc_id * 31 + i * 7) % 65536) - 32768 AS amp
+          FROM sm
+        )
+        SELECT doc_id,
+               CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(amp) AS BIGINT) AS sum_amp,
+               CAST(MAX(abs(amp)) AS BIGINT) AS max_amp
+        FROM vals GROUP BY doc_id, n
     """,
     "multimodal_integrity_audit": """
         SELECT source AS origin,

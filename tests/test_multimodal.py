@@ -84,3 +84,44 @@ def test_ppm_codec_roundtrip_and_validation():
         decode_ppm(encode_ppm(img).replace(b"\n255\n", b"\n65535\n", 1))
     with pt.raises(ValueError, match="truncated"):
         decode_ppm(payload[:-5])
+
+
+def test_wav_codec_roundtrip_and_validation():
+    """RIFF/WAVE codec: round-trip exactness (including an extra LIST
+    chunk, which the chunk walker must skip per the RIFF grammar) and
+    loud failures on bad magic, non-PCM format, truncated data."""
+    import struct
+
+    import numpy as np
+    import pytest as pt
+
+    from pim_orc_spark.operators.multimodal import (
+        WAV_RATE,
+        _wav_n_samples,
+        _wav_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    for doc_id in (0, 3, 99):
+        s = _wav_samples(doc_id, _wav_n_samples(doc_id))
+        rate, back = decode_wav(encode_wav(s))
+        assert rate == WAV_RATE and np.array_equal(back, s)
+
+    s = _wav_samples(11, 70)
+    payload = encode_wav(s)
+    # splice an odd-sized LIST chunk between fmt and data (word-aligned
+    # with a pad byte, per RIFF) — the decoder must skip it
+    head, data_chunk = payload[:36], payload[36:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    rate, back = decode_wav(head + extra + data_chunk)
+    assert np.array_equal(back, s)
+
+    with pt.raises(ValueError, match="magic"):
+        decode_wav(b"RIFX" + payload[4:])
+    with pt.raises(ValueError, match="unsupported"):
+        bad = bytearray(payload)
+        bad[20] = 3  # audio format: IEEE float
+        decode_wav(bytes(bad))
+    with pt.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-3])
