@@ -131,6 +131,10 @@ PYTEST_ONLY = {
     "multimodal_wav_decode",  # real RIFF/WAVE codec, the audio twin of
     #                     exported multimodal_ppm_decode (same Arrow
     #                     mapInPandas encode→decode→features pipeline)
+    "text_url_filter",  # C4-style domain blocklist gate; the regex
+    #                     surface is attested by exported
+    #                     text_pii_redact, the broadcast-relation gate
+    #                     by pipeline_pack's per-source budgets
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell

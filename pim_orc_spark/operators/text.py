@@ -129,6 +129,66 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_RE = r"https?://([A-Za-z0-9.-]+)"
+# C4-style blocklist: at production scale this is a multi-million-row
+# relation (hence the JOIN below, not an IN-list literal)
+_URL_BLOCKLIST = tuple(
+    f"site{k}.example{j}.com" for k in (1, 4) for j in (0, 1, 2)
+)
+
+
+def _url_raw_spark() -> F.Column:
+    """Deterministic URL enrichment (the fixture corpus has no URLs):
+    every fourth document gets a synthetic link whose domain varies
+    with doc_id — the oracle applies the identical enrichment."""
+    return F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/page"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/DOMAIN BLOCKLIST FILTER — the C4-style provenance gate:
+    extract each document's source domain, mark documents whose domain
+    appears in a blocklist relation, report the per-source funnel
+    (docs, with-URL, blocked, kept).
+
+    100 TB shape: the domain extraction is one codegen'd
+    regexp_extract (map-only); the blocklist check is a BROADCAST
+    LEFT join against the blocklist RELATION — at production scale a
+    blocklist is millions of domains maintained as a table, so the
+    mechanism must be a join, not an inlined IN-list; Spark streams
+    the corpus past the broadcast hash table with no shuffle of the
+    documents. The final per-source aggregate is map-side combined."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    dom = F.regexp_extract(_url_raw_spark(), _URL_RE, 1)
+    docs = d.select("doc_id", "source", dom.alias("domain"))
+    bl = spark.createDataFrame(
+        [(b,) for b in _URL_BLOCKLIST], "bad: string"
+    )
+    j = docs.join(
+        F.broadcast(bl), docs.domain == bl.bad, "left"
+    ).select(
+        "source",
+        (F.col("domain") != "").cast("int").alias("has_url"),
+        F.col("bad").isNotNull().cast("int").alias("blocked"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_url").cast("long").alias("n_with_url"),
+        F.sum("blocked").cast("long").alias("n_blocked"),
+        (F.count(F.lit(1)) - F.sum("blocked")).cast("long").alias("n_kept"),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free language ID heuristic: argmax of stoplist hits over
     {en,de,fr,es}, fixed priority order on ties, 'und' when zero hits."""
@@ -825,6 +885,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_quality": text_quality,
     "text_pii_redact": text_pii_redact,
+    "text_url_filter": text_url_filter,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_hash_sample": text_hash_sample,
@@ -1028,6 +1089,39 @@ ORACLES = {
         FROM s
     """,
     "text_langid": _langid_sql(),
+    # same enrichment as _url_raw_spark; blocklist as a VALUES relation
+    "text_url_filter": f"""
+        WITH raw AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN text || ' see https://site' || (doc_id % 7)
+                           || '.example' || (doc_id % 3)
+                           || '.com/page' || doc_id
+                      ELSE text END AS t
+          FROM documents
+        ), d AS (
+          SELECT doc_id, source,
+                 regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1)
+                   AS domain
+          FROM raw
+        ), bl AS (
+          SELECT * FROM (VALUES
+            {", ".join(f"('{b}')" for b in _URL_BLOCKLIST)}
+          ) b(bad)
+        ), j AS (
+          SELECT d.source,
+                 CASE WHEN d.domain <> '' THEN 1 ELSE 0 END AS has_url,
+                 CASE WHEN bl.bad IS NOT NULL THEN 1 ELSE 0 END
+                   AS blocked
+          FROM d LEFT JOIN bl ON d.domain = bl.bad
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(has_url) AS BIGINT) AS n_with_url,
+               CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+               CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_kept
+        FROM j GROUP BY source
+    """,
     # same deterministic enrichment as _pii_raw_spark, so the compared
     # surface is the redaction; 'g' flag = Spark's replace-all default
     "text_pii_redact": f"""

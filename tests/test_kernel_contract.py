@@ -295,3 +295,123 @@ def test_public_kernel_input_guards(spark):
     out = sessionize(flagged, "k", "t", 60)
     assert [r["session_idx"] for r in out.collect()] == [1]
     assert "__sess_flag" in out.columns  # caller's column survives
+
+
+def test_span_report_matches_pure_python_reference(spark):
+    """Property: dedup_span_report's single-pass windowed-aggregate
+    plan equals a brute-force pure-Python span counter on random
+    corpora with seeded cross-document repeats — the corners the
+    fixture never hits (docs shorter than SPAN_K, single-doc repeats
+    that must NOT count, a span shared by 3+ docs counted once per
+    position)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.operators.dedup import SPAN_K, dedup_span_report
+
+    word = st.sampled_from(["a", "bb", "ccc", "dog", "cat", "run"])
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(word, min_size=0, max_size=SPAN_K * 3),
+            min_size=1,
+            max_size=8,
+        ),
+        dup_seed=st.integers(min_value=0, max_value=2),
+    )
+    def check(docs, dup_seed):
+        # seed one guaranteed cross-doc repeat when ≥2 docs qualify
+        if len(docs) >= 2 and dup_seed:
+            shared = ["dog", "cat"] * ((SPAN_K + 1) // 2)
+            docs = list(docs)
+            docs[0] = docs[0] + shared
+            docs[1] = shared + docs[1]
+        rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+        # pure-Python reference over the SAME tokenization
+        spans = {}  # (doc, span) positions
+        for i, words in enumerate(docs):
+            for j in range(len(words) - SPAN_K + 1):
+                spans.setdefault(
+                    " ".join(words[j : j + SPAN_K]), []
+                ).append(i)
+        expect = {}
+        for span, occ in spans.items():
+            cross = len(set(occ)) > 1
+            for i in occ:
+                n_sp, n_dup = expect.get(i, (0, 0))
+                expect[i] = (n_sp + 1, n_dup + (1 if cross else 0))
+
+        # monkeypatch-free: run the real operator over a temp view by
+        # writing a tiny parquet "documents" table
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "doc_id: long, text: string"
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            got = {
+                r.doc_id: (r.n_spans, r.n_dup_spans)
+                for r in dedup_span_report(spark, td).collect()
+            }
+        assert got == {k: v for k, v in expect.items()}, (got, expect)
+
+    check()
+
+
+def test_pii_patterns_match_python_re_on_adversarial_strings(spark):
+    """The PII regexes must behave identically under Java regex
+    (Spark), RE2 (DuckDB — exercised via the oracle sweep), and
+    Python re (this reference): counts and replacement output are
+    compared on adversarial strings — adjacent emails, emails at
+    string boundaries, dots/dashes hugging the pattern edges, phone
+    shapes inside longer digit runs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.text import _PII_EMAIL, _PII_PHONE
+
+    cases = [
+        "",
+        "plain words only",
+        "a@b.co",
+        "x a@b.co y",
+        "a@b.co c@d.org",  # adjacent, space-separated
+        "end with a@b.co",
+        "a@b.co starts it",
+        "dots.around@ex.com.",  # trailing period joins the TLD run
+        "u+tag@sub.ex-site.org",
+        "not-an-email@nope",  # no TLD — must NOT match
+        "555-1234",
+        "x 555-1234 y 555-9999",
+        "12555-12345",  # digits hugging both edges — Java/RE2 have no
+        #                 boundary assertions here, both match inside
+        "call 555-123",  # too short — no match
+        "a@b.co 555-1234 mixed",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i: long, s: string")
+    got = {
+        r.i: (r.ne, r.np, r.red)
+        for r in df.select(
+            "i",
+            F.regexp_count("s", F.lit(_PII_EMAIL)).alias("ne"),
+            F.regexp_count("s", F.lit(_PII_PHONE)).alias("np"),
+            F.regexp_replace(
+                F.regexp_replace("s", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ).alias("red"),
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        ne = len(re.findall(_PII_EMAIL, s))
+        np_ = len(re.findall(_PII_PHONE, s))
+        red = re.sub(_PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", s))
+        assert got[i] == (ne, np_, red), (s, got[i], (ne, np_, red))
