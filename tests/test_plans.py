@@ -499,3 +499,51 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
     base_plan = baseline_q._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" not in base_plan  # gate honored by default
     assert bloom == baseline
+
+
+def test_round9_operators_have_the_claimed_plan_shapes(spark, sf_dir):
+    """Machine-check each round-9 docstring's plan claim:
+    - text_pii_redact: map-only — zero exchanges, zero joins, no
+      Python (pure Catalyst regex expressions);
+    - text_url_filter: the documents side never shuffles — the only
+      exchange is the final per-source aggregate's, the blocklist
+      arrives as a BroadcastHashJoin;
+    - dedup_span_report: the single-pass claim — NO join anywhere
+      (cross-doc detection is a window over the reduced relation);
+    - multimodal_ppm_decode / _wav_decode: map-only — zero exchanges,
+      both mapInPandas kernels fused into one Python-evaluated chain.
+    """
+    import re
+
+    from pim_orc_spark.operators.dedup import dedup_span_report
+    from pim_orc_spark.operators.multimodal import (
+        multimodal_ppm_decode,
+        multimodal_wav_decode,
+    )
+    from pim_orc_spark.operators.text import text_pii_redact, text_url_filter
+
+    def shape(df):
+        df.collect()
+        s = df._jdf.queryExecution().executedPlan().toString()
+        s = s.split("== Initial Plan ==")[0]  # AQE echoes the pre-plan
+        return {
+            "exchanges": len(re.findall(r"Exchange (hash|range|Single)", s)),
+            "joins": len(re.findall(r"Join", s)),
+            "python": len(re.findall(r"(ArrowEvalPython|MapInPandas|BatchEvalPython)", s)),
+            "plan": s,
+        }
+
+    p = shape(text_pii_redact(spark, sf_dir))
+    assert p["exchanges"] == 0 and p["joins"] == 0 and p["python"] == 0, p["plan"][:1500]
+
+    u = shape(text_url_filter(spark, sf_dir))
+    assert u["exchanges"] == 1, u["plan"][:1500]  # only the final agg
+    assert "BroadcastHashJoin" in u["plan"], u["plan"][:1500]
+
+    sp = shape(dedup_span_report(spark, sf_dir))
+    assert sp["joins"] == 0, sp["plan"][:1500]
+
+    for fn in (multimodal_ppm_decode, multimodal_wav_decode):
+        m = shape(fn(spark, sf_dir))
+        assert m["exchanges"] == 0 and m["joins"] == 0, m["plan"][:1500]
+        assert m["python"] >= 1, m["plan"][:1500]
