@@ -135,6 +135,10 @@ PYTEST_ONLY = {
     #                     surface is attested by exported
     #                     text_pii_redact, the broadcast-relation gate
     #                     by pipeline_pack's per-source budgets
+    "pipeline_split",  # hash-gated train/val/test assignment over the
+    #                     curated survivors; the funnel CTE chain is
+    #                     attested by exported pipeline_pack, the
+    #                     portable-hash gate by the minhash oracles
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell

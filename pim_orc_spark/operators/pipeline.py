@@ -145,9 +145,52 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = the remaining 10%
+
+
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate → SPLIT: leakage-proof train/val/test assignment of the
+    curated survivor set — the last step before packing in a real
+    training-data run (split AFTER dedup, so near-duplicate pairs can
+    never straddle train and eval).
+
+    Assignment is gated on the portable content hash (poly_hash of a
+    salted doc-id rendering, mod 100 — the ``text_hash_sample``
+    contract): the SAME document lands in the SAME split across
+    engines, partitionings, reruns, and corpus growth, with no
+    coordination and no stored assignment table. The salt prefix
+    decorrelates the split buckets from the sampling gate's so the
+    10% sample is not nested inside val. Map-only over the funnel's
+    checkpointed survivors + one per-(source, split) aggregate."""
+    _, _, _, final = _funnel(spark, sf_dir)
+    from pim_orc_spark.functions.hashing import poly_hash
+
+    bucket = (
+        poly_hash(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        final.select("source", split.alias("split"), "n_tok")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pack": pipeline_pack,
+    "pipeline_split": pipeline_split,
 }
 
 
@@ -242,7 +285,29 @@ def _pack_sql() -> str:
     """
 
 
+def _split_sql() -> str:
+    from pim_orc_spark.functions.hashing import poly_hash_sql
+
+    h = poly_hash_sql("('split:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH {_funnel_ctes()},
+        assigned AS (
+          SELECT source, n_tok,
+                 CASE WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                      WHEN ({h}) % 100
+                           < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM final
+        )
+        SELECT source, split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM assigned GROUP BY source, split
+    """
+
+
 ORACLES = {
     "pipeline_curate": _curate_sql(),
     "pipeline_pack": _pack_sql(),
+    "pipeline_split": _split_sql(),
 }
