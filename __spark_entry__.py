@@ -139,6 +139,10 @@ PYTEST_ONLY = {
     #                     curated survivors; the funnel CTE chain is
     #                     attested by exported pipeline_pack, the
     #                     portable-hash gate by the minhash oracles
+    "q69_trade_reach",  # level-synchronous BFS vs a WITH RECURSIVE
+    #                     oracle; the iterative edge⋈frontier shape is
+    #                     attested by exported q65_nation_pagerank
+    #                     (same materialized-edges-per-level plan)
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell

@@ -3045,8 +3045,115 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 """
 
 
+BFS_MAX_HOPS = 4  # fixed traversal depth => deterministic plan AND a
+#                   bounded recursive-CTE oracle
+BFS_SOURCE = 0  # start nation
+
+
+def q69_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE / HIERARCHICAL QUERY surface — BFS reachability with
+    minimum hop counts over the directed nation trade graph (customer
+    nation → supplier nation), the query class SQL expresses as WITH
+    RECURSIVE (org charts, bill-of-materials explosions, transitive
+    closure) and the one family TPC-H never exercises. Spark has no
+    recursive CTE, so the traversal is the level-synchronous BFS every
+    distributed graph engine runs: per level, ONE edges⋈frontier
+    shuffle produces candidate nodes, a LEFT ANTI against the visited
+    set keeps only first-time discoveries (level order ⇒ the first
+    level that reaches a node IS its minimum hop count), and the
+    visited relation localCheckpoints (it is the iteration state, one
+    row per reached node — metadata-sized relative to the edge set).
+
+    100 TB shape: the edge relation is materialized ONCE from the
+    4-table join (same discipline as q65's PageRank) and each level
+    pays one edge⋈frontier key shuffle — the BSP floor for BFS. Depth
+    is fixed at BFS_MAX_HOPS so the oracle's recursion is bounded;
+    an empty frontier makes remaining levels no-ops, not errors.
+
+    Oracle: DuckDB's native WITH RECURSIVE computes min-hops over the
+    identical edge CTE — the cross-engine check that the iterative
+    DataFrame plan implements exactly the declarative recursion."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], "node: long, hops: int"
+    )
+    frontier = visited.select("node")
+    for depth in range(1, BFS_MAX_HOPS + 1):
+        discovered = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+        )
+        visited = visited.unionByName(discovered).localCheckpoint()
+        frontier = discovered.select("node")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        visited.join(
+            F.broadcast(nation), visited.node == nation.n_nationkey
+        )
+        .select(
+            F.col("node").alias("nationkey"),
+            "n_name",
+            F.col("hops").cast("long").alias("hops"),
+        )
+        .orderBy("hops", "nationkey")
+    )
+
+
+_Q69_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+bfs(node, hops) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, bfs.hops + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.hops < {BFS_MAX_HOPS}
+),
+dist AS (
+  SELECT node, MIN(hops) AS hops FROM bfs GROUP BY node
+)
+SELECT d.node AS nationkey, n.n_name,
+       CAST(d.hops AS BIGINT) AS hops
+FROM dist d JOIN nation n ON n.n_nationkey = d.node
+ORDER BY hops, nationkey
+"""
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
+    "q69_trade_reach": q69_trade_reach,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -3118,6 +3225,7 @@ QUERIES = {
 
 ORACLES = {
     "q68_scd2_history": _Q68_SQL,
+    "q69_trade_reach": _Q69_SQL,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,
