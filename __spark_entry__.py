@@ -146,10 +146,11 @@ PYTEST_ONLY = {
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell
-    # off the driver's 50-row sweep unattested. Two r8-driver-green
-    # slots rotate out: one to restore the exact-50 budget, one to
-    # admit this round's new operator (maintenance_dpp_sum — runtime
-    # dynamic-partition-pruned scan, the SARG-linkage analogue):
+    # off the driver's 50-row sweep unattested. FIVE r8-driver-green
+    # slots rotate out: one restores the exact-50 budget, four admit
+    # this round's exported newcomers (maintenance_dpp_sum — runtime
+    # dynamic partition pruning, the SARG-linkage analogue;
+    # text_pii_redact; dedup_span_report; multimodal_ppm_decode):
     "q40_tpch_q4_order_priority",  # EXISTS + non-equi-predicate semi
     #                     join attested by q63 (identical-SQL
     #                     EXISTS/NOT-EXISTS through the same spark.sql
