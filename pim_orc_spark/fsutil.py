@@ -96,3 +96,56 @@ def versioned_cache_dir(root: str, sf_dir: str, name: str) -> str:
     return os.path.join(
         root, f"{sf_tag}.v{int(_dir_mtime(sf_dir))}", name
     )
+
+
+def vacuum_cache_root(root: str, current_sf_dirs: list[str]) -> dict:
+    """VACUUM for the version-stamped cache tree: remove every
+    generation directory under ``root`` whose stamp is not the CURRENT
+    stamp of any directory in ``current_sf_dirs`` — the retention job
+    (Delta/Iceberg VACUUM) that pairs with versioned_cache_dir's
+    leak-by-design keying.
+
+    Safety: only entries matching the ``<tag>.v<stamp>`` shape are
+    candidates (a foreign directory in the root is never touched), the
+    live generation of each source is kept by construction, and
+    removal reuses the atomic steal-rename (rename aside, then rmtree)
+    so a concurrent builder that just installed a marker can never
+    have a half-removed directory observed at the original path.
+
+    Returns {"kept": [...], "removed": [...], "reclaimed_bytes": n}.
+    """
+    keep = {
+        os.path.basename(
+            os.path.dirname(versioned_cache_dir(root, sf_dir, "x"))
+        )
+        for sf_dir in current_sf_dirs
+    }
+    report = {"kept": [], "removed": [], "reclaimed_bytes": 0}
+    if not os.path.isdir(root):
+        return report
+    for entry in sorted(os.listdir(root)):
+        path = os.path.join(root, entry)
+        if not os.path.isdir(path):
+            continue
+        tag, sep, stamp = entry.rpartition(".v")
+        if not sep or not tag or not stamp.isdigit():
+            continue  # not a versioned generation — never touch
+        if entry in keep:
+            report["kept"].append(entry)
+            continue
+        size = 0
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for fn in filenames:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+        dead = f"{path}.dead.{os.getpid()}.{uuid.uuid4().hex}"
+        try:
+            os.rename(path, dead)
+        except OSError:
+            continue  # raced with a rebuild — skip this generation
+        shutil.rmtree(dead, ignore_errors=True)
+        report["removed"].append(entry)
+        report["reclaimed_bytes"] += size
+    return report

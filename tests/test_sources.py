@@ -406,3 +406,35 @@ def test_versioned_cache_dir_invalidates_on_source_change(tmp_path):
     os.utime(f, (now + 120, now + 120))  # in-place regeneration
     p2 = versioned_cache_dir(root, str(src), "tbl")
     assert p2 != p1
+
+
+def test_vacuum_removes_only_stale_generations(tmp_path):
+    """VACUUM keeps the live generation of every current source,
+    removes stale version-stamped generations, and never touches
+    directories that don't match the <tag>.v<stamp> shape."""
+    import os as _os
+
+    from pim_orc_spark.fsutil import vacuum_cache_root, versioned_cache_dir
+
+    src = tmp_path / "sf9"
+    src.mkdir()
+    (src / "t.parquet").write_text("data")
+    root = str(tmp_path / "cache")
+
+    live = versioned_cache_dir(root, str(src), "tbl")
+    _os.makedirs(live)
+    open(_os.path.join(live, "part-0"), "w").write("x" * 100)
+    stale = _os.path.join(root, "sf9.v12345", "tbl")
+    _os.makedirs(stale)
+    open(_os.path.join(stale, "part-0"), "w").write("y" * 50)
+    foreign = _os.path.join(root, "not-a-generation")
+    _os.makedirs(foreign)
+
+    report = vacuum_cache_root(root, [str(src)])
+    assert report["removed"] == ["sf9.v12345"]
+    assert _os.path.exists(live)
+    assert not _os.path.exists(_os.path.dirname(stale))
+    assert _os.path.exists(foreign)
+    assert report["reclaimed_bytes"] >= 50
+    live_gen = _os.path.basename(_os.path.dirname(live))
+    assert report["kept"] == [live_gen]
