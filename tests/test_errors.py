@@ -154,3 +154,29 @@ def test_missing_column_is_null_not_error(spark, sf_dir):
         .collect()
     )
     assert rows and all(r["r_new_col"] is None for r in rows)
+
+
+def test_round9_text_operators_handle_empty_corpus(spark, tmp_path):
+    """An empty documents table must yield empty results, not crashes
+    — the zero-input corner every scheduled pipeline job eventually
+    hits (a partition with no new data). Covers the round-9 map-only
+    operators and the span report's windowed-aggregate plan."""
+    import os
+
+    from pim_orc_spark.operators.dedup import dedup_span_report
+    from pim_orc_spark.operators.text import (
+        text_pii_redact,
+        text_url_filter,
+    )
+
+    sf = str(tmp_path)
+    (
+        spark.createDataFrame(
+            [],
+            "doc_id: long, text: string, lang: string, "
+            "source: string, n_chars: long",
+        ).write.parquet(os.path.join(sf, "documents.parquet"))
+    )
+    assert text_pii_redact(spark, sf).count() == 0
+    assert text_url_filter(spark, sf).count() == 0
+    assert dedup_span_report(spark, sf).count() == 0
