@@ -143,6 +143,10 @@ PYTEST_ONLY = {
     #                     oracle; the iterative edge⋈frontier shape is
     #                     attested by exported q65_nation_pagerank
     #                     (same materialized-edges-per-level plan)
+    "q70_window_distribution",  # percent_rank/cume_dist/ntile on one
+    #                     window spec; the Sort+Window plan family is
+    #                     attested by exported q68's lag/lead windows
+    #                     (same single-shuffle shape)
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell

@@ -3151,9 +3151,43 @@ ORDER BY hops, nationkey
 """
 
 
+def q70_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION window functions — percent_rank, cume_dist, and
+    ntile over one window spec: the relative-standing analytics
+    (account-balance percentile within nation) that close the §2.5
+    window family alongside ranking (q12/q31), offset (q30/q68), and
+    running frames (q13/text_pack). The ORDER BY carries c_custkey as
+    a tiebreak so equal balances rank deterministically in BOTH
+    engines; all three functions then ride the SAME sort — one
+    nationkey shuffle, one sort, three window columns, no second
+    exchange."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_Q70_SQL = """
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q69_trade_reach": q69_trade_reach,
+    "q70_window_distribution": q70_window_distribution,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -3226,6 +3260,7 @@ QUERIES = {
 ORACLES = {
     "q68_scd2_history": _Q68_SQL,
     "q69_trade_reach": _Q69_SQL,
+    "q70_window_distribution": _Q70_SQL,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,
