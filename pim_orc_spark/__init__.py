@@ -27,6 +27,7 @@ def __getattr__(name: str):
     - ``sessionize(df, key, ts, gap_seconds, order_cols=())``
     - ``salted_join(large, small, key, n_salts=8)``
     - ``minhash_pairs(spark, docs)`` — near-duplicate pairs, J ≥ 0.8
+    - ``bfs_min_hops(spark, edges, source, max_hops)`` — min hop counts
     """
     kernels = {
         "asof_join": ("pim_orc_spark.operators.relational", "asof_join"),
@@ -36,6 +37,10 @@ def __getattr__(name: str):
             "salted_join",
         ),
         "minhash_pairs": ("pim_orc_spark.operators.dedup", "minhash_pairs"),
+        "bfs_min_hops": (
+            "pim_orc_spark.operators.relational",
+            "bfs_min_hops",
+        ),
     }
     if name in kernels:
         import importlib
@@ -52,5 +57,6 @@ __all__ = [
     "sessionize",
     "salted_join",
     "minhash_pairs",
+    "bfs_min_hops",
 ]
 __version__ = "0.1.0"

@@ -3050,6 +3050,44 @@ BFS_MAX_HOPS = 4  # fixed traversal depth => deterministic plan AND a
 BFS_SOURCE = 0  # start nation
 
 
+def bfs_min_hops(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    max_hops: int,
+) -> DataFrame:
+    """Level-synchronous BFS kernel: minimum hop counts from
+    ``source`` over directed ``edges`` (columns ``src``, ``dst``),
+    bounded at ``max_hops`` levels → (node, hops) for every node
+    reached. Per level: one edges⋈frontier key shuffle, a distinct on
+    discoveries, a LEFT ANTI against the visited relation (level order
+    ⇒ first discovery IS the minimum hop count), and a localCheckpoint
+    of the visited state (the per-level iteration state — one row per
+    reached node). Cycles and self-loops terminate naturally (their
+    rediscoveries anti-join away); an empty frontier makes remaining
+    levels no-ops.
+
+    The LAZINESS CONTRACT matches `_salted_band_candidates`: per-level
+    localCheckpoints are EAGER actions at plan-build time, so hand in
+    a materialized (checkpointed/cached) edge relation — an expensive
+    unmaterialized lineage would re-run once per level."""
+    visited = spark.createDataFrame(
+        [(source, 0)], "node: long, hops: int"
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_hops + 1):
+        discovered = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+        )
+        visited = visited.unionByName(discovered).localCheckpoint()
+        frontier = discovered.select("node")
+    return visited
+
+
 def q69_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE / HIERARCHICAL QUERY surface — BFS reachability with
     minimum hop counts over the directed nation trade graph (customer
@@ -3072,7 +3110,10 @@ def q69_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB's native WITH RECURSIVE computes min-hops over the
     identical edge CTE — the cross-engine check that the iterative
-    DataFrame plan implements exactly the declarative recursion."""
+    DataFrame plan implements exactly the declarative recursion. The
+    traversal itself is the public ``bfs_min_hops`` kernel
+    (property-tested on random graphs: cycles, self-loops,
+    unreachable nodes)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -3096,20 +3137,7 @@ def q69_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    visited = spark.createDataFrame(
-        [(BFS_SOURCE, 0)], "node: long, hops: int"
-    )
-    frontier = visited.select("node")
-    for depth in range(1, BFS_MAX_HOPS + 1):
-        discovered = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .withColumn("hops", F.lit(depth))
-        )
-        visited = visited.unionByName(discovered).localCheckpoint()
-        frontier = discovered.select("node")
+    visited = bfs_min_hops(spark, edges, BFS_SOURCE, BFS_MAX_HOPS)
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )

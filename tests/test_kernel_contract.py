@@ -415,3 +415,59 @@ def test_pii_patterns_match_python_re_on_adversarial_strings(spark):
         np_ = len(re.findall(_PII_PHONE, s))
         red = re.sub(_PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", s))
         assert got[i] == (ne, np_, red), (s, got[i], (ne, np_, red))
+
+
+def test_bfs_min_hops_matches_pure_python_reference(spark):
+    """Property: the level-synchronous BFS kernel equals a pure-Python
+    BFS on random directed graphs — cycles, self-loops, duplicate
+    edges, unreachable nodes, and depths beyond max_hops (nodes whose
+    shortest path exceeds the bound must be ABSENT, not misranked)."""
+    from collections import deque
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.operators.relational import bfs_min_hops
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+        max_hops=st.integers(min_value=1, max_value=4),
+    )
+    def check(edges, max_hops):
+        adj = {}
+        for s_, d_ in edges:
+            adj.setdefault(s_, set()).add(d_)
+        expect = {0: 0}
+        q = deque([(0, 0)])
+        while q:
+            node, h = q.popleft()
+            if h == max_hops:
+                continue
+            for nxt in adj.get(node, ()):
+                if nxt not in expect:
+                    expect[nxt] = h + 1
+                    q.append((nxt, h + 1))
+        e = spark.createDataFrame(
+            edges or [(99, 98)], "src: long, dst: long"  # 99/98: inert
+        ).localCheckpoint()
+        if not edges:
+            expect = {0: 0}
+        got = {
+            r.node: r.hops
+            for r in bfs_min_hops(spark, e, 0, max_hops).collect()
+        }
+        assert got == expect, (sorted(edges), max_hops, got, expect)
+
+    check()
