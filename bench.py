@@ -240,6 +240,18 @@ def main() -> None:
         "partition_sweep_q01": sweep,
         "queries_small_sf": small_timings,
         "scale_ratio": scale_ratio,
+        # r7→r8 headline drift verdict watch-item: +15-25% UNIFORM
+        # across all 14 slots with zero code change to any benched
+        # query, spread_flags empty, no janino codegen errors in
+        # stderr, both runs on the same host boot ~2h apart — the
+        # co-tenancy signature this box has shown since round 1
+        # (identical plans measured 2.8s vs 25.4s minutes apart).
+        # Per-slot RELATIVE ratios are the trustworthy signal; the
+        # absolute total is not comparable across runs.
+        "drift_note": (
+            "uniform cross-slot drift = host co-tenancy; compare "
+            "per-slot ratios, not absolute totals, across rounds"
+        ),
         # present only when the slope pass actually ran, so an empty
         # ratio map is distinguishable from a skipped pass
         **(

@@ -32,27 +32,31 @@ _LOCK = threading.Lock()
 _MISS = object()
 
 
-def _dir_mtime(sf_dir: str) -> float:
+def _dir_mtime(sf_dir: str) -> int:
     """Version stamp for a table directory: the max of the directory's
-    own mtime and every direct entry's mtime. The directory mtime alone
+    own mtime and every direct entry's mtime, in integer NANOSECONDS
+    (st_mtime_ns — the float st_mtime would alias two generations
+    written within its ~µs resolution, and truncating to whole seconds
+    aliases anything inside one second). The directory mtime alone
     changes only on entry add/remove/rename; an in-place same-name
     file rewrite moves only the file's own mtime, so per-entry stats
     are required for rewrites to invalidate. (Stats are shallow — one
     listdir, no recursion — because every fixture table is a flat
     directory or a single file; granularity is the filesystem's.)"""
     try:
-        mt = os.stat(sf_dir).st_mtime
+        mt = os.stat(sf_dir).st_mtime_ns
         if os.path.isdir(sf_dir):
             for name in os.listdir(sf_dir):
                 try:
                     mt = max(
-                        mt, os.stat(os.path.join(sf_dir, name)).st_mtime
+                        mt,
+                        os.stat(os.path.join(sf_dir, name)).st_mtime_ns,
                     )
                 except OSError:
                     continue
         return mt
     except OSError:
-        return 0.0
+        return 0
 
 
 def cached_artifact(

@@ -80,7 +80,8 @@ def atomic_build(path: str, build: Callable[[str], None]) -> str:
 def versioned_cache_dir(root: str, sf_dir: str, name: str) -> str:
     """Cache path for a materialization DERIVED from ``sf_dir``, keyed
     by the source directory's version stamp (artifacts._dir_mtime —
-    max of the dir's and every direct entry's mtime).
+    max of the dir's and every direct entry's mtime, integer ns so two
+    generations inside the same second still get distinct keys).
 
     The driver regenerates /root/testdata between rounds, and round 3
     proved storage details drift (the events timestamp encoding
@@ -94,7 +95,7 @@ def versioned_cache_dir(root: str, sf_dir: str, name: str) -> str:
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
-        root, f"{sf_tag}.v{int(_dir_mtime(sf_dir))}", name
+        root, f"{sf_tag}.v{_dir_mtime(sf_dir)}", name
     )
 
 

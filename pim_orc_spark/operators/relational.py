@@ -3084,7 +3084,12 @@ def bfs_min_hops(
             .withColumn("hops", F.lit(depth))
         )
         visited = visited.unionByName(discovered).localCheckpoint()
-        frontier = discovered.select("node")
+        # derive the next frontier from the CHECKPOINTED state, not
+        # from `discovered`'s raw plan — the latter chains back
+        # through every prior level's join/distinct/anti-join, so the
+        # level-d checkpoint would re-execute levels 1..d-1 (O(h²)
+        # joins total) instead of the one-shuffle-per-level contract
+        frontier = visited.filter(F.col("hops") == depth).select("node")
     return visited
 
 

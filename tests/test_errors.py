@@ -22,6 +22,7 @@ import shutil
 import pytest
 
 from pim_orc_spark.catalog import load_table
+from pim_orc_spark.fsutil import versioned_cache_dir
 from pim_orc_spark.sources import orc_io
 
 
@@ -29,12 +30,9 @@ def _one_orc_file(spark, sf_dir, tmp_path):
     """A private copy of the materialized ORC region table (never the
     shared cache — these tests mutate bytes)."""
     orc_io.orc_table(spark, sf_dir, "region")  # ensure materialized
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(
-        os.environ.get("SPARK_GRAFT_ORC_CACHE", "/tmp/pim_orc_spark/orc"),
-        sf_tag,
-        "region",
-    )
+    # resolve the SAME version-stamped path orc_table writes — the old
+    # unversioned join silently copied a stale pre-round-9 cache dir
+    src = versioned_cache_dir(orc_io._ORC_CACHE_ROOT, sf_dir, "region")
     dst = str(tmp_path / "region_orc")
     shutil.copytree(src, dst)
     # drop Hadoop's .crc sidecars: corruption must be caught by the ORC

@@ -8,6 +8,7 @@ import os
 
 import pytest
 
+from pim_orc_spark.fsutil import versioned_cache_dir
 from pim_orc_spark.oracle import compare
 from pim_orc_spark.sources import orc_io
 
@@ -29,12 +30,9 @@ def test_write_path_knobs(spark, sf_dir):
     32 KB compression blocks (orc-parser/Makefile:17), 10k row-index
     stride (README.md:20)."""
     orc_io.orc_table(spark, sf_dir, "lineitem")  # ensure materialized
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_ORC_CACHE", "/tmp/pim_orc_spark/orc"),
-        sf_tag,
-        "lineitem",
-    )
+    # resolve the SAME version-stamped path orc_table writes — the old
+    # unversioned join silently read a stale pre-round-9 cache dir
+    path = versioned_cache_dir(orc_io._ORC_CACHE_ROOT, sf_dir, "lineitem")
     meta = orc_io.orc_metadata(spark, path)
     assert meta, "no ORC files written"
     total_rows = sum(m["num_rows"] for m in meta)
