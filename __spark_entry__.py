@@ -147,6 +147,22 @@ PYTEST_ONLY = {
     #                     window spec; the Sort+Window plan family is
     #                     attested by exported q68's lag/lead windows
     #                     (same single-shuffle shape)
+    "q71_rolling_window_1h",  # time-RANGE window frame (trailing-hour
+    #                     per-user rolling count/sum over integer epoch
+    #                     seconds); same Sort+Window single-shuffle
+    #                     family as exported q68, value-bounded frame
+    "q72_locf_interpolate",  # ignore-nulls window navigation (LOCF +
+    #                     linear interpolation over the gapfilled
+    #                     hourly grid); grid machinery attested by
+    #                     exported q45_gapfill_timeseries
+    "q73_triangle_count",  # degree-oriented triangle enumeration over
+    #                     the trade graph; the materialized-edges
+    #                     discipline is attested by exported
+    #                     q65_nation_pagerank (shared _trade_edges)
+    "stream_dedup_within_watermark",  # dropDuplicatesWithinWatermark
+    #                     on a self-unioned source (every event arrives
+    #                     twice); the append-dedup shape is attested by
+    #                     exported stream_incremental_admit
     # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
     # q68_scd2_history as a 51st export without a compensating
     # demotion, so maintenance_zorder_sum (last in module order) fell

@@ -28,6 +28,7 @@ def __getattr__(name: str):
     - ``salted_join(large, small, key, n_salts=8)``
     - ``minhash_pairs(spark, docs)`` — near-duplicate pairs, J ≥ 0.8
     - ``bfs_min_hops(spark, edges, source, max_hops)`` — min hop counts
+    - ``triangle_counts(spark, und)`` — per-node triangle membership
     """
     kernels = {
         "asof_join": ("pim_orc_spark.operators.relational", "asof_join"),
@@ -40,6 +41,10 @@ def __getattr__(name: str):
         "bfs_min_hops": (
             "pim_orc_spark.operators.relational",
             "bfs_min_hops",
+        ),
+        "triangle_counts": (
+            "pim_orc_spark.operators.relational",
+            "triangle_counts",
         ),
     }
     if name in kernels:
@@ -58,5 +63,6 @@ __all__ = [
     "salted_join",
     "minhash_pairs",
     "bfs_min_hops",
+    "triangle_counts",
 ]
 __version__ = "0.1.0"

@@ -3093,6 +3093,164 @@ def bfs_min_hops(
     return visited
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed nation trade graph (customer nation → supplier
+    nation) shared by the graph operators (q69 BFS, q73 triangles):
+    materialized ONCE from the 4-table join — lineitem⋈orders carries
+    the two fact keys, both dimension paths broadcast — then distinct
+    to |V|²-bounded edges and localCheckpoint'ed so iterative/
+    multi-join consumers never re-derive the fact join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def triangle_counts(spark: SparkSession, und: DataFrame) -> DataFrame:
+    """Degree-oriented triangle-membership kernel: ``und`` is an
+    UNDIRECTED simple graph as canonical edges (columns ``a`` < ``b``,
+    distinct, no self-loops); returns (node, cnt) — the number of
+    triangles each participating node belongs to (nodes in no triangle
+    are absent; callers zero-fill against their vertex dimension).
+
+    Orient each edge from its lower-(degree, id) endpoint to the
+    higher, self-join oriented edges on the tail to enumerate wedges
+    (heads rank-ordered so each unordered head pair appears once),
+    and close each wedge against the oriented edge between its heads:
+    every triangle is found exactly once, at its minimum-rank vertex.
+    Wedge fan-out is bounded by oriented OUT-degree — O(m^1.5) total
+    (Suri & Vassilvitskii, WWW'11) — so hubs receive edges instead of
+    emitting wedges; the plan is one |E| degree aggregate plus two key
+    shuffles (tail u, then head pair (v,w))."""
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    # orient low-(degree, id) → high-(degree, id); carry the head's
+    # degree so the wedge join can rank-order heads without re-joining
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    ).localCheckpoint()
+    x = oriented.select(
+        F.col("u"), F.col("w").alias("v"), F.col("dw").alias("dv")
+    )
+    y = oriented.select("u", "w", "dw")
+    wedges = x.join(y, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    members = tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q73_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING — per-node triangle membership over the
+    undirected nation trade graph: the graph-analytics primitive
+    behind clustering coefficients and community density, and a graph
+    shape (3-cycle closure) neither BFS (q69) nor PageRank (q65)
+    exercises.
+
+    The algorithm is the DEGREE-ORIENTED node-iterator every
+    distributed triangle counter uses (cf. Suri & Vassilvitskii,
+    WWW'11): orient each undirected edge from its lower-(degree, id)
+    endpoint to the higher; enumerate wedges (u→v, u→w) with
+    rank(v) < rank(w) by self-joining oriented edges on u; a wedge is
+    a triangle iff the oriented edge v→w exists. Orientation makes
+    each triangle appear EXACTLY once (at its minimum-rank vertex),
+    and bounds per-vertex wedge fan-out by oriented out-degree — at
+    100 TB the wedge count is O(m^1.5) instead of Σdeg² (the hub that
+    dominates an unoriented wedge join generates NO wedges because
+    high-degree endpoints receive edges rather than emit them).
+
+    Plan: degrees are one |E|-sized aggregate; the wedge self-join and
+    the closing join are TWO key shuffles (on u, then on the (v,w)
+    pair); membership explodes each found triangle to its 3 vertices
+    and aggregates — all relations |E|- or wedge-bounded, never |V|²,
+    and the tiny nation dimension broadcasts for the zero-filled
+    output. Oracle: the orientation-free canonical a<b<c 3-way
+    self-join (the result is orientation-independent). The
+    enumeration itself is the public ``triangle_counts`` kernel
+    (property-tested against brute force on random graphs)."""
+    und = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    counts = triangle_counts(spark, und)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        F.broadcast(nation)
+        .join(counts, nation.n_nationkey == counts.node, "left")
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_name",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+_Q73_SQL = """
+WITH e AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), members AS (
+  SELECT unnest([x, y, z]) AS node FROM tri
+)
+SELECT n.n_nationkey AS nationkey, n.n_name,
+       CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_triangles
+FROM nation n
+LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM members GROUP BY node) m
+  ON m.node = n.n_nationkey
+"""
+
+
 def q69_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE / HIERARCHICAL QUERY surface — BFS reachability with
     minimum hop counts over the directed nation trade graph (customer
@@ -3119,29 +3277,7 @@ def q69_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversal itself is the public ``bfs_min_hops`` kernel
     (property-tested on random graphs: cycles, self-loops,
     unreachable nodes)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _trade_edges(spark, sf_dir)
     visited = bfs_min_hops(spark, edges, BFS_SOURCE, BFS_MAX_HOPS)
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
@@ -3217,10 +3353,225 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
+def q71_rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the last §2.5 frame class (ROWS
+    frames: q13/text_pack running sums; unbounded: q12; this is the
+    VALUE-bounded frame): per event, the count and exact cents-sum of
+    the SAME USER's events in the trailing hour, i.e.
+    ``RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW`` over integer
+    epoch seconds. The rolling-rate primitive behind abuse detection
+    and per-user rate limiting at ingest.
+
+    Cross-engine determinism: the ORDER key is integer epoch SECONDS
+    in both engines (Spark ``cast(ts as long)`` = floorDiv(µs, 1e6);
+    DuckDB ``epoch_us(ts) // 1000000`` — identical floor on the same
+    parquet µs), so frame membership is value-based and tie rows are
+    peers in both; the summed metric is the repo's integer-cents
+    contract (``cents``), immune to float summation order.
+
+    Scale shape: ONE user_id shuffle + one sort carries both window
+    columns; the range frame is evaluated by Spark's sliding frame
+    cursor (amortized O(1) per row, state = the in-frame slice), no
+    self-join — the naive formulation is an O(n·w) range self-join at
+    100 TB. Skewed users degrade a partition, not the plan (the frame
+    cursor is sequential either way)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        cents("value").alias("val_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("val_cents").over(w).alias("val_1h_cents"),
+    )
+
+
+_Q71_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 1000000 AS epoch_s,
+         CAST(round(value * 100) AS BIGINT) AS val_cents
+  FROM events
+)
+SELECT event_id, user_id, epoch_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(val_cents) OVER w AS BIGINT) AS val_1h_cents
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q72_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE-NULLS window navigation — LOCF (last observation carried
+    forward) and LINEAR INTERPOLATION across the gaps of the hourly
+    series, the hypertable gap-handling pair (TimescaleDB ``locf()`` /
+    ``interpolate()``) that q45's zero-fill doesn't express: a missing
+    hour's value is carried from the last observed hour (plus a
+    staleness age), and interpolated between its observed neighbours.
+
+    Window capability exercised: ``last(col, ignorenulls=True)`` over
+    the unbounded-preceding frame and ``first(col, ignorenulls=True)``
+    over the unbounded-following frame — navigation that skips the
+    NULL grid rows, a different evaluator path from every frame the
+    suite already covers (plain running frames never skip).
+
+    Cross-engine exactness: observations are integer cents; the
+    interpolation fraction divides two exact-in-double integers, so
+    ``floor(prev + (next − prev) × frac)`` is bit-identical in both
+    engines (IEEE ops on identical operands); staleness divides two
+    multiples of 3600. NULL outside the observation envelope (before
+    the first / after the last observation), exactly the
+    ``interpolate()`` contract.
+
+    Scale shape: ONE corpus pass (the hourly aggregate, map-side
+    partial, |hours|×|types| result, localCheckpoint'ed — q45's review
+    discipline); everything after runs on the bounded grid: one
+    event_type shuffle carries BOTH navigation frames (forward and
+    backward) over the same sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        cents("value").alias("val_cents"),
+    )
+    obs = (
+        ev.groupBy("h", "event_type")
+        .agg(
+            F.sum("val_cents").alias("obs_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumnRenamed("event_type", "et")
+        .localCheckpoint()
+    )
+    bounds = obs.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias(
+            "hour_start"
+        )
+    )
+    types = obs.select(F.col("et").alias("event_type")).distinct()
+    grid = (
+        calendar.crossJoin(types)
+        .join(
+            obs,
+            (F.col("h") == F.col("hour_start"))
+            & (F.col("et") == F.col("event_type")),
+            "left",
+        )
+        .select(
+            "hour_start",
+            "event_type",
+            F.col("hour_start").cast("long").alias("hs"),
+            "obs_cents",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hs")
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_h = F.when(F.col("obs_cents").isNotNull(), F.col("hs"))
+    nav = grid.select(
+        "hour_start",
+        "event_type",
+        "hs",
+        "obs_cents",
+        "n_events",
+        F.last("obs_cents", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("obs_cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    frac = (F.col("hs") - F.col("prev_h")) / (
+        F.col("next_h") - F.col("prev_h")
+    )
+    interp = (
+        F.when(
+            F.col("prev_h").isNull() | F.col("next_h").isNull(),
+            F.lit(None),
+        )
+        .when(F.col("next_h") == F.col("prev_h"), F.col("prev_c"))
+        .otherwise(
+            F.floor(
+                F.col("prev_c")
+                + (F.col("next_c") - F.col("prev_c")) * frac
+            )
+        )
+    )
+    return nav.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.col("prev_c").cast("long").alias("locf_cents"),
+        F.expr("(hs - prev_h) div 3600").cast("long").alias("staleness_h"),
+        interp.cast("long").alias("interp_cents"),
+    )
+
+
+_Q72_SQL = """
+WITH obs AS (
+  SELECT date_trunc('hour', ts) AS h, event_type AS et,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS obs_cents,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(h) AS lo, MAX(h) AS hi FROM obs
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+), types AS (
+  SELECT DISTINCT et AS event_type FROM obs
+), grid AS (
+  SELECT c.hour_start, t.event_type,
+         epoch_us(c.hour_start) // 1000000 AS hs,
+         obs_cents,
+         CAST(coalesce(n, 0) AS BIGINT) AS n_events
+  FROM cal c CROSS JOIN types t
+  LEFT JOIN obs ON obs.h = c.hour_start AND obs.et = t.event_type
+), nav AS (
+  SELECT hour_start, event_type, hs, obs_cents, n_events,
+    last_value(obs_cents IGNORE NULLS) OVER wp AS prev_c,
+    last_value(CASE WHEN obs_cents IS NOT NULL THEN hs END IGNORE NULLS)
+      OVER wp AS prev_h,
+    first_value(obs_cents IGNORE NULLS) OVER wf AS next_c,
+    first_value(CASE WHEN obs_cents IS NOT NULL THEN hs END IGNORE NULLS)
+      OVER wf AS next_h
+  FROM grid
+  WINDOW wp AS (PARTITION BY event_type ORDER BY hs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hs
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT hour_start, event_type, n_events,
+       CAST(prev_c AS BIGINT) AS locf_cents,
+       CAST((hs - prev_h) // 3600 AS BIGINT) AS staleness_h,
+       CAST(CASE
+              WHEN prev_h IS NULL OR next_h IS NULL THEN NULL
+              WHEN next_h = prev_h THEN prev_c
+              ELSE floor(prev_c + (next_c - prev_c)
+                         * (CAST(hs - prev_h AS DOUBLE)
+                            / (next_h - prev_h)))
+            END AS BIGINT) AS interp_cents
+FROM nav
+"""
+
+
 QUERIES = {
     "q01_flagship_sum": q01_flagship_sum,
     "q69_trade_reach": q69_trade_reach,
     "q70_window_distribution": q70_window_distribution,
+    "q71_rolling_window_1h": q71_rolling_window_1h,
+    "q72_locf_interpolate": q72_locf_interpolate,
+    "q73_triangle_count": q73_triangle_count,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -3294,6 +3645,9 @@ ORACLES = {
     "q68_scd2_history": _Q68_SQL,
     "q69_trade_reach": _Q69_SQL,
     "q70_window_distribution": _Q70_SQL,
+    "q71_rolling_window_1h": _Q71_SQL,
+    "q72_locf_interpolate": _Q72_SQL,
+    "q73_triangle_count": _Q73_SQL,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,

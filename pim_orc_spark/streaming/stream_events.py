@@ -195,6 +195,46 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(first_seen, "stream_dedup_keys", "append")
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark actually RUNNING — the
+    state-bounded streaming dedup ``stream_dedup_keys``' docstring
+    only points at. The source is unioned with itself, so every event
+    arrives exactly twice (the at-least-once delivery a Kafka ingest
+    really produces); watermarked event_id dedup must collapse the
+    stream back to exactly the source.
+
+    Unlike plain dropDuplicates (one state row per key FOREVER), the
+    within-watermark form EVICTS a key's state once the watermark
+    passes its event time + delay — the property that makes streaming
+    dedup runnable forever at 100 TB/day, trading exactness only for
+    duplicate pairs farther apart in event time than the delay. Here
+    both copies carry identical event times (redelivery, not
+    late-arrival), so they are always inside the horizon and the batch
+    oracle is the exact source aggregate: no event lost, none doubled.
+
+    The post-dedup per-type aggregate runs as a BATCH query over the
+    sink table: Spark disallows a second stateful aggregation after
+    streaming dedup in append mode without its own watermark, and the
+    batch re-aggregation is the same pattern the exactly-once
+    foreachBatch sink (stream_foreach_batch_sink) attests."""
+    dup = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = (
+        dup.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    out = run_to_completion(deduped, "stream_dedup_wwm", "append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        exact_sum("value", "sum_value"),
+    )
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows: 10-minute windows every 5 minutes,
     so each event lands in exactly two windows. Same complete-mode
@@ -719,6 +759,7 @@ QUERIES = {
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": stream_dedup_keys,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     # stream_tws_user_extremes is NOT registered: its worker needs the
     # protobuf package this container lacks (see its docstring gate)
@@ -761,6 +802,15 @@ ORACLES = {
     "stream_dedup_keys": (
         "SELECT DISTINCT user_id, event_type FROM events"
     ),
+    # the self-unioned stream deduped on event_id == the source: the
+    # duplicates are same-event-time redeliveries, always inside the
+    # watermark horizon, so the collapse is exact
+    "stream_dedup_within_watermark": f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+               {exact_sum_sql("value", "sum_value")}
+        FROM events GROUP BY event_type
+    """,
     # each event belongs to the two 5-min-aligned windows covering it:
     # the one starting at its 5-min bucket and the one 5 min earlier
     "stream_sliding_counts": """

@@ -471,3 +471,50 @@ def test_bfs_min_hops_matches_pure_python_reference(spark):
         assert got == expect, (sorted(edges), max_hops, got, expect)
 
     check()
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """Property: the degree-oriented triangle kernel equals brute-force
+    enumeration on random undirected graphs — hubs (degree ties), rank
+    tiebreaks, triangle-free graphs, and nodes shared by many
+    triangles."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.operators.relational import triangle_counts
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        raw=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=8),
+                st.integers(min_value=0, max_value=8),
+            ),
+            min_size=0,
+            max_size=28,
+        )
+    )
+    def check(raw):
+        und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+        expect = {}
+        for x, y, z in combinations(sorted({v for e_ in und for v in e_}), 3):
+            if (
+                (x, y) in und and (y, z) in und and (x, z) in und
+            ):
+                for v in (x, y, z):
+                    expect[v] = expect.get(v, 0) + 1
+        e = spark.createDataFrame(
+            sorted(und) or [(98, 99)], "a: long, b: long"  # 98/99: inert
+        ).localCheckpoint()
+        got = {
+            r.node: r.cnt for r in triangle_counts(spark, e).collect()
+        }
+        assert got == expect, (sorted(und), got, expect)
+
+    check()

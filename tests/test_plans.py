@@ -547,3 +547,25 @@ def test_round9_operators_have_the_claimed_plan_shapes(spark, sf_dir):
         m = shape(fn(spark, sf_dir))
         assert m["exchanges"] == 0 and m["joins"] == 0, m["plan"][:1500]
         assert m["python"] >= 1, m["plan"][:1500]
+
+
+def test_rolling_window_single_shuffle_no_self_join(spark, sf_dir):
+    """q71's docstring claim: the trailing-hour rolling aggregate is
+    ONE user_id exchange + one sort + one Window node evaluating a
+    RangeFrame — never the naive O(n·w) range self-join, and both
+    window columns ride the same Window operator (no second sort)."""
+    import re
+
+    from pim_orc_spark.operators.relational import q71_rolling_window_1h
+
+    df = q71_rolling_window_1h(spark, sf_dir)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = s.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange (hash|range|Single)", s)) == 1, s[:1500]
+    assert "Join" not in s, s[:1500]
+    assert len(re.findall(r"\bWindow\b", s)) == 1, s[:1500]
+    assert "RangeFrame" in s, s[:1500]
+    # the scan reads only the four needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m and len(m.group(1).split(",")) == 4, s[:1500]
