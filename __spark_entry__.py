@@ -159,6 +159,26 @@ PYTEST_ONLY = {
     #                     the trade graph; the materialized-edges
     #                     discipline is attested by exported
     #                     q65_nation_pagerank (shared _trade_edges)
+    "pipeline_split_leakage",  # train/eval span-contamination audit
+    #                     over the curated splits; the span-fp window
+    #                     pattern is attested by exported
+    #                     dedup_span_report, the funnel by
+    #                     pipeline_pack
+    "stream_cdc_apply",  # foreachBatch MERGE loop (generation-dir
+    #                     keyed state, newest-wins struct max); the
+    #                     multi-batch idempotent-sink contract is
+    #                     attested by exported stream_foreach_batch_sink
+    "ann_cluster_medoids",  # per-cluster medoid + exact inertia over
+    #                     the shared Lloyd run; the assignment contract
+    #                     is attested by exported ann_kmeans_clusters
+    "q74_grouping_sets_front_door",  # explicit GROUPING SETS +
+    #                     GROUPING() flags, identical-SQL oracle; the
+    #                     Expand-aggregate family is attested by
+    #                     exported q27_rollup_cascade
+    "multimodal_bmp_decode",  # third real codec (bottom-up BGR padded
+    #                     rows); the encode→decode→features mapInPandas
+    #                     family is attested by exported
+    #                     multimodal_ppm_decode
     "stream_dedup_within_watermark",  # dropDuplicatesWithinWatermark
     #                     on a self-unioned source (every event arrives
     #                     twice); the append-dedup shape is attested by

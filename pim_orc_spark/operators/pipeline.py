@@ -187,10 +187,135 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT → LEAKAGE AUDIT: verbatim span contamination between the
+    train split and each eval split — the eval-integrity check every
+    training run needs AFTER assignment (``pipeline_split`` prevents
+    near-duplicate straddling by splitting post-dedup, but dedup's
+    J ≥ 0.8 gate still admits pairs sharing a boilerplate paragraph;
+    this measures exactly that residue, at ``dedup_span_report``'s
+    SPAN_K-token granularity — the Lee et al. 2022 contamination
+    recipe applied across splits instead of across documents).
+
+    Per eval split (val/test): how many spannable docs, how many share
+    at least one SPAN_K-token span with ANY train doc, how many
+    distinct leaked spans, and the total (doc, leaked-span) incidence.
+
+    100 TB shape: spans never shuffle as strings — each window is
+    fingerprinted map-side with the shared 31-poly rolling hash, and
+    the train-presence test is a MAX window over the fp-grouped
+    relation (the span-report pattern), never a train×eval join: one
+    (fp, split, doc) distinct shuffle, one fp-partitioned window, one
+    split aggregate, all on 16-byte fingerprint rows."""
+    from pyspark.sql.window import Window
+
+    from pim_orc_spark.functions.hashing import poly_hash
+    from pim_orc_spark.operators.dedup import SPAN_K
+    from pim_orc_spark.plans import explode_nonempty
+
+    _, _, _, final = _funnel(spark, sf_dir)
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    bucket = (
+        poly_hash(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    docs = (
+        final.select("doc_id")
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", split.alias("split"), tokens("text").alias("tok"))
+        .filter(F.size("tok") >= SPAN_K)
+    )
+    spans = docs.select(
+        "split",
+        "doc_id",
+        explode_nonempty(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - F.lit(SPAN_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tok"), i, SPAN_K)),
+            )
+        ).alias("span"),
+    ).select("split", "doc_id", poly_hash(F.col("span")).alias("fp"))
+    spd = spans.distinct()
+    in_train = F.max(
+        (F.col("split") == "train").cast("int")
+    ).over(Window.partitionBy("fp"))
+    ev = spd.withColumn("in_train", in_train).filter(
+        F.col("split") != "train"
+    )
+    return ev.groupBy("split").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct(
+            F.when(F.col("in_train") == 1, F.col("doc_id"))
+        ).alias("n_contaminated_docs"),
+        F.count_distinct(
+            F.when(F.col("in_train") == 1, F.col("fp"))
+        ).alias("n_leaked_fps"),
+        F.sum("in_train").cast("long").alias("n_leak_incidences"),
+    )
+
+
+def _split_leakage_sql() -> str:
+    from pim_orc_spark.functions.hashing import poly_hash_sql
+    from pim_orc_spark.operators.dedup import SPAN_K
+
+    h = poly_hash_sql("('split:' || CAST(f.doc_id AS VARCHAR))")
+    tok = tokens_sql("doc.text")
+    return f"""
+        WITH {_funnel_ctes()},
+        tokd AS (
+          SELECT f.doc_id,
+                 CASE WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                      WHEN ({h}) % 100
+                           < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                      ELSE 'test' END AS split,
+                 {tok} AS tok
+          FROM final f JOIN documents doc ON doc.doc_id = f.doc_id
+        ),
+        sp0 AS (
+          SELECT split, doc_id,
+                 unnest(list_transform(
+                   range(1, len(tok) - {SPAN_K} + 2),
+                   i -> list_aggregate(tok[i:i + {SPAN_K} - 1],
+                                       'string_agg', ' '))) AS span
+          FROM tokd WHERE len(tok) >= {SPAN_K}
+        ),
+        sp AS (
+          SELECT DISTINCT split, doc_id,
+                 {poly_hash_sql('span')} AS fp
+          FROM sp0
+        ),
+        tr AS (SELECT DISTINCT fp FROM sp WHERE split = 'train'),
+        ev AS (
+          SELECT s.split, s.doc_id, s.fp,
+                 CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END AS in_train
+          FROM sp s LEFT JOIN tr t ON t.fp = s.fp
+          WHERE s.split <> 'train'
+        )
+        SELECT split,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT CASE WHEN in_train = 1
+                                        THEN doc_id END) AS BIGINT)
+                 AS n_contaminated_docs,
+               CAST(COUNT(DISTINCT CASE WHEN in_train = 1
+                                        THEN fp END) AS BIGINT)
+                 AS n_leaked_fps,
+               CAST(SUM(in_train) AS BIGINT) AS n_leak_incidences
+        FROM ev GROUP BY split
+    """
+
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pack": pipeline_pack,
     "pipeline_split": pipeline_split,
+    "pipeline_split_leakage": pipeline_split_leakage,
 }
 
 
@@ -310,4 +435,5 @@ ORACLES = {
     "pipeline_curate": _curate_sql(),
     "pipeline_pack": _pack_sql(),
     "pipeline_split": _split_sql(),
+    "pipeline_split_leakage": _split_leakage_sql(),
 }

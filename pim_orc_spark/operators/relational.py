@@ -2651,6 +2651,40 @@ def q63_tpch_q21_sql_front_door(
     return spark.sql(_Q63_SQL)
 
 
+_Q74_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+"""
+
+
+def q74_grouping_sets_front_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() flags through the SQL front
+    door — the irregular multi-aggregation surface between q14's
+    ROLLUP and q20's CUBE (an arbitrary set list, here including the
+    (l_linestatus) slice a flag-first ROLLUP never produces), with the
+    GROUPING() indicator that disambiguates a rolled-up NULL from a
+    data NULL. The oracle runs the IDENTICAL string (the q63
+    discipline), certifying Spark's Expand-based grouping-set
+    execution against a second engine's.
+
+    Scale shape: Catalyst plans one scan + Expand (×|sets| row
+    replication map-side) + ONE partial/final hash aggregate — the
+    same two-phase shuffle as a plain GROUP BY, just over the
+    expanded keys; no per-set rescan of the fact."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q74_SQL)
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -3572,6 +3606,7 @@ QUERIES = {
     "q71_rolling_window_1h": q71_rolling_window_1h,
     "q72_locf_interpolate": q72_locf_interpolate,
     "q73_triangle_count": q73_triangle_count,
+    "q74_grouping_sets_front_door": q74_grouping_sets_front_door,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -3648,6 +3683,7 @@ ORACLES = {
     "q71_rolling_window_1h": _Q71_SQL,
     "q72_locf_interpolate": _Q72_SQL,
     "q73_triangle_count": _Q73_SQL,
+    "q74_grouping_sets_front_door": _Q74_SQL,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,

@@ -764,7 +764,14 @@ def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
         .select("vec_id", "v", F.struct(d2.alias("d"), F.col("cid").alias("c")).alias("dc"))
         .groupBy("vec_id")
         .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
-        .select("vec_id", "v", F.col("m.c").alias("cid"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("m.c").alias("cid"),
+            # distance to the ASSIGNED centroid (already KM_ROUND-
+            # rounded) — free here, consumed by the medoid report
+            F.col("m.d").alias("d2"),
+        )
     )
 
 
@@ -830,6 +837,76 @@ def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").alias("sum_vec_id"),
         )
         .orderBy("cluster_id")
+    )
+
+
+def ann_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster MEDOID report — the member closest to its final
+    centroid, with the cluster's mean squared distance (inertia/size):
+    the representative-example step of every clustering workflow
+    (inspect one real document per semantic cluster; seed SemDeDup's
+    keep-one-per-group choice; pick IVF probe exemplars).
+
+    Rides the shared Lloyd run: the assignment step already computes
+    each member's KM_ROUND-rounded squared distance to its assigned
+    centroid (``_km_assign``'s struct-min), so the medoid is ONE more
+    aggregate over the final assignment — ``min(struct(d2, vec_id))``
+    per cluster, ties to the lowest vec_id, the same
+    engine-independent tie rule the assignment uses. No extra corpus
+    pass, no new shuffle beyond the k-row aggregate. Inertia stays
+    exact across engines as a SUM of KM_ROUND-rounded doubles scaled
+    to integer micro-units (each d2 has ≤ KM_ROUND dp, so ×10^6 is
+    integral and the sum order-independent), presented as double."""
+    a = _km_assignments(spark, sf_dir)
+    micro = F.round(F.col("d2") * 10**KM_ROUND).cast("decimal(38,0)")
+    return (
+        a.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(
+                F.struct(
+                    F.col("d2").alias("d"), F.col("vec_id").alias("m")
+                )
+            ).alias("mm"),
+            (
+                F.sum(micro).cast("double")
+                / (10**KM_ROUND * F.count(F.lit(1)))
+            ).alias("mean_d2"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("mm.m").alias("medoid_id"),
+            F.col("mm.d").alias("medoid_d2"),
+            "mean_d2",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _medoids_sql() -> str:
+    d = (
+        "round(list_dot_product(p.v, p.v)"
+        " - 2 * list_dot_product(p.v, c.c)"
+        f" + list_dot_product(c.c, c.c), {KM_ROUND})"
+    )
+    return (
+        _kmeans_cte_prefix()
+        + f""",
+md AS (
+  SELECT a.cid, p.vec_id, {d} AS d2
+  FROM af a
+  JOIN pts p ON p.vec_id = a.vec_id
+  JOIN c{KM_ITERS} c ON c.cid = a.cid
+)
+SELECT cid AS cluster_id,
+       COUNT(*) AS n_members,
+       (min(struct_pack(d := d2, m := vec_id))).m AS medoid_id,
+       (min(struct_pack(d := d2, m := vec_id))).d AS medoid_d2,
+       CAST(SUM(CAST(round(d2 * {10**KM_ROUND}) AS HUGEINT)) AS DOUBLE)
+         / ({10**KM_ROUND} * COUNT(*)) AS mean_d2
+FROM md GROUP BY cid ORDER BY cluster_id
+"""
     )
 
 
@@ -951,7 +1028,13 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative lineage computes it twice). Norms are precomputed per
     row BEFORE the pair join (never per pair); the rounded cosine is
     compared against SEM_TAU identically in both engines."""
-    a = _km_assignments(spark, sf_dir).localCheckpoint()
+    # project the assignment distance out BEFORE the corpus-sized
+    # checkpoint (the medoid report consumes d2; this path doesn't)
+    a = (
+        _km_assignments(spark, sf_dir)
+        .select("vec_id", "v", "cid")
+        .localCheckpoint()
+    )
     nv = a.select(
         "vec_id",
         "v",
@@ -964,6 +1047,7 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_kmeans_clusters": ann_kmeans_clusters,
+    "ann_cluster_medoids": ann_cluster_medoids,
     "dedup_semantic_pairs": dedup_semantic_pairs,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_rp_topk": ann_rp_topk,
@@ -1373,6 +1457,7 @@ ORDER BY vec_a, vec_b
 ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
     "ann_kmeans_clusters": _kmeans_sql(),
+    "ann_cluster_medoids": _medoids_sql(),
     "dedup_semantic_pairs": _semantic_pairs_sql(),
     "ann_rp_topk": _rp_sql(),
     "ann_pq_topk": _pq_sql(),

@@ -339,3 +339,100 @@ def test_foreach_batch_sink_recovers_from_mid_run_crash(spark, sf_dir, tmp_path)
         ).fetchall()
     }
     assert got == exp
+
+
+def test_cdc_apply_recovers_from_mid_run_crash(spark, sf_dir, tmp_path):
+    """CDC-apply exactly-once across a CRASH in the worst spot (gen
+    committed, checkpoint not): restarting with the same checkpoint
+    replays the uncommitted batch, which rewrites its OWN generation
+    from the still-intact previous one — same bytes, no doubling —
+    and the final generation equals the window-latest batch truth."""
+    import os
+
+    import duckdb
+
+    from pim_orc_spark.streaming.stream_events import (
+        _CONF_LOCK,
+        STREAM_SHUFFLE_PARTITIONS,
+        _cdc_merge_batch,
+        _split_events_dir,
+        normalize_event_ts,
+    )
+
+    src = _split_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    state_root = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(state_root)
+
+    def stream():
+        return normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        ).select("user_id", "ts", "event_id", "event_type", "value")
+
+    def make_apply(crash_after):
+        def apply_batch(batch_df, batch_id):
+            _cdc_merge_batch(batch_df, batch_id, state_root)
+            if crash_after is not None and batch_id >= crash_after:
+                raise RuntimeError("simulated cdc crash")
+
+        return apply_batch
+
+    with _CONF_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
+        )
+        try:
+            q = (
+                stream()
+                .writeStream.foreachBatch(make_apply(crash_after=1))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            with pytest.raises(Exception, match="simulated cdc crash"):
+                q.awaitTermination()
+            assert {
+                d for d in os.listdir(state_root) if d.startswith("gen=")
+            } == {"gen=0", "gen=1"}
+
+            q2 = (
+                stream()
+                .writeStream.foreachBatch(make_apply(crash_after=None))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    gens = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(state_root)
+        if d.startswith("gen=")
+    )
+    assert gens == list(range(gens[-1] + 1)), gens
+    final = spark.read.parquet(
+        os.path.join(state_root, f"gen={gens[-1]}")
+    )
+    got = {
+        (r.user_id, r.event_type, r.event_id) for r in final.collect()
+    }
+    exp = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT user_id, event_type, event_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM '{sf_dir}/events.parquet'
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    assert got == exp
