@@ -179,6 +179,14 @@ PYTEST_ONLY = {
     #                     rows); the encode→decode→features mapInPandas
     #                     family is attested by exported
     #                     multimodal_ppm_decode
+    "ann_cluster_purity",  # k-means vs ground-truth label contingency
+    #                     (first consumer of the embeddings label
+    #                     column); rides the same Lloyd run attested by
+    #                     exported ann_kmeans_clusters
+    "text_nfc_normalize",  # Unicode NFC via a SCALAR Arrow pandas_udf
+    #                     (the one §2.8 cell with no prior entry);
+    #                     oracle = DuckDB nfc_normalize, same Unicode
+    #                     composition tables
     "stream_dedup_within_watermark",  # dropDuplicatesWithinWatermark
     #                     on a self-unioned source (every event arrives
     #                     twice); the append-dedup shape is attested by

@@ -884,6 +884,69 @@ def ann_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL CLUSTERING EVALUATION — k-means clusters scored
+    against the corpus' ground-truth ``label`` column (the embeddings
+    fixture ships one; this is its first consumer): per cluster, the
+    member count, the majority label, and how many members carry it —
+    the purity contingency every clustering/semantic-dedup deployment
+    reports before trusting cluster-scoped decisions (SemDeDup prunes
+    WITHIN clusters, so impure clusters silently under-dedup).
+
+    Ties break to the LOWEST label via ``min(struct(-n, label))`` —
+    the same engine-independent struct-order rule the assignment
+    argmin uses. Integer-only output; one (cid, label) aggregate over
+    the final assignment (map-side partial, ≤ k×|labels| rows) then a
+    k-row collapse — no new corpus pass beyond the label join, which
+    broadcasts nothing and shuffles only (vec_id, label) pairs."""
+    a = _km_assignments(spark, sf_dir).select("vec_id", "cid")
+    lab = spread(
+        spark, load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "label")
+    cl = (
+        a.join(lab, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = F.min(
+        F.struct((-F.col("n")).alias("neg_n"), F.col("label").alias("l"))
+    )
+    return (
+        cl.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.sum("n").cast("long").alias("n_members"),
+            best.alias("b"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("b.l").cast("long").alias("majority_label"),
+            (-F.col("b.neg_n")).cast("long").alias("n_majority"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _purity_sql() -> str:
+    return (
+        _kmeans_cte_prefix()
+        + """,
+cl AS (
+  SELECT a.cid, e.label, COUNT(*) AS n
+  FROM af a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.label
+)
+SELECT cid AS cluster_id,
+       CAST(SUM(n) AS BIGINT) AS n_members,
+       CAST((min(struct_pack(neg_n := -n, l := label))).l AS BIGINT)
+         AS majority_label,
+       CAST(-(min(struct_pack(neg_n := -n, l := label))).neg_n AS BIGINT)
+         AS n_majority
+FROM cl GROUP BY cid ORDER BY cluster_id
+"""
+    )
+
+
 def _medoids_sql() -> str:
     d = (
         "round(list_dot_product(p.v, p.v)"
@@ -1048,6 +1111,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_kmeans_clusters": ann_kmeans_clusters,
     "ann_cluster_medoids": ann_cluster_medoids,
+    "ann_cluster_purity": ann_cluster_purity,
     "dedup_semantic_pairs": dedup_semantic_pairs,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_rp_topk": ann_rp_topk,
@@ -1458,6 +1522,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_EXACT_SQL,
     "ann_kmeans_clusters": _kmeans_sql(),
     "ann_cluster_medoids": _medoids_sql(),
+    "ann_cluster_purity": _purity_sql(),
     "dedup_semantic_pairs": _semantic_pairs_sql(),
     "ann_rp_topk": _rp_sql(),
     "ann_pq_topk": _pq_sql(),

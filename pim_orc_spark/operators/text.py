@@ -1,8 +1,11 @@
 """Text-analysis operators over the `documents` table (north star:
 language-ID, quality scoring, token counting, fingerprinting).
 
-Everything here is Catalyst-only (regexp/array/aggregate expressions) —
-no Python UDFs — so at 100 TB each operator is a single codegen'd scan
+Everything here is Catalyst-only (regexp/array/aggregate expressions)
+except the two deliberate Arrow-batched pandas_udf entries — the
+GROUPED_AGG exact median (text_median_len) and the scalar NFC
+normalizer (text_nfc_normalize, canonical composition has no JVM-side
+function) — so at 100 TB each operator is a single codegen'd scan
 stage with map-side partial aggregation where grouped; per-doc outputs
 shuffle nothing at all.
 
@@ -876,8 +879,76 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Combining-mark suffix for the NFC fixture: three decomposed pairs
+# (a+grave, e+acute, o+circumflex) that NFC composes to single
+# codepoints — appended because the synthetic corpus is pure ASCII
+# (where normalization is the identity and would test nothing).
+NFC_SUFFIX = "àéô"
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NFC NORMALIZATION via a SCALAR Arrow ``pandas_udf`` —
+    the text-cleaning step every multilingual corpus runs BEFORE
+    fingerprinting (decomposed "e + combining acute" and precomposed
+    "é" are different byte strings, so un-normalized text defeats
+    exact dedup and span matching). Canonical composition is not
+    expressible in Catalyst (no JVM-side normalizer function), which
+    makes this the §2.8 matrix's scalar-pandas_udf cell: a
+    one-column-in/one-column-out vectorized kernel
+    (``unicodedata.normalize`` per Arrow batch), unlike the GROUPED_AGG
+    (text_median_len), applyInPandas (stream state), mapInPandas
+    (codecs), and UDTF (sentences) entries.
+
+    The fixture corpus is ASCII, so each doc gets a deterministic
+    decomposed suffix (doc_id % 3 + 1 repeats of three combining-mark
+    pairs); the oracle recomputes with DuckDB's ``nfc_normalize`` —
+    both implement the same Unicode canonical-composition tables, so
+    codepoint lengths and change flags must agree exactly.
+
+    Plan: map-only — Project (suffix build, JVM) → ArrowEvalPython
+    (normalize) → Project (codepoint lengths, JVM); no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    s = F.concat(
+        F.col("text"),
+        F.expr(f"repeat('{NFC_SUFFIX}', 1 + doc_id % 3)"),
+    )
+    return d.select(
+        "doc_id", s.alias("s"), nfc(s).alias("n")
+    ).select(
+        "doc_id",
+        F.length("s").cast("long").alias("len_before"),
+        F.length("n").cast("long").alias("len_after"),
+        (F.col("s") != F.col("n")).cast("long").alias("changed"),
+    )
+
+
+_NFC_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         text || repeat('a' || chr(768) || 'e' || chr(769)
+                        || 'o' || chr(770), 1 + doc_id % 3) AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(s) AS BIGINT) AS len_before,
+       CAST(length(nfc_normalize(s)) AS BIGINT) AS len_after,
+       CAST(CASE WHEN nfc_normalize(s) <> s THEN 1 ELSE 0 END AS BIGINT)
+         AS changed
+FROM s
+"""
+
+
 QUERIES = {
     "text_tokens": text_tokens,
+    "text_nfc_normalize": text_nfc_normalize,
     "text_source_mix": text_source_mix,
     "text_lm_score": text_lm_score,
     "text_repetition": text_repetition,
@@ -1056,6 +1127,7 @@ ORACLES = {
         SELECT doc_id, rank, token, score FROM ranked
         WHERE rank <= {TFIDF_TOPK}
     """,
+    "text_nfc_normalize": _NFC_SQL,
     "text_tokens": f"""
         SELECT source,
                COUNT(*) AS n_docs,
