@@ -28,7 +28,7 @@ def __getattr__(name: str):
     - ``salted_join(large, small, key, n_salts=8)``
     - ``minhash_pairs(spark, docs)`` — near-duplicate pairs, J ≥ 0.8
     - ``bfs_min_hops(spark, edges, source, max_hops)`` — min hop counts
-    - ``triangle_counts(spark, und)`` — per-node triangle membership
+    - ``triangle_counts(und)`` — per-node triangle membership
     """
     kernels = {
         "asof_join": ("pim_orc_spark.operators.relational", "asof_join"),

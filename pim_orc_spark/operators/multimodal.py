@@ -515,6 +515,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
     if h <= 0:
         raise ValueError("top-down BMP not supported by this reader")
+    if w <= 0:
+        raise ValueError(f"invalid BMP width {w}")
+    if data_off < BMP_PIXEL_OFFSET or data_off > len(payload):
+        # an offset pointing into the headers would silently decode
+        # header bytes as pixels — garbage, not an error, without this
+        raise ValueError(f"invalid BMP pixel-data offset {data_off}")
     pad = (4 - (w * 3) % 4) % 4
     row_bytes = w * 3 + pad
     if len(payload) < data_off + row_bytes * h:

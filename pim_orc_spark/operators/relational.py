@@ -3152,7 +3152,13 @@ def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _probe(df: DataFrame) -> bool:
-        df.isEmpty()  # touch the checkpoint blocks; empty is valid
+        # FULL touch (count, not isEmpty): isEmpty short-circuits on
+        # the first non-empty partition, so lost checkpoint blocks in
+        # later partitions would pass and poison every consumer. The
+        # edge relation is |V|²-bounded — a full count per cache hit
+        # is metadata-priced, unlike the corpus-sized minhash index
+        # where the single-partition touch is the documented trade.
+        df.count()
         return True
 
     return cached_artifact(
@@ -3168,7 +3174,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trade_edges_weighted(spark, sf_dir).select("src", "dst")
 
 
-def triangle_counts(spark: SparkSession, und: DataFrame) -> DataFrame:
+def triangle_counts(und: DataFrame) -> DataFrame:
     """Degree-oriented triangle-membership kernel: ``und`` is an
     UNDIRECTED simple graph as canonical edges (columns ``a`` < ``b``,
     distinct, no self-loops); returns (node, cnt) — the number of
@@ -3253,7 +3259,7 @@ def q73_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    counts = triangle_counts(spark, und)
+    counts = triangle_counts(und)
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
@@ -3406,11 +3412,16 @@ def q71_rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-user rate limiting at ingest.
 
     Cross-engine determinism: the ORDER key is integer epoch SECONDS
-    in both engines (Spark ``cast(ts as long)`` = floorDiv(µs, 1e6);
-    DuckDB ``epoch_us(ts) // 1000000`` — identical floor on the same
-    parquet µs), so frame membership is value-based and tie rows are
-    peers in both; the summed metric is the repo's integer-cents
-    contract (``cents``), immune to float summation order.
+    in both engines — Spark ``cast(ts as long)`` is floorDiv(µs, 1e6),
+    and the oracle FLOORS explicitly (``floor(epoch_us/1e6)``; DuckDB's
+    ``//`` truncates toward zero, which would disagree for pre-1970
+    timestamps — review fix). Frame membership is value-based and tie
+    rows are peers in both; the summed metric is the repo's
+    integer-cents contract (``cents``), immune to float summation
+    order. The µs→double quotient is exact enough for the floor:
+    epoch_us ≲ 9·10^15 is exactly representable and the quotient's
+    nearest-double error (~2e-7 at 1e9) cannot cross an integer
+    boundary a true remainder of ≥ 1 µs (1e-6) sits away from.
 
     Scale shape: ONE user_id shuffle + one sort carries both window
     columns; the range frame is evaluated by Spark's sliding frame
@@ -3441,7 +3452,7 @@ def q71_rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q71_SQL = """
 WITH ev AS (
   SELECT event_id, user_id,
-         epoch_us(ts) // 1000000 AS epoch_s,
+         CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS epoch_s,
          CAST(round(value * 100) AS BIGINT) AS val_cents
   FROM events
 )
@@ -3575,7 +3586,8 @@ WITH obs AS (
   SELECT DISTINCT et AS event_type FROM obs
 ), grid AS (
   SELECT c.hour_start, t.event_type,
-         epoch_us(c.hour_start) // 1000000 AS hs,
+         CAST(floor(epoch_us(c.hour_start) / 1000000.0) AS BIGINT)
+           AS hs,
          obs_cents,
          CAST(coalesce(n, 0) AS BIGINT) AS n_events
   FROM cal c CROSS JOIN types t

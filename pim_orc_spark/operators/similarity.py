@@ -776,35 +776,59 @@ def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _km_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared KM_ITERS-iteration Lloyd run → final (vec_id, v, cid)
-    assignment (see ann_kmeans_clusters for the full contract)."""
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    pts = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
-    cents = pts.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    for _ in range(KM_ITERS):
-        assigned = _km_assign(pts, cents)
-        cents = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), KM_ROUND).alias("cx"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "cx"))
-                ).alias("pc")
-            )
-            .select("cid", F.col("pc.cx").alias("c"))
-            # materialize the k×dim centroid state each iteration:
-            # without this the plan recurses (iteration i re-derives
-            # every earlier assignment+update), multiplying stages —
-            # measured 6.7 s → ~1 s at fixture scale. Centroids are
-            # metadata-sized by construction, exactly what a
-            # production trainer persists between iterations.
-            .localCheckpoint()
+    """Shared KM_ITERS-iteration Lloyd run → final (vec_id, v, cid,
+    d2) assignment (see ann_kmeans_clusters for the full contract),
+    held as a RESIDENT ARTIFACT per (application, table version): a
+    production system trains its clustering once and every consumer
+    (cluster report, medoids, purity, semantic dedup) reads the
+    trained assignment — re-running Lloyd per query was the anomaly
+    (review fix; the minhash-index argument). The checkpoint probe is
+    the single-partition touch — the corpus-sized-artifact trade the
+    signature index documents (a full count per hit would pay a whole
+    pass)."""
+    from pim_orc_spark.artifacts import cached_artifact
+
+    def _build() -> DataFrame:
+        e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+        pts = e.select(
+            "vec_id", as_double_vec("embedding", DIM).alias("v")
         )
-    return _km_assign(pts, cents)
+        cents = pts.filter(F.col("vec_id") < KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        )
+        for _ in range(KM_ITERS):
+            assigned = _km_assign(pts, cents)
+            cents = (
+                assigned.select(
+                    "cid", F.posexplode("v").alias("pos", "x")
+                )
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("x"), KM_ROUND).alias("cx"))
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "cx"))
+                    ).alias("pc")
+                )
+                .select("cid", F.col("pc.cx").alias("c"))
+                # materialize the k×dim centroid state each iteration:
+                # without this the plan recurses (iteration i
+                # re-derives every earlier assignment+update),
+                # multiplying stages — measured 6.7 s → ~1 s at
+                # fixture scale. Centroids are metadata-sized by
+                # construction, exactly what a production trainer
+                # persists between iterations.
+                .localCheckpoint()
+            )
+        return _km_assign(pts, cents).localCheckpoint()
+
+    def _probe(df: DataFrame) -> bool:
+        df.isEmpty()
+        return True
+
+    return cached_artifact(
+        "km_assignments", spark, sf_dir, _build, probe=_probe
+    )
 
 
 def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,13 +1115,9 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative lineage computes it twice). Norms are precomputed per
     row BEFORE the pair join (never per pair); the rounded cosine is
     compared against SEM_TAU identically in both engines."""
-    # project the assignment distance out BEFORE the corpus-sized
-    # checkpoint (the medoid report consumes d2; this path doesn't)
-    a = (
-        _km_assignments(spark, sf_dir)
-        .select("vec_id", "v", "cid")
-        .localCheckpoint()
-    )
+    # the assignment is the shared resident artifact (already
+    # checkpointed); project the columns this path needs
+    a = _km_assignments(spark, sf_dir).select("vec_id", "v", "cid")
     nv = a.select(
         "vec_id",
         "v",

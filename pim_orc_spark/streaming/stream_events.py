@@ -209,18 +209,27 @@ def stream_dedup_within_watermark(
     within-watermark form EVICTS a key's state once the watermark
     passes its event time + delay — the property that makes streaming
     dedup runnable forever at 100 TB/day, trading exactness only for
-    duplicate pairs farther apart in event time than the delay. Here
-    both copies carry identical event times (redelivery, not
-    late-arrival), so they are always inside the horizon and the batch
-    oracle is the exact source aggregate: no event lost, none doubled.
+    duplicate pairs farther apart in PROCESSING time than the delay.
+    The duplicates here are fanned out INSIDE each source row
+    (explode to two copies), so a duplicate pair always lands in the
+    same micro-batch REGARDLESS of how the source batches its files —
+    a union of two readStream legs would instead depend on
+    availableNow scheduling both legs' files into one batch, and a
+    multi-file source (or maxFilesPerTrigger) would let the advancing
+    watermark evict state between the legs and re-admit old events
+    (review fix). With same-batch duplicates the collapse is exact
+    and the batch oracle is the source aggregate: no event lost,
+    none doubled.
 
     The post-dedup per-type aggregate runs as a BATCH query over the
     sink table: Spark disallows a second stateful aggregation after
     streaming dedup in append mode without its own watermark, and the
     batch re-aggregation is the same pattern the exactly-once
     foreachBatch sink (stream_foreach_batch_sink) attests."""
-    dup = read_events_stream(spark, sf_dir).unionByName(
+    dup = (
         read_events_stream(spark, sf_dir)
+        .withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("copy")
     )
     deduped = (
         dup.withWatermark("ts", "30 minutes")

@@ -513,7 +513,7 @@ def test_triangle_counts_matches_brute_force(spark):
             sorted(und) or [(98, 99)], "a: long, b: long"  # 98/99: inert
         ).localCheckpoint()
         got = {
-            r.node: r.cnt for r in triangle_counts(spark, e).collect()
+            r.node: r.cnt for r in triangle_counts(e).collect()
         }
         assert got == expect, (sorted(und), got, expect)
 

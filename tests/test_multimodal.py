@@ -166,3 +166,11 @@ def test_bmp_codec_roundtrip_and_validation():
         decode_bmp(bytes(top_down))
     with pt.raises(ValueError, match="truncated pixel plane"):
         decode_bmp(payload[:-3])
+    bad_off = bytearray(payload)
+    struct.pack_into("<I", bad_off, 10, 2)  # offset into the headers
+    with pt.raises(ValueError, match="offset"):
+        decode_bmp(bytes(bad_off))
+    bad_w = bytearray(payload)
+    struct.pack_into("<i", bad_w, 18, 0)  # zero width
+    with pt.raises(ValueError, match="width"):
+        decode_bmp(bytes(bad_w))
