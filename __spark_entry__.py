@@ -187,6 +187,10 @@ PYTEST_ONLY = {
     #                     (the one §2.8 cell with no prior entry);
     #                     oracle = DuckDB nfc_normalize, same Unicode
     #                     composition tables
+    "ann_cluster_separation",  # pairwise centroid distances off the
+    #                     shared _km_state artifact (internal eval
+    #                     half of purity's external); Lloyd contract
+    #                     attested by exported ann_kmeans_clusters
     "stream_dedup_within_watermark",  # dropDuplicatesWithinWatermark
     #                     on a self-unioned source (every event arrives
     #                     twice); the append-dedup shape is attested by

@@ -775,20 +775,22 @@ def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _km_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared KM_ITERS-iteration Lloyd run → final (vec_id, v, cid,
-    d2) assignment (see ann_kmeans_clusters for the full contract),
-    held as a RESIDENT ARTIFACT per (application, table version): a
-    production system trains its clustering once and every consumer
-    (cluster report, medoids, purity, semantic dedup) reads the
-    trained assignment — re-running Lloyd per query was the anomaly
-    (review fix; the minhash-index argument). The checkpoint probe is
-    the single-partition touch — the corpus-sized-artifact trade the
-    signature index documents (a full count per hit would pay a whole
-    pass)."""
+def _km_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared KM_ITERS-iteration Lloyd run → (final assignment, final
+    centroids), held as ONE RESIDENT ARTIFACT per (application, table
+    version): a production system trains its clustering once and
+    every consumer (cluster report, medoids, purity, separation,
+    semantic dedup) reads the trained state — re-running Lloyd per
+    query was the anomaly (review fix; the minhash-index argument).
+    The assignment is (vec_id, v, cid, d2); centroids are (cid, c),
+    k×dim — both checkpointed. The probe is the single-partition
+    touch — the corpus-sized-artifact trade the signature index
+    documents (a full count per hit would pay a whole pass)."""
     from pim_orc_spark.artifacts import cached_artifact
 
-    def _build() -> DataFrame:
+    def _build() -> tuple[DataFrame, DataFrame]:
         e = spread(spark, load_table(spark, sf_dir, "embeddings"))
         pts = e.select(
             "vec_id", as_double_vec("embedding", DIM).alias("v")
@@ -820,15 +822,21 @@ def _km_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # persists between iterations.
                 .localCheckpoint()
             )
-        return _km_assign(pts, cents).localCheckpoint()
+        return _km_assign(pts, cents).localCheckpoint(), cents
 
-    def _probe(df: DataFrame) -> bool:
-        df.isEmpty()
+    def _probe(art: tuple[DataFrame, DataFrame]) -> bool:
+        art[0].isEmpty()
         return True
 
     return cached_artifact(
-        "km_assignments", spark, sf_dir, _build, probe=_probe
+        "km_state", spark, sf_dir, _build, probe=_probe
     )
+
+
+def _km_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd assignment view of the shared ``_km_state``
+    artifact (see its docstring for the caching contract)."""
+    return _km_state(spark, sf_dir)[0]
 
 
 def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,6 +956,59 @@ def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("b.neg_n")).cast("long").alias("n_majority"),
         )
         .orderBy("cluster_id")
+    )
+
+
+def ann_cluster_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERNAL clustering evaluation — pairwise squared distances
+    between the final centroids (the between-cluster half of a
+    Davies-Bouldin-style report; ``ann_cluster_purity`` is the
+    external half, ``ann_cluster_medoids`` carries within-cluster
+    inertia): close centroid pairs flag clusters a SemDeDup pass
+    should treat as one semantic group, and the minimum separation is
+    the k-selection diagnostic every clustering deployment watches.
+
+    Reads the k×dim centroid relation straight from the shared
+    ``_km_state`` artifact — no corpus pass at all; the k²/2 pair
+    relation is metadata-sized (k ≪ √corpus by construction), so the
+    self-join broadcasts. Distances use the same sequential-fold dot
+    kernel and KM_ROUND rounding as the assignment step, so both
+    engines compute identical doubles."""
+    _, cents = _km_state(spark, sf_dir)
+    a = cents.select(
+        F.col("cid").alias("cid_a"), F.col("c").alias("ca")
+    )
+    b = cents.select(
+        F.col("cid").alias("cid_b"), F.col("c").alias("cb")
+    )
+    d2 = F.round(
+        F.expr(
+            f"{dot_unrolled_sql('ca', 'ca', DIM)}"
+            f" - 2 * {dot_unrolled_sql('ca', 'cb', DIM)}"
+            f" + {dot_unrolled_sql('cb', 'cb', DIM)}"
+        ),
+        KM_ROUND,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("cid_a") < F.col("cid_b"))
+        .select("cid_a", "cid_b", d2.alias("dist2"))
+        .orderBy("cid_a", "cid_b")
+    )
+
+
+def _separation_sql() -> str:
+    return (
+        _kmeans_cte_prefix()
+        + f"""
+SELECT a.cid AS cid_a, b.cid AS cid_b,
+       round(list_dot_product(a.c, a.c)
+             - 2 * list_dot_product(a.c, b.c)
+             + list_dot_product(b.c, b.c), {KM_ROUND}) AS dist2
+FROM c{KM_ITERS} a JOIN c{KM_ITERS} b ON a.cid < b.cid
+ORDER BY cid_a, cid_b
+"""
     )
 
 
@@ -1132,6 +1193,7 @@ QUERIES = {
     "ann_kmeans_clusters": ann_kmeans_clusters,
     "ann_cluster_medoids": ann_cluster_medoids,
     "ann_cluster_purity": ann_cluster_purity,
+    "ann_cluster_separation": ann_cluster_separation,
     "dedup_semantic_pairs": dedup_semantic_pairs,
     "ann_cosine_topk_vectorized": ann_cosine_topk_vectorized,
     "ann_rp_topk": ann_rp_topk,
@@ -1543,6 +1605,7 @@ ORACLES = {
     "ann_kmeans_clusters": _kmeans_sql(),
     "ann_cluster_medoids": _medoids_sql(),
     "ann_cluster_purity": _purity_sql(),
+    "ann_cluster_separation": _separation_sql(),
     "dedup_semantic_pairs": _semantic_pairs_sql(),
     "ann_rp_topk": _rp_sql(),
     "ann_pq_topk": _pq_sql(),
