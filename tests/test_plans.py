@@ -549,6 +549,25 @@ def test_round9_operators_have_the_claimed_plan_shapes(spark, sf_dir):
         assert m["python"] >= 1, m["plan"][:1500]
 
 
+def test_locf_interpolate_one_window_no_corpus_rescan(spark, sf_dir):
+    """q72's docstring claims, machine-checked: the corpus is scanned
+    only inside the checkpointed hourly aggregate (the final plan has
+    ZERO file scans), and both ignore-nulls navigation directions ride
+    ONE Window node over ONE sort — a naive forward+backward pass
+    would pay a second sort/exchange."""
+    import re
+
+    from pim_orc_spark.operators.relational import q72_locf_interpolate
+
+    df = q72_locf_interpolate(spark, sf_dir)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = s.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"FileScan|Scan parquet", s)) == 0, s[:1500]
+    assert len(re.findall(r"\bWindow\b", s)) == 1, s[:1500]
+    assert len(re.findall(r"\bSort\b", s)) == 1, s[:1500]
+
+
 def test_rolling_window_single_shuffle_no_self_join(spark, sf_dir):
     """q71's docstring claim: the trailing-hour rolling aggregate is
     ONE user_id exchange + one sort + one Window node evaluating a
