@@ -191,6 +191,11 @@ PYTEST_ONLY = {
     #                     shared _km_state artifact (internal eval
     #                     half of purity's external); Lloyd contract
     #                     attested by exported ann_kmeans_clusters
+    "q75_observed_metrics",  # Observation API: whole-scan audit
+    #                     metrics riding the top-k primary pass (no
+    #                     second scan); the top-k plan family is
+    #                     attested by exported q31's
+    #                     TakeOrderedAndProject
     "stream_dedup_within_watermark",  # dropDuplicatesWithinWatermark
     #                     on a self-unioned source (every event arrives
     #                     twice); the append-dedup shape is attested by

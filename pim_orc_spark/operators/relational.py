@@ -2685,6 +2685,66 @@ def q74_grouping_sets_front_door(
     return spark.sql(_Q74_SQL)
 
 
+def q75_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBSERVABLE METRICS (``DataFrame.observe`` / ``Observation``) —
+    accumulator-backed aggregates that ride an UNRELATED primary pass
+    for free: here a top-10-by-price query is the paying workload, and
+    the full-scan row count + exact cents total are collected by the
+    SAME job, not a second scan. At 100 TB this is the difference
+    between auditing an ETL pass and DOUBLING it — exactly the
+    always-on accounting the reference's per-thread counters provide
+    (reader.cc's rows/bytes tallies), expressed through Spark's native
+    metrics channel instead of a side query.
+
+    Determinism: the observed metrics are whole-relation aggregates
+    (count + order-independent integer-cents sum), and the primary
+    result folds to a checksum over a TOTALLY ordered top-k (price
+    desc, orderkey, linenumber — a unique triple), so the 1-row output
+    is engine-comparable. The oracle recomputes all three as scalar
+    subqueries."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    obs = Observation("scan_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_extendedprice")).alias("sum_cents"),
+    )
+    topk = (
+        observed.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(10)
+        .select("l_orderkey")
+        .collect()  # the primary pass; the metrics ride this job
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_cents"]),
+                int(sum(r.l_orderkey for r in topk)),
+            )
+        ],
+        "n_rows: long, sum_cents: long, topk_keysum: long",
+    )
+
+
+_Q75_SQL = """
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) FROM lineitem) AS sum_cents,
+       (SELECT CAST(SUM(l_orderkey) AS BIGINT) FROM (
+          SELECT l_orderkey FROM lineitem
+          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+          LIMIT 10)) AS topk_keysum
+"""
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -3628,6 +3688,7 @@ QUERIES = {
     "q72_locf_interpolate": q72_locf_interpolate,
     "q73_triangle_count": q73_triangle_count,
     "q74_grouping_sets_front_door": q74_grouping_sets_front_door,
+    "q75_observed_metrics": q75_observed_metrics,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -3705,6 +3766,7 @@ ORACLES = {
     "q72_locf_interpolate": _Q72_SQL,
     "q73_triangle_count": _Q73_SQL,
     "q74_grouping_sets_front_door": _Q74_SQL,
+    "q75_observed_metrics": _Q75_SQL,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,
