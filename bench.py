@@ -75,6 +75,11 @@ HEADLINE = [
     # multi-pass shape in the suite (edges materialized once, one
     # edge⋈rank shuffle per iteration), unlike anything else benched
     "q65_nation_pagerank",
+    # ADDITIVE round-11 slot (r10 verdict #2: at most one new slot, and
+    # this is its pick): degree-oriented triangle counting — the
+    # wedge-join graph shape (two chained edge joins over the shared
+    # _trade_edges artifact), unlike q65's per-iteration rank shuffle
+    "q73_triangle_count",
 ]
 
 
