@@ -735,6 +735,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K = 8  # clusters — fixture-sized; the plan is k-independent
 KM_ITERS = 2  # Lloyd iterations (fixed => SQL-unrollable oracle)
 KM_ROUND = 6  # dp rounding making centroid updates cross-engine exact
+KM_TARGET_CLUSTER_ROWS = 4096  # SemDeDup regime: k ≈ n / cluster size
+KM_MAX_K = 65536  # k×dim×8B broadcast cap: 64-dim → 32 MB centroids
+
+
+def _km_k(n_rows: int) -> int:
+    """Scale-derived cluster count, the `_ivf_stride` policy applied
+    to Lloyd training: k ≈ n / KM_TARGET_CLUSTER_ROWS (the SemDeDup
+    regime — cluster size, not cluster count, is what the within-
+    cluster pair join's cost depends on), floored at the fixture's
+    KM_K and capped at KM_MAX_K so the broadcast centroid relation
+    stays bounded (64-dim float64 → ≤ 32 MB) at ANY corpus size. The
+    EXPORTED queries stay pinned at k=KM_K so the unrolled SQL oracle
+    survives; production callers pass k=_km_k(count) to `_km_state`."""
+    if n_rows <= 0:
+        return KM_K
+    return max(KM_K, min(KM_MAX_K, n_rows // KM_TARGET_CLUSTER_ROWS))
 
 
 def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
@@ -776,26 +792,37 @@ def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _km_state(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> tuple[DataFrame, DataFrame, tuple[int, ...]]:
     """Shared KM_ITERS-iteration Lloyd run → (final assignment, final
-    centroids), held as ONE RESIDENT ARTIFACT per (application, table
-    version): a production system trains its clustering once and
-    every consumer (cluster report, medoids, purity, separation,
-    semantic dedup) reads the trained state — re-running Lloyd per
-    query was the anomaly (review fix; the minhash-index argument).
-    The assignment is (vec_id, v, cid, d2); centroids are (cid, c),
-    k×dim — both checkpointed. The probe is the single-partition
-    touch — the corpus-sized-artifact trade the signature index
-    documents (a full count per hit would pay a whole pass)."""
+    centroids, hot cluster ids), held as ONE RESIDENT ARTIFACT per
+    (application, table version): a production system trains its
+    clustering once and every consumer (cluster report, medoids,
+    purity, separation, semantic dedup) reads the trained state —
+    re-running Lloyd per query was the anomaly (review fix; the
+    minhash-index argument). The assignment is (vec_id, v, cid, d2);
+    centroids are (cid, c), k×dim — both checkpointed. The hot set
+    (clusters whose size exceeds SEM_HOT_CLUSTER — the clusters the
+    semantic-dedup pair join must salt) is a PURE FUNCTION of the
+    assignment, so it is computed once here — one k-row aggregate at
+    build time, ≤ k ints held driver-side like the codebooks — instead
+    of a probe job per `dedup_semantic_pairs` call (r10 verdict #3).
+    The probe is the single-partition touch — the corpus-sized-artifact
+    trade the signature index documents (a full count per hit would
+    pay a whole pass).
+
+    ``k``: cluster count, default the fixture-pinned KM_K (what every
+    exported query uses, keeping the unrolled SQL oracle valid). A
+    production caller scales it with `_km_k(corpus_rows)`; each k gets
+    its own artifact cache entry."""
     from pim_orc_spark.artifacts import cached_artifact
 
-    def _build() -> tuple[DataFrame, DataFrame]:
+    def _build() -> tuple[DataFrame, DataFrame, tuple[int, ...]]:
         e = spread(spark, load_table(spark, sf_dir, "embeddings"))
         pts = e.select(
             "vec_id", as_double_vec("embedding", DIM).alias("v")
         )
-        cents = pts.filter(F.col("vec_id") < KM_K).select(
+        cents = pts.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("c")
         )
         for _ in range(KM_ITERS):
@@ -822,14 +849,28 @@ def _km_state(
                 # persists between iterations.
                 .localCheckpoint()
             )
-        return _km_assign(pts, cents).localCheckpoint(), cents
+        assigned = _km_assign(pts, cents).localCheckpoint()
+        hot_cids = tuple(
+            sorted(
+                r["cid"]
+                for r in assigned.groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > SEM_HOT_CLUSTER)
+                .collect()
+            )
+        )
+        return assigned, cents, hot_cids
 
-    def _probe(art: tuple[DataFrame, DataFrame]) -> bool:
+    def _probe(art: tuple[DataFrame, DataFrame, tuple[int, ...]]) -> bool:
         art[0].isEmpty()
         return True
 
     return cached_artifact(
-        "km_state", spark, sf_dir, _build, probe=_probe
+        "km_state" if k == KM_K else f"km_state_k{k}",
+        spark,
+        sf_dir,
+        _build,
+        probe=_probe,
     )
 
 
@@ -976,7 +1017,7 @@ def ann_cluster_separation(
     self-join broadcasts. Distances use the same sequential-fold dot
     kernel and KM_ROUND rounding as the assignment step, so both
     engines compute identical doubles."""
-    _, cents = _km_state(spark, sf_dir)
+    _, cents, _ = _km_state(spark, sf_dir)
     a = cents.select(
         F.col("cid").alias("cid_a"), F.col("c").alias("ca")
     )
@@ -1075,6 +1116,7 @@ def _semantic_pairs_from(
     nv: DataFrame,
     salt: int = SEM_SALT,
     hot_threshold: int = SEM_HOT_CLUSTER,
+    hot_cids: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Within-cluster cosine pair join over (vec_id, v, cid, nrm),
     with hot clusters SALTED: the equi-key of the self-join is the
@@ -1084,19 +1126,27 @@ def _semantic_pairs_from(
     solves for MinHash, dedup.py:210-376; same fix here, learned
     buckets instead of hashed ones).
 
-    Mechanics mirror the band join: a partial-aggregated size count
-    finds clusters > ``hot_threshold`` (the hot set is ≤ k rows —
-    always broadcast); the left side gets salt = xxhash64(vec_id) %
-    ``salt`` for hot clusters (0 otherwise); the right side explodes
-    all ``salt`` values for hot clusters. Every (a, b) pair still
-    meets on exactly one (cid, salt) cell — the OUTPUT IS IDENTICAL to
-    the unsalted join for any salt count (property-tested) — but a hot
-    cluster's pair work now spreads across ``salt`` tasks. The join is
-    pinned sort-merge: at corpus scale neither side broadcasts, and a
-    deterministic strategy keeps the measured plan stable across SFs.
-    When no cluster is hot the plain cid join runs (no tag join, no
-    explode) — the probe costs one k-row aggregate over the
-    checkpointed assignments."""
+    Mechanics mirror the band join: clusters > ``hot_threshold`` form
+    the hot set (≤ k ids — metadata-sized by construction); the left
+    side gets salt = xxhash64(vec_id) % ``salt`` for hot clusters (0
+    otherwise); the right side explodes all ``salt`` values for hot
+    clusters. Every (a, b) pair still meets on exactly one (cid, salt)
+    cell — the OUTPUT IS IDENTICAL to the unsalted join for any salt
+    count (property-tested) — but a hot cluster's pair work now
+    spreads across ``salt`` tasks. The join is pinned sort-merge: at
+    corpus scale neither side broadcasts, and a deterministic strategy
+    keeps the measured plan stable across SFs. When no cluster is hot
+    the plain cid join runs (no tagging, no explode).
+
+    ``hot_cids``: the precomputed hot set. ``dedup_semantic_pairs``
+    passes it from the shared ``_km_state`` artifact (where it is a
+    build-time byproduct of the assignment), so reusing the trained
+    state costs ZERO extra jobs here (r10 verdict #3 — previously a
+    probe aggregate ran per call). When None (ad-hoc callers, the
+    salt-invariance property test), one bounded k-row aggregate
+    derives it. Hotness is tagged with an ``isin`` literal over ≤ k
+    ints — a codegen-resident predicate, cheaper than the broadcast
+    tag join it replaces."""
     b_cols = [
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
@@ -1121,16 +1171,20 @@ def _semantic_pairs_from(
             .orderBy("vec_a", "vec_b")
         )
 
-    hot = (
-        nv.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > hot_threshold)
-        .select("cid", F.lit(True).alias("is_hot"))
-    )
-    if hot.limit(1).count() == 0:
+    if hot_cids is None:
+        hot_cids = tuple(
+            sorted(
+                r["cid"]
+                for r in nv.groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > hot_threshold)
+                .collect()
+            )
+        )
+    if not hot_cids:
         left = nv.hint("shuffle_merge")
         return finish(left.join(nv.select(*b_cols), "cid"))
-    tagged = nv.join(F.broadcast(hot), "cid", "left")
+    tagged = nv.withColumn("is_hot", F.col("cid").isin(*hot_cids))
     left = tagged.select(
         "vec_id",
         "v",
@@ -1168,24 +1222,26 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_semantic_pairs_from`), so no single cluster decides the job's
     wall clock even when k is small relative to the corpus.
 
-    Reuses the shared _km_assignments Lloyd run (identical contract to
+    Reuses the shared _km_state Lloyd run (identical contract to
     ann_kmeans_clusters, so the oracle reuses the same unrolled CTE
-    prefix), localCheckpointed ONCE: both sides of the self-join and
-    the hot-cluster probe read the materialized assignment instead of
-    re-deriving the Lloyd lineage (a self-join over an unmaterialized
-    iterative lineage computes it twice). Norms are precomputed per
-    row BEFORE the pair join (never per pair); the rounded cosine is
-    compared against SEM_TAU identically in both engines."""
-    # the assignment is the shared resident artifact (already
-    # checkpointed); project the columns this path needs
-    a = _km_assignments(spark, sf_dir).select("vec_id", "v", "cid")
-    nv = a.select(
+    prefix), localCheckpointed ONCE: both sides of the self-join read
+    the materialized assignment instead of re-deriving the Lloyd
+    lineage (a self-join over an unmaterialized iterative lineage
+    computes it twice), and the hot-cluster set arrives precomputed
+    from the artifact — artifact reuse launches no probe job at all.
+    Norms are precomputed per row BEFORE the pair join (never per
+    pair); the rounded cosine is compared against SEM_TAU identically
+    in both engines."""
+    # the assignment + hot set are the shared resident artifact
+    # (already checkpointed); project the columns this path needs
+    assigned, _, hot_cids = _km_state(spark, sf_dir)
+    nv = assigned.select(
         "vec_id",
         "v",
         "cid",
         F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias("nrm"),
     )
-    return _semantic_pairs_from(nv)
+    return _semantic_pairs_from(nv, hot_cids=hot_cids)
 
 
 QUERIES = {

@@ -123,3 +123,110 @@ def test_semantic_pairs_invariant_under_salt(spark):
     assert unsalted, "fixture must produce at least one pair"
     for salt, hot in ((2, 0), (5, 0), (8, 30), (3, 59)):
         assert pairs(salt, hot) == unsalted, (salt, hot)
+    # a PRECOMPUTED hot set (the _km_state artifact path) must agree
+    # with the derived one — both the all-hot and none-hot literals
+    got = _semantic_pairs_from(nv, salt=4, hot_cids=(0, 1, 2, 3, 4)).collect()
+    assert sorted((r.vec_a, r.vec_b, r.cos) for r in got) == unsalted
+    got = _semantic_pairs_from(nv, salt=4, hot_cids=()).collect()
+    assert sorted((r.vec_a, r.vec_b, r.cos) for r in got) == unsalted
+
+
+def test_km_k_scales_with_corpus_and_stays_bounded():
+    """`_km_k` is the `_ivf_stride` policy for Lloyd: k tracks
+    n / KM_TARGET_CLUSTER_ROWS, floored at the fixture KM_K and capped
+    at KM_MAX_K so the broadcast centroid relation stays bounded at
+    any corpus size."""
+    s = similarity
+    assert s._km_k(0) == s.KM_K
+    assert s._km_k(500) == s.KM_K  # fixture scale stays pinned
+    assert s._km_k(10 * s.KM_TARGET_CLUSTER_ROWS) == 10
+    assert s._km_k(10**12) == s.KM_MAX_K  # 1T vectors: capped
+    for n in (0, 1, 500, 10**6, 10**9, 10**12):
+        assert s.KM_K <= s._km_k(n) <= s.KM_MAX_K
+
+
+def test_kmeans_at_non_default_k_matches_sequential_reference(spark):
+    """r10 verdict #6: the shared Lloyd run is k-parameterized. The
+    exported queries stay pinned at KM_K (their unrolled SQL oracle
+    depends on it); this proves the SAME deterministic contract holds
+    at a non-default k against a pure-Python sequential-fold reference
+    (seeds = k lowest vec_ids, KM_ITERS iterations, KM_ROUND-rounded
+    distances and means, ties to the lowest cluster id)."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    k = 5
+    assert k != similarity.KM_K
+    assigned, cents, _ = similarity._km_state(spark, sf, k=k)
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in assigned.select("vec_id", "cid").collect()
+    }
+
+    tbl = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(tbl["vec_id"], tbl["embedding"])
+    }
+
+    def dot(a, b):  # the dot_unrolled left fold, term for term
+        acc = a[0] * b[0]
+        for i in range(1, similarity.DIM):
+            acc += a[i] * b[i]
+        return acc
+
+    def assign(cent):  # cent: [(cid, vector)] ascending cid
+        out = {}
+        for i, v in vecs.items():
+            vv = dot(v, v)
+            best = None
+            for cid, c in cent:
+                d2 = round(vv - 2 * dot(v, c) + dot(c, c), similarity.KM_ROUND)
+                if best is None or d2 < best[0]:  # tie keeps lower cid
+                    best = (d2, cid)
+            out[i] = best[1]
+        return out
+
+    cent = sorted((i, v) for i, v in vecs.items() if i < k)
+    for _ in range(similarity.KM_ITERS):
+        a = assign(cent)
+        cent = [
+            (
+                cid,
+                [
+                    round(
+                        sum(vecs[i][d] for i in a if a[i] == cid)
+                        / sum(1 for i in a if a[i] == cid),
+                        similarity.KM_ROUND,
+                    )
+                    for d in range(similarity.DIM)
+                ],
+            )
+            for cid in sorted(set(a.values()))
+        ]
+    expect = assign(cent)
+    assert got == expect
+    assert cents.count() == len(cent)
+
+
+def test_semantic_pairs_reuse_launches_no_probe_job(spark, sf_dir):
+    """r10 verdict #3: with the _km_state artifact warm, constructing
+    the dedup_semantic_pairs plan must launch at most ONE Spark job —
+    the cached_artifact validation probe (a single-partition isEmpty
+    touch guarding lost checkpoint blocks). The hot-cluster set is a
+    build-time byproduct of the artifact, not a per-call probe: the
+    old code additionally ran a hot.limit(1).count() aggregate during
+    plan construction on every call (two jobs on reuse, now one)."""
+    similarity._km_state(spark, sf_dir)  # warm (or reuse) the artifact
+    sc = spark.sparkContext
+    sc.setJobGroup("semdedup-plan", "construction = validation probe only")
+    try:
+        df = similarity.dedup_semantic_pairs(spark, sf_dir)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("semdedup-plan")
+    assert len(jobs) <= 1, f"plan construction launched jobs: {jobs}"
+    assert df.columns == ["vec_a", "vec_b", "cos"]
