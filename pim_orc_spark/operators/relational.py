@@ -2745,6 +2745,137 @@ SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
 """
 
 
+# Statistics-driven optimization (CBO): the columns ANALYZE collects
+# per table — join keys (ndv drives join-cardinality estimates) plus
+# the filter/agg columns (ndv drives filter selectivity).
+_CBO_STATS_COLS = {
+    "lineitem": "l_orderkey, l_extendedprice",
+    "orders": "o_orderkey, o_custkey, o_orderpriority",
+    "customer": "c_custkey, c_mktsegment",
+}
+
+# Written in a DELIBERATELY pessimal syntactic order: fact ⋈ fact-sized
+# orders FIRST, the selective customer filter LAST. Rule-based planning
+# keeps that order; the cost-based reorder must discover that joining
+# the ~1/5-selectivity customer side into orders first shrinks the
+# intermediate by an order of magnitude before lineitem ever joins.
+_CBO_JOIN_SQL_FMT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM {li} JOIN {o} ON l_orderkey = o_orderkey
+          JOIN {c} ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _cbo_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """EXTERNAL CATALOG TABLES over the fixture parquet, ANALYZEd once
+    per (application, table version) — ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS`` needs a catalog table (temp views carry no
+    persisted stats), so the CBO surface gets its own registrations,
+    name-tagged by table directory so coexisting scale factors never
+    alias. Returns fixture-name → catalog-name. The stats pass is the
+    Spark analogue of the reference's plan-from-metadata step
+    (reader.cc:104-112 sizes its thread fan-out from stripe row counts
+    in the footer BEFORE reading any data); here the optimizer consumes
+    rowCount + per-column ndv the same way, before execution."""
+    import os
+    import re
+
+    from pim_orc_spark.artifacts import cached_artifact
+
+    def _build() -> dict[str, str]:
+        tag = re.sub(
+            r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
+        ).strip("_")
+        names: dict[str, str] = {}
+        for t, cols in _CBO_STATS_COLS.items():
+            tbl = f"cbo_{t}_{tag}"
+            path = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+            # DROP first: a table-version bump (mtime key change)
+            # must re-point and re-ANALYZE, never serve stale stats
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{path}'")
+            spark.sql(
+                f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+            names[t] = tbl
+        return names
+
+    return cached_artifact("cbo_tables", spark, sf_dir, _build)
+
+
+def _cbo_confs(spark: SparkSession, enabled: bool) -> dict[str, str]:
+    """Set the two CBO switches, returning the previous values (caller
+    restores in a finally)."""
+    confs = {
+        "spark.sql.cbo.enabled": str(enabled).lower(),
+        "spark.sql.cbo.joinReorder.enabled": str(enabled).lower(),
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return old
+
+
+def q76_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICS-DRIVEN JOIN REORDERING — the cost-based-optimizer
+    surface (SURVEY §4.1's one undemonstrated corner): ANALYZE TABLE
+    collects rowCount + column ndv over the three catalog tables, and
+    with ``spark.sql.cbo.enabled`` + ``joinReorder.enabled`` Catalyst's
+    CostBasedJoinReorder rewrites the deliberately fact-first join
+    text (lineitem ⋈ orders first, filtered customer last) into the
+    selective order (orders ⋈ σ(customer) first) — planning from
+    metadata before touching data, exactly the reference's
+    stripe-rowcount thread planning (reader.cc:104-112) lifted to join
+    trees. The reorder is machine-asserted in tests/test_plans.py
+    (optimized plan with stats+CBO differs from the rule-based plan
+    and joins the filtered dimension innermost); the RESULT is
+    CBO-invariant, so the oracle is simply the same query.
+
+    Execution happens inside the conf window (localCheckpoint), so the
+    returned relation was genuinely planned by the CBO path while the
+    session's default planning stays untouched for every other query.
+
+    100 TB shape: at scale the reorder is the difference between an
+    intermediate the size of the fact table and one the size of the
+    filtered dimension's line set — the class of error no amount of
+    executor count absorbs; stats make the optimizer catch it at plan
+    time."""
+    t = _cbo_tables(spark, sf_dir)
+    old = _cbo_confs(spark, True)
+    try:
+        df = spark.sql(
+            _CBO_JOIN_SQL_FMT.format(
+                li=t["lineitem"], o=t["orders"], c=t["customer"]
+            )
+        )
+        # materialize while CBO is on: the conf is read at optimization
+        # time, which is lazy — returning an unexecuted plan and then
+        # restoring the confs would silently plan rule-based later
+        return df.localCheckpoint()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+_Q76_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -3689,6 +3820,7 @@ QUERIES = {
     "q73_triangle_count": q73_triangle_count,
     "q74_grouping_sets_front_door": q74_grouping_sets_front_door,
     "q75_observed_metrics": q75_observed_metrics,
+    "q76_cbo_join_reorder": q76_cbo_join_reorder,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -3767,6 +3899,7 @@ ORACLES = {
     "q73_triangle_count": _Q73_SQL,
     "q74_grouping_sets_front_door": _Q74_SQL,
     "q75_observed_metrics": _Q75_SQL,
+    "q76_cbo_join_reorder": _Q76_SQL,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,

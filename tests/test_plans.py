@@ -549,6 +549,61 @@ def test_round9_operators_have_the_claimed_plan_shapes(spark, sf_dir):
         assert m["python"] >= 1, m["plan"][:1500]
 
 
+def test_cbo_stats_reorder_the_join_tree(spark, sf_dir):
+    """q76's claim, machine-checked: with ANALYZE'd column statistics
+    and spark.sql.cbo.(joinReorder.)enabled, Catalyst's
+    CostBasedJoinReorder rewrites the deliberately fact-first join
+    text. Rule-based planning keeps the syntactic order — lineitem is
+    the first leaf of the join tree — while the cost-based plan joins
+    orders with the FILTERED customer side before lineitem ever
+    enters (the intermediate shrinks from |lineitem| to the filtered
+    customer's order lines). Results must be identical either way."""
+    from pim_orc_spark.operators.relational import (
+        _CBO_JOIN_SQL_FMT,
+        _cbo_confs,
+        _cbo_tables,
+        q76_cbo_join_reorder,
+    )
+
+    t = _cbo_tables(spark, sf_dir)
+    sql = _CBO_JOIN_SQL_FMT.format(
+        li=t["lineitem"], o=t["orders"], c=t["customer"]
+    )
+
+    def optimized(enabled):
+        old = _cbo_confs(spark, enabled)
+        try:
+            df = spark.sql(sql)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            rows = sorted(map(tuple, df.collect()))
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+        return plan, rows
+
+    base_plan, base_rows = optimized(False)
+    cbo_plan, cbo_rows = optimized(True)
+    assert cbo_rows == base_rows  # the reorder may never change values
+    assert base_rows  # non-degenerate fixture
+
+    def leaf_order(plan):
+        return sorted(
+            (plan.index(f"cbo_{t}_"), t)
+            for t in ("lineitem", "orders", "customer")
+        )
+
+    # rule-based: syntactic order — lineitem is the first leaf
+    assert leaf_order(base_plan)[0][1] == "lineitem", base_plan[:1500]
+    # cost-based: the filtered-customer⋈orders join goes innermost;
+    # lineitem joins LAST, so it is no longer the first leaf
+    assert leaf_order(cbo_plan)[0][1] != "lineitem", cbo_plan[:1500]
+    assert cbo_plan != base_plan
+
+    # the exported operator materializes under CBO and matches too
+    out = sorted(map(tuple, q76_cbo_join_reorder(spark, sf_dir).collect()))
+    assert out == base_rows
+
+
 def test_locf_interpolate_one_window_no_corpus_rescan(spark, sf_dir):
     """q72's docstring claims, machine-checked: the corpus is scanned
     only inside the checkpointed hourly aggregate (the final plan has
