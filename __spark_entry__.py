@@ -125,6 +125,19 @@ def _modules():
 #                           DSv2) + the PushedAggregation plan
 #                           assertion in tests/test_plans.py (ORC DSv2)
 PYTEST_ONLY = {
+    # ROUND-11 ATTESTATION QUEUE: born this round with the budget
+    # already full; promote in the r11→r12 rotation (oracle-checked in
+    # pytest every round until then):
+    "q76_cbo_join_reorder",  # ANALYZE TABLE column stats + CBO join
+    #                     reorder, executed-plan-asserted in
+    #                     test_plans.py; the join-tree answer itself is
+    #                     attested by exported q31/q32 (same
+    #                     fact⋈orders⋈customer family)
+    "multimodal_png_decode",  # fourth real codec, first COMPRESSED one
+    #                     (zlib DEFLATE + CRC-guarded chunks + all five
+    #                     scanline unfilters); the encode→decode→
+    #                     features mapInPandas family is attested by
+    #                     exported multimodal_wav_decode/_bmp_decode
     # ROUND-11 ROTATION (verdict r10 #1, executing the plan round 10
     # forfeited): ALL 18 round-9-born operators that waited two rounds
     # without a driver CORRECTNESS row are promoted in one pass —
