@@ -996,6 +996,43 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_decode_png_batch, PPM_FEATURE_SCHEMA)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, pattern: str = "*"
+) -> DataFrame:
+    """Ingest opaque media FILES via Spark's ``binaryFile`` source —
+    (path, modificationTime, length, content) per file. This is how a
+    100 TB image/audio corpus actually arrives (an object store of
+    files, not a pre-extracted payload column); the synthesized-payload
+    operators above share their decode kernels with this path, so the
+    only difference is the scan. ``pathGlobFilter`` prunes at FILE
+    LISTING time (non-matching files are never opened), the
+    binary-source analogue of partition pruning."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+
+
+def multimodal_png_dir_features(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """File-based twin of ``multimodal_png_decode``: read a DIRECTORY
+    of ``doc_<id>.png`` files through the binaryFile source, recover
+    the document key from the file path (the standard layout-metadata
+    join every file-corpus ingest performs), and run the SAME real PNG
+    decode kernel. Map-only: listing → scan → project → Arrow-batched
+    decode; no shuffle at any corpus size."""
+    files = read_binary_files(spark, path, "*.png")
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return payloads.mapInPandas(_decode_png_batch, PPM_FEATURE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_bmp_decode": multimodal_bmp_decode,

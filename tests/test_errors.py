@@ -178,3 +178,63 @@ def test_round9_text_operators_handle_empty_corpus(spark, tmp_path):
     assert text_pii_redact(spark, sf).count() == 0
     assert text_url_filter(spark, sf).count() == 0
     assert dedup_span_report(spark, sf).count() == 0
+
+
+def test_task_retry_yields_exactly_once_results():
+    """FAULT TOLERANCE: on a 1000-executor cluster task attempts FAIL
+    routinely (preemption, OOM-killed executors, flaky disks) and the
+    engine's results must be attempt-count-invariant. Inject a
+    first-attempt failure into EVERY task of a Python map stage (via
+    TaskContext.attemptNumber) under a retry-enabled master
+    (local[4,3]) and prove the downstream shuffle aggregate equals the
+    closed-form answer — no lost rows, no duplicated rows, from
+    re-executed map tasks feeding a shuffle. Runs in a subprocess: the
+    shared test session is local[8] (maxFailures=1 — any task failure
+    is fatal there by design), and one JVM allows one SparkContext."""
+    import subprocess
+    import sys
+
+    script = r"""
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[4, 3]").appName("retry-proof")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+N, K, PARTS = 100_000, 97, 8
+df = spark.range(0, N, 1, PARTS).selectExpr("id", f"id % {K} AS k")
+
+def flaky(batches):
+    from pyspark import TaskContext
+
+    if TaskContext.get().attemptNumber() == 0:
+        raise RuntimeError("injected first-attempt failure")
+    for pdf in batches:
+        yield pdf
+
+flaked = df.mapInPandas(flaky, "id long, k long")
+agg = flaked.groupBy("k").agg(
+    F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+)
+rows = {r["k"]: (r["n"], r["s"]) for r in agg.collect()}
+exp = {}
+for k in range(K):
+    n = (N - 1 - k) // K + 1  # ids k, k+K, ... < N
+    s = n * k + K * (n * (n - 1) // 2)
+    exp[k] = (n, s)
+assert rows == exp, "task retries changed the aggregate"
+print("RETRY_OK", len(rows))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "RETRY_OK 97" in out.stdout, (out.stdout, out.stderr[-2000:])
+    # the injected failures really happened (every task lost attempt 0)
+    assert "injected first-attempt failure" in out.stderr

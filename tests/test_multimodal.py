@@ -266,3 +266,47 @@ def test_bmp_codec_roundtrip_and_validation():
     struct.pack_into("<i", bad_w, 18, 0)  # zero width
     with pt.raises(ValueError, match="width"):
         decode_bmp(bytes(bad_w))
+
+
+def test_binary_file_source_decodes_png_directory(spark, tmp_path):
+    """The binaryFile source path: a directory of real .png files (plus
+    a decoy the glob must never open) reads back through the SAME
+    decode kernel as the column-synthesized pipeline, keyed by the
+    doc id recovered from each file path. Features must equal the
+    closed-form pixel sums, and the plan must be map-only."""
+    import numpy as np
+
+    from pim_orc_spark.operators.multimodal import (
+        _png_dims,
+        _png_pixels,
+        encode_png,
+        multimodal_png_dir_features,
+    )
+
+    expected = {}
+    for doc_id in range(24):
+        w, h = _png_dims(doc_id)
+        img = _png_pixels(doc_id, w, h)
+        (tmp_path / f"doc_{doc_id}.png").write_bytes(encode_png(img, doc_id))
+        px = img.astype(np.int64)
+        expected[doc_id] = (
+            w, h,
+            int(px[:, :, 0].sum()),
+            int(px[:, :, 1].sum()),
+            int(px[:, :, 2].sum()),
+        )
+    # a decoy file the *.png glob must prune at LISTING time — if it
+    # were opened, the decoder would raise on the bad signature
+    (tmp_path / "doc_9999.txt").write_bytes(b"not a png")
+
+    df = multimodal_png_dir_features(spark, str(tmp_path))
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in df.collect()
+    }
+    assert got == expected
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]

@@ -604,6 +604,40 @@ def test_cbo_stats_reorder_the_join_tree(spark, sf_dir):
     assert out == base_rows
 
 
+def test_cbo_tables_carry_row_and_column_stats(spark, sf_dir):
+    """The ANALYZE pass behind q76 must leave auditable statistics in
+    the catalog: table-level row counts (DESCRIBE EXTENDED's
+    Statistics line) and per-column distinct counts for every column
+    _CBO_STATS_COLS names — the inputs the cost model's join-order
+    search actually consumes. Row counts must equal the true table
+    sizes (stats that drift from the data reorder joins WRONGLY at
+    100 TB, which is worse than no stats)."""
+    from pim_orc_spark.catalog import load_table
+    from pim_orc_spark.operators.relational import (
+        _CBO_STATS_COLS,
+        _cbo_tables,
+    )
+
+    t = _cbo_tables(spark, sf_dir)
+    for name, tbl in t.items():
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert "rows" in stats, f"{name}: no table stats ({stats!r})"
+        n_true = load_table(spark, sf_dir, name).count()
+        assert f"{n_true} rows" in stats, (name, stats, n_true)
+        for col in _CBO_STATS_COLS[name].split(", "):
+            kv = {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql(
+                    f"DESCRIBE EXTENDED {tbl} {col}"
+                ).collect()
+            }
+            assert int(kv.get("distinct_count") or 0) > 0, (name, col, kv)
+
+
 def test_locf_interpolate_one_window_no_corpus_rescan(spark, sf_dir):
     """q72's docstring claims, machine-checked: the corpus is scanned
     only inside the checkpointed hourly aggregate (the final plan has
