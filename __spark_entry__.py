@@ -138,6 +138,19 @@ PYTEST_ONLY = {
     #                     scanline unfilters); the encode→decode→
     #                     features mapInPandas family is attested by
     #                     exported multimodal_wav_decode/_bmp_decode
+    "q77_recursive_cte_front_door",  # Spark 4 native WITH RECURSIVE
+    #                     running the IDENTICAL string as its oracle;
+    #                     the same answer is attested by exported
+    #                     q69_trade_reach (hand-planned BFS, same rows)
+    "q78_variant_shred",  # Spark 4 VARIANT (parse_json +
+    #                     try_variant_get); the JSON-path surface is
+    #                     attested by exported q19_json_extract (same
+    #                     stats off the same props column)
+    "q79_sql_udf_front_door",  # Spark 4 SQL-language UDF, inlined to
+    #                     codegen (no-Python plan assert in
+    #                     test_plans.py); the revenue contract is
+    #                     attested by exported q31/q55 (same
+    #                     revenue_item exact-cents kernel)
     # ROUND-11 ROTATION (verdict r10 #1, executing the plan round 10
     # forfeited): ALL 18 round-9-born operators that waited two rounds
     # without a driver CORRECTNESS row are promoted in one pass —

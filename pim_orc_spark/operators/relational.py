@@ -2876,6 +2876,118 @@ ORDER BY o_orderpriority
 """
 
 
+def q77_recursive_cte_front_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE RECURSIVE CTE (Spark 4's ``WITH RECURSIVE`` /
+    UnionLoopExec) through the SQL front door: the trade-reach BFS
+    issued as the IDENTICAL string the DuckDB oracle runs (the q63
+    discipline applied to recursion) — and the same business question
+    ``q69_trade_reach`` answers with the hand-planned
+    level-synchronous loop, so Catalyst's recursive execution, the
+    manual iterative plan, and a second engine's recursion must all
+    agree on the same 25 rows.
+
+    Scale note: this UNION ALL recursion enumerates bounded WALKS
+    (hops < BFS_MAX_HOPS caps it — here ≤ |V|^4 rows before the MIN
+    collapse), which is the spec-faithful but frontier-blind shape;
+    q69's iterative plan stays the 100 TB path because it deduplicates
+    the frontier per level (anti-join against visited) and
+    materializes each level once. Shipping both certifies they
+    coincide."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q69_SQL)
+
+
+def q78_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): ``parse_json`` decodes
+    the JSON string ONCE into the binary VARIANT encoding, then typed
+    paths come out with ``try_variant_get`` — the modern scale path
+    for JSON columns beside q19's ``get_json_object`` (which re-parses
+    the string per access; VARIANT amortizes the parse across every
+    path and is the layout Parquet variant shredding stores). Output
+    mirrors q19's per-type stats so the two JSON paths certify each
+    other, plus a miss column proving the lenient accessor returns
+    NULL (never an error) for a path absent from every row.
+
+    Scale shape: identical to q19 — one scan, all extraction inside
+    codegen, map-side partial agg; no Python anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    miss = F.try_variant_get(v, "$.absent", "long")
+    return (
+        e.select("event_type", k.alias("k"), miss.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_absent_misses"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q78_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(*) AS n_absent_misses
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type ORDER BY event_type
+"""
+
+
+_Q79_UDF_DDL = """
+CREATE OR REPLACE TEMPORARY FUNCTION item_revenue_hcents(
+  p DOUBLE, d DOUBLE
+) RETURNS DECIMAL(38,0)
+RETURN CAST(CAST(ROUND(p * 100) AS BIGINT)
+            * (100 - CAST(ROUND(d * 100) AS BIGINT)) AS DECIMAL(38,0))
+"""
+
+_Q79_QUERY = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(item_revenue_hcents(l_extendedprice, l_discount))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q79_sql_udf_front_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL-LANGUAGE UDF (Spark 4's ``CREATE FUNCTION ... RETURN
+    expr``): a declarative scalar function Catalyst INLINES into the
+    calling plan — whole-stage codegen, no Python worker, no
+    serialization wall; the right first stop before a pandas_udf for
+    any SQL-expressible transform (the §2.8 matrix's zero-cost cell).
+    The body is the shared ``revenue_item`` exact-cents contract, so
+    the oracle simply inlines the identical expression (a SQL UDF is
+    definitionally its inlined body). The no-Python-in-plan claim is
+    machine-asserted in tests/test_plans.py; the TABLE-valued form of
+    the same DDL surface is exercised there too."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(_Q79_UDF_DDL)
+    return spark.sql(_Q79_QUERY)
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -3821,6 +3933,9 @@ QUERIES = {
     "q74_grouping_sets_front_door": q74_grouping_sets_front_door,
     "q75_observed_metrics": q75_observed_metrics,
     "q76_cbo_join_reorder": q76_cbo_join_reorder,
+    "q77_recursive_cte_front_door": q77_recursive_cte_front_door,
+    "q78_variant_shred": q78_variant_shred,
+    "q79_sql_udf_front_door": q79_sql_udf_front_door,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -3900,6 +4015,16 @@ ORACLES = {
     "q74_grouping_sets_front_door": _Q74_SQL,
     "q75_observed_metrics": _Q75_SQL,
     "q76_cbo_join_reorder": _Q76_SQL,
+    "q77_recursive_cte_front_door": _Q69_SQL,
+    "q78_variant_shred": _Q78_SQL,
+    "q79_sql_udf_front_door": f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {exact_revenue_sql()}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem
     """,
