@@ -310,3 +310,46 @@ def test_binary_file_source_decodes_png_directory(spark, tmp_path):
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in plan, plan[:1500]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_png_roundtrip_property():
+    """Property: decode(encode(img, phase)) == img for ARBITRARY pixel
+    content (not just the closed-form fixture functions) across every
+    geometry and filter phase — worst cases for the predictors
+    (all-0x00, all-0xFF, high-contrast noise) included by the byte
+    strategy's full range. This is the codec contract independent of
+    what the operator happens to encode."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=10),
+        phase=st.integers(min_value=0, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        flavor=st.sampled_from(["noise", "zeros", "max", "gradient"]),
+    )
+    def check(w, h, phase, seed, flavor):
+        if flavor == "noise":
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        elif flavor == "zeros":
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+        elif flavor == "max":
+            img = np.full((h, w, 3), 255, dtype=np.uint8)
+        else:
+            y, x = np.mgrid[0:h, 0:w]
+            img = (
+                np.stack([x * 29, y * 37, x * y * 13], axis=-1) % 256
+            ).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, phase)), img)
+
+    check()
