@@ -436,3 +436,92 @@ def test_cdc_apply_recovers_from_mid_run_crash(spark, sf_dir, tmp_path):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_rocksdb_state_store_matches_default_and_restarts(spark, tmp_path):
+    """STATE-SCALE PATH: at 100 TB the streaming state outgrows
+    executor heaps, and Spark's RocksDB state store provider is the
+    native answer (off-heap, disk-backed, incremental snapshots). The
+    SAME grouped aggregation must (a) produce results identical to the
+    default HDFS-backed provider and the closed-form answer, (b)
+    actually run on RocksDB (asserted from the query's state-operator
+    customMetrics), and (c) RESTART from the RocksDB checkpoint
+    mid-stream — the second run reloads the first 500 rows' state from
+    RocksDB snapshots and folds in only the new file."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "rocks_src"
+    src.mkdir()
+    schema = "k int, v long"
+    spark.createDataFrame(
+        [(i % 7, i) for i in range(500)], schema
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+
+    PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run(provider, ckpt, name):
+        old = spark.conf.get(PROVIDER_KEY, None)
+        if provider:
+            spark.conf.set(PROVIDER_KEY, provider)
+        try:
+            agg = (
+                spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            progress = q.lastProgress
+        finally:
+            if provider:
+                if old is None:
+                    spark.conf.unset(PROVIDER_KEY)
+                else:
+                    spark.conf.set(PROVIDER_KEY, old)
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        return sorted((r["k"], r["n"], r["s"]) for r in rows), progress
+
+    # phase 1: RocksDB over the first file
+    rocks_ckpt = str(tmp_path / "rocks_ckpt")
+    got1, prog1 = run(ROCKS, rocks_ckpt, "rocks_phase1")
+    exp1 = sorted(
+        (k, len(range(k, 500, 7)), sum(range(k, 500, 7))) for k in range(7)
+    )
+    assert got1 == exp1
+    metrics = (prog1 or {}).get("stateOperators", [{}])[0].get(
+        "customMetrics", {}
+    )
+    assert any(m.startswith("rocksdb") for m in metrics), metrics
+
+    # phase 2: add data, RESTART from the RocksDB checkpoint
+    _time.sleep(1.1)  # distinct mtime → new file seen as new
+    spark.createDataFrame(
+        [(i % 7, i) for i in range(500, 1000)], schema
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    got2, _ = run(ROCKS, rocks_ckpt, "rocks_phase2")
+    expected = sorted(
+        (k, len(range(k, 1000, 7)), sum(range(k, 1000, 7)))
+        for k in range(7)
+    )
+    assert got2 == expected
+
+    # default provider over the full input must agree
+    got_default, _ = run(
+        None, str(tmp_path / "default_ckpt"), "rocks_default"
+    )
+    assert got_default == expected
