@@ -436,3 +436,36 @@ def test_vacuum_removes_only_stale_generations(tmp_path):
     assert report["reclaimed_bytes"] >= 50
     live_gen = _os.path.basename(_os.path.dirname(live))
     assert report["kept"] == [live_gen]
+
+
+def test_python_datasource_matches_oracle_and_plans_partitions(
+    spark, sf_dir
+):
+    """The pure-Python DataSource V2 connector: the per-bucket facts
+    must match the oracle's closed-form regeneration, and the scan
+    must genuinely parallelize — the source's partitions() plan
+    becomes PYDS_PARTS input splits, not one monolithic iterator (the
+    property that makes a custom feed scale across executors)."""
+    from pim_orc_spark.sources import pyds
+
+    df = pyds.source_python_datasource(spark, sf_dir)
+    ok, msg = compare(df, pyds.ORACLES["source_python_datasource"], sf_dir)
+    assert ok, msg
+
+    pyds.register(spark)
+    raw = (
+        spark.read.format("synthetic_docs")
+        .option("n", str(pyds.PYDS_N))
+        .option("parts", str(pyds.PYDS_PARTS))
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == pyds.PYDS_PARTS
+    # options flow through: a different split count re-plans the scan
+    small = (
+        spark.read.format("synthetic_docs")
+        .option("n", "10")
+        .option("parts", "3")
+        .load()
+    )
+    assert small.rdd.getNumPartitions() == 3
+    assert small.count() == 10
