@@ -604,6 +604,68 @@ def test_cbo_stats_reorder_the_join_tree(spark, sf_dir):
     assert out == base_rows
 
 
+def test_aqe_replans_coalesce_and_skew_split(spark):
+    """session.py turns on AQE and its skew-join remedy; this
+    machine-checks that both runtime re-plans actually FIRE rather
+    than staying configuration theater. (a) A small grouped aggregate
+    shuffles into 32 configured partitions but AQE coalesces the read
+    to match the real byte sizes (plan shows a coalesced
+    AQEShuffleRead) — at 100 TB this is what keeps reducer counts
+    proportional to data, not to a static conf. (b) With the skew
+    thresholds scaled down to fixture bytes, a 90%-hot join key's
+    sort-merge partition is SPLIT (skew=true on the executed join) —
+    and the split must not change the answer, checked against the
+    closed-form count/sum."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        spark.range(0, 10_000, 1, 8)
+        .groupBy((F.col("id") % 5).alias("k"))
+        .count()
+    )
+    agg.collect()
+    s = agg._jdf.queryExecution().executedPlan().toString()
+    assert "coalesced" in s, s[:1500]
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n_rows = 200_000
+        left = spark.range(0, n_rows, 1, 8).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = (
+            left.join(right.hint("shuffle_merge"), "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        row = j.collect()[0]
+        # every left row matches exactly one right row
+        assert row["n"] == n_rows
+        assert row["s"] == n_rows * (n_rows - 1) // 2
+        s2 = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in s2, s2[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_sql_udf_inlines_to_codegen_no_python(spark, sf_dir):
     """q79's claim, machine-checked: a SQL-language UDF is INLINED by
     Catalyst — the executed plan contains no Python evaluation node of
