@@ -157,6 +157,11 @@ PYTEST_ONLY = {
     #                     iteration, partition-count plan assert in
     #                     test_sources.py); the scan-agg answer shape
     #                     is attested by every exported grouped agg
+    "multimodal_features_arrow",  # mapInArrow twin of the pandas
+    #                     feature kernel (RecordBatch-native, the last
+    #                     uncovered §2.8 transport); row-for-row
+    #                     diffed against exported-family twin
+    #                     multimodal_features' oracle in pytest
     # ROUND-11 ROTATION (verdict r10 #1, executing the plan round 10
     # forfeited): ALL 18 round-9-born operators that waited two rounds
     # without a driver CORRECTNESS row are promoted in one pass —

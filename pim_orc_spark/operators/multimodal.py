@@ -143,6 +143,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA)
 
 
+def _extract_features_arrow(batches):
+    """mapInArrow kernel: pyarrow RecordBatch in, RecordBatch out —
+    no Arrow→pandas→Arrow conversion on either edge (pandas boxes each
+    binary cell in a Python object; the RecordBatch keeps the raw
+    buffer). Same arithmetic as ``_extract_features``, so the two
+    kernels are interchangeable and share one oracle."""
+    import pyarrow as pa
+
+    for rb in batches:
+        ids = rb.column(rb.schema.get_field_index("doc_id")).cast(
+            pa.int64()
+        )
+        payloads = [
+            bytes(p)
+            for p in rb.column(
+                rb.schema.get_field_index("payload")
+            ).to_pylist()
+        ]
+        pows = _pow31(max((len(p) for p in payloads), default=0))
+        lens = [len(p) for p in payloads]
+        checks = [
+            _checksum_np(
+                np.frombuffer(p, dtype=np.uint8).astype(np.int64), pows
+            )
+            for p in payloads
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [ids, pa.array(lens, pa.int64()), pa.array(checks, pa.int64())],
+            names=["doc_id", "n_bytes", "checksum"],
+        )
+
+
+def multimodal_features_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrow-NATIVE twin of ``multimodal_features`` — the one §2.8
+    cell (``mapInArrow``) the pandas kernels don't cover: the Python
+    stage receives pyarrow RecordBatches directly, the lowest-overhead
+    batch transport for byte-dense payload columns. Identical map-only
+    plan shape and the identical oracle; a pytest also diffs it
+    row-for-row against the pandas twin."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    return payloads.mapInArrow(_extract_features_arrow, FEATURE_SCHEMA)
+
+
 # Sized so fixture documents (≤ ~600 bytes) produce several frames each;
 # a video deployment would use real frame boundaries from the container
 # format instead of fixed byte windows.
@@ -1039,6 +1085,7 @@ QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_features": multimodal_features,
+    "multimodal_features_arrow": multimodal_features_arrow,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_integrity_audit": multimodal_integrity_audit,
@@ -1204,3 +1251,7 @@ ORACLES = {
         FROM kept
     """,
 }
+
+# the Arrow-native kernel is interchangeable with the pandas one by
+# construction — one oracle serves both
+ORACLES["multimodal_features_arrow"] = ORACLES["multimodal_features"]

@@ -353,3 +353,19 @@ def test_png_roundtrip_property():
         assert np.array_equal(decode_png(encode_png(img, phase)), img)
 
     check()
+
+
+def test_arrow_kernel_matches_pandas_kernel(spark, sf_dir):
+    """The mapInArrow feature kernel must be row-for-row identical to
+    the mapInPandas twin (they share the oracle, but this diffs the
+    two Python transports against each other directly)."""
+    a = sorted(
+        map(tuple, multimodal.multimodal_features(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            multimodal.multimodal_features_arrow(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
