@@ -126,32 +126,10 @@ def _modules():
 #                           DSv2) + the PushedAggregation plan
 #                           assertion in tests/test_plans.py (ORC DSv2)
 PYTEST_ONLY = {
-    # ROUND-11 ATTESTATION QUEUE: born this round with the budget
-    # already full; promote in the r11→r12 rotation (oracle-checked in
+    # ROUND-11 ATTESTATION QUEUE (residual): two round-11 newborns
+    # whose slots the second rotation below could not free with
+    # defensible twins; promote in the r12 rotation (oracle-checked in
     # pytest every round until then):
-    "q76_cbo_join_reorder",  # ANALYZE TABLE column stats + CBO join
-    #                     reorder, executed-plan-asserted in
-    #                     test_plans.py; the join-tree answer itself is
-    #                     attested by exported q31/q32 (same
-    #                     fact⋈orders⋈customer family)
-    "multimodal_png_decode",  # fourth real codec, first COMPRESSED one
-    #                     (zlib DEFLATE + CRC-guarded chunks + all five
-    #                     scanline unfilters); the encode→decode→
-    #                     features mapInPandas family is attested by
-    #                     exported multimodal_wav_decode/_bmp_decode
-    "q77_recursive_cte_front_door",  # Spark 4 native WITH RECURSIVE
-    #                     running the IDENTICAL string as its oracle;
-    #                     the same answer is attested by exported
-    #                     q69_trade_reach (hand-planned BFS, same rows)
-    "q78_variant_shred",  # Spark 4 VARIANT (parse_json +
-    #                     try_variant_get); the JSON-path surface is
-    #                     attested by exported q19_json_extract (same
-    #                     stats off the same props column)
-    "q79_sql_udf_front_door",  # Spark 4 SQL-language UDF, inlined to
-    #                     codegen (no-Python plan assert in
-    #                     test_plans.py); the revenue contract is
-    #                     attested by exported q31/q55 (same
-    #                     revenue_item exact-cents kernel)
     "source_python_datasource",  # Spark 4 pure-Python DataSource V2
     #                     connector (partition planning + per-split
     #                     iteration, partition-count plan assert in
@@ -160,8 +138,40 @@ PYTEST_ONLY = {
     "multimodal_features_arrow",  # mapInArrow twin of the pandas
     #                     feature kernel (RecordBatch-native, the last
     #                     uncovered §2.8 transport); row-for-row
-    #                     diffed against exported-family twin
-    #                     multimodal_features' oracle in pytest
+    #                     diffed against the pandas twin and oracled
+    #                     in pytest; codec-family exports (wav/bmp/png)
+    #                     carry the mapInPandas/Arrow plumbing
+    # ROUND-11 SECOND ROTATION: the driver sweep runs at round END, so
+    # five of this round's seven newborns promote IMMEDIATELY instead
+    # of waiting a round (q76_cbo_join_reorder,
+    # q77_recursive_cte_front_door, q78_variant_shred,
+    # q79_sql_udf_front_door, multimodal_png_decode — each r11-pytest-
+    # oracle-green at sf0.01 and driver-sim-verified). Five r10-green
+    # slots rotate out, each with a surviving exported twin:
+    "q19_json_extract",  # its export is now promoted q78_variant_shred
+    #                     — the SAME per-event_type stats off the SAME
+    #                     props column through the modern VARIANT path
+    #                     (parse once + typed gets + lenient-miss
+    #                     column, the strict superset)
+    "q63_tpch_q21_sql_front_door",  # identical-SQL front-door
+    #                     discipline carried by promoted q77 (same
+    #                     spark.sql path, plus native recursion); the
+    #                     Q21 business answer stays exported via q61's
+    #                     hand-planned exists/not-exists pipeline
+    "q64_incremental_mv_maintenance",  # delta-algebra maintenance
+    #                     family attested by q44's full-outer MERGE
+    #                     (stays exported + benched) and q67's
+    #                     snapshot diff (stays exported)
+    "text_pii_redact",  # regex-gate family's export is now promoted
+    #                     text_url_filter (r11 driver row incoming);
+    #                     pii_redact's zero-exchange/zero-Python plan
+    #                     assertion stays in test_plans (the stronger
+    #                     check, the q06 precedent)
+    "q55_tpch_q8_market_share",  # deep fact-dim join-tree family
+    #                     attested by q32's 6-table Q5 (stays exported
+    #                     + benched) and q31's Q3 (stays exported +
+    #                     benched); the CASE-share ratio shape by q48's
+    #                     disjunctive CASE revenue (stays exported)
     # ROUND-11 ROTATION (verdict r10 #1, executing the plan round 10
     # forfeited): ALL 18 round-9-born operators that waited two rounds
     # without a driver CORRECTNESS row are promoted in one pass —
