@@ -54,6 +54,11 @@ class SyntheticDocsReader(DataSourceReader):
         self.parts = int(options.get("parts", PYDS_PARTS))
 
     def partitions(self):
+        if self.n <= 0:
+            # an empty plan is not "no partitions": Spark substitutes a
+            # None partition for an empty list and hands it to read();
+            # one explicit empty split keeps the contract total
+            return [_RangePartition(0, 0)]
         step = max(1, (self.n + self.parts - 1) // self.parts)
         return [
             _RangePartition(i, min(i + step, self.n))

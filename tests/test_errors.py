@@ -238,3 +238,61 @@ print("RETRY_OK", len(rows))
     assert "RETRY_OK 97" in out.stdout, (out.stdout, out.stderr[-2000:])
     # the injected failures really happened (every task lost attempt 0)
     assert "injected first-attempt failure" in out.stderr
+
+
+def test_variant_and_pyds_edge_inputs(spark):
+    """Edge contracts of the round-11 surfaces: try_parse_json returns
+    NULL (never an error) on malformed JSON — the lenient ingest gate
+    a 100 TB pipeline needs before q78's typed extraction; parse_json
+    raises loudly on the same input (the strict twin); the Python
+    data source yields an empty, well-typed relation at n=0."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.sources import pyds
+
+    rows = [("ok", '{"k": 1}'), ("bad", '{"k": oops'), ("null", None)]
+    df = spark.createDataFrame(rows, "tag string, js string")
+    out = {
+        r["tag"]: r["v"]
+        for r in df.select(
+            "tag",
+            F.try_variant_get(
+                F.try_parse_json("js"), "$.k", "long"
+            ).alias("v"),
+        ).collect()
+    }
+    assert out == {"ok": 1, "bad": None, "null": None}
+    with pt.raises(Exception, match="MALFORMED_RECORD_IN_PARSING|JSON"):
+        df.select(F.parse_json("js").alias("v")).collect()
+
+    pyds.register(spark)
+    empty = (
+        spark.read.format("synthetic_docs")
+        .option("n", "0")
+        .option("parts", "4")
+        .load()
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "bucket", "h"]
+
+
+def test_cbo_confs_restored_even_when_the_query_fails(spark, sf_dir):
+    """q76 flips session-global CBO switches for the duration of its
+    materialization; a mid-flight failure must not leave cost-based
+    planning silently enabled for every later query in the session."""
+    import pytest as pt
+
+    from pim_orc_spark.operators.relational import _cbo_confs
+
+    before = spark.conf.get("spark.sql.cbo.enabled")
+    old = _cbo_confs(spark, True)
+    try:
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+        raise RuntimeError("injected")
+    except RuntimeError:
+        pass
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert spark.conf.get("spark.sql.cbo.enabled") == before
