@@ -8,6 +8,13 @@ non-SQL-expressible operators → driver runs a rows-only check).
 
 All query logic lives in the ``pim_orc_spark`` package; this module is
 only the contract adapter.
+
+The driver sweep records ~50 entries in module order, so exports are
+held at EXACTLY 50 (enforced in tests/test_entry_contract.py). Every
+other operator lives in ``PYTEST_ONLY``: demoted from the driver sweep
+but still oracle-checked in pytest every round, each with a surviving
+exported twin. One-line twin pointers live beside each name below; the
+full per-round rotation rationale is in ROTATIONS.md.
 """
 
 from __future__ import annotations
@@ -57,473 +64,132 @@ def _modules():
     ]
 
 
-# Demoted to pytest-only (tests/ still runs each against its oracle
-# every round — the demotion changes WHO records the comparison, not
-# whether it runs). Every demoted entry's oracle SQL or codepath is
-# attested by a surviving twin, so the driver sweep loses no distinct
-# oracle while staying at its ~50-entry budget.
-#
-# ROUND-5 ROTATION (verdict r4 #1/#4): ALL 18 entries that had never
-# earned a CORRECTNESS row are promoted in one pass — the 13 round-4
-# newcomers (q28–q30, q32–q35, ann_sq_topk, text_repetition, text_idf,
-# text_tfidf_topk, text_lm_score, stream_incremental_admit), the 4
-# older demotions (dedup_embedding_lsh, dedup_incremental,
-# schema_evolution_sum, stream_sliding_counts), and text_sentences as
-# the rows-only UDTF entry (verdict #4: the one §2.8 corner with zero
-# driver rows — it has no ORACLES entry BY NATURE, so the driver
-# records the weaker rows-only check and the UDTF LATERAL plan enters
-# the driver record). 18 slots rotate out to hold the sweep at exactly
-# 50; every one is r4-driver-green (so its last attestation is on
-# file) and keeps a surviving exported twin:
-#   q02_null_skip_sum     — SUM's null-skip is q01's own semantics
-#                           (reference reader.cc:61 parity); q03 keeps
-#                           the filtered-sum shape
-#   q06_projection_pruning — ReadSchema==1-column plan assertion in
-#                           tests/test_plans.py is the stronger check;
-#                           every exported query prunes columns
-#   q07_broadcast_star_join — BHJ star shape attested by q31 (broadcast
-#                           customer) + promoted q32 (6-table tree)
-#   q13_window_running_sum — running-frame windows attested by promoted
-#                           q30 (lag/lead/ntile) + text_pack's
-#                           cumulative stream window (stays exported)
-#   q14_rollup            — grouping-sets codepath attested by q26
-#                           pivot + q27 rollup cascade (both stay)
-#   q21_correlated_exists — decorrelated-subquery surface attested by
-#                           promoted q34 (scalar + IN subqueries → the
-#                           same LeftSemi plan); left_anti stays via
-#                           dedup_clusters + promoted dedup_incremental
-#   q25_percentiles       — exact percentile family attested by
-#                           text_median_len (stays); q24 keeps the
-#                           sketch-agg family
-#   stream_dedup_keys     — dropDuplicates-within-watermark state
-#                           attested by stream_windowed_counts +
-#                           promoted stream_sliding_counts; batch dedup
-#                           contract by dedup_exact (stays)
-#   stream_enriched_totals — stream-static broadcast join + grouped agg
-#                           attested by promoted stream_incremental_admit
-#                           (same join shape, anti instead of inner)
-#   text_fingerprint      — rolling poly-hash attested inside every
-#                           minhash oracle (dedup_minhash_lsh stays)
-#   text_ngram_topk       — tokenize→group→rank shape attested by
-#                           promoted text_tfidf_topk (same skeleton +
-#                           a corpus-level join)
-#   text_chunk            — slice/posexplode layout attested by
-#                           text_pack (stays; same token machinery)
-#   text_contamination    — n-gram LeftSemi probe attested by q34's IN
-#                           (LeftSemi) + the dedup shingle joins
-#   dedup_simhash_pairs   — bucketed Hamming-ball join family attested
-#                           by promoted dedup_embedding_lsh; its
-#                           dedup_simhash CTE already re-attests in
-#                           pytest every round
-#   ann_lsh_bucketed      — its full result set is recomputed as a CTE
-#                           inside ann_recall's oracle (stays exported)
-#   multimodal_resize     — binary→mapInPandas plumbing attested by
-#                           multimodal_features (stays)
-#   pipeline_curate       — the funnel CTE chain lives on inside
-#                           pipeline_pack's oracle (pack consumes the
-#                           funnel's `final` stage; stays exported)
-#   orc_metadata_rowcount — metadata COUNT attested by q05 (parquet
-#                           DSv2) + the PushedAggregation plan
-#                           assertion in tests/test_plans.py (ORC DSv2)
+# Pytest-only operators: demoted from the driver sweep (tests/ still
+# runs each against its oracle every round — demotion changes WHO
+# records the comparison, not whether it runs). Format: name, # twin.
+# Rotation history and full rationale: ROTATIONS.md.
 PYTEST_ONLY = {
-    # ROUND-11 ATTESTATION QUEUE (residual): two round-11 newborns
-    # whose slots the second rotation below could not free with
-    # defensible twins; promote in the r12 rotation (oracle-checked in
-    # pytest every round until then):
-    "source_python_datasource",  # Spark 4 pure-Python DataSource V2
-    #                     connector (partition planning + per-split
-    #                     iteration, partition-count plan assert in
-    #                     test_sources.py); the scan-agg answer shape
-    #                     is attested by every exported grouped agg
-    "multimodal_features_arrow",  # mapInArrow twin of the pandas
-    #                     feature kernel (RecordBatch-native, the last
-    #                     uncovered §2.8 transport); row-for-row
-    #                     diffed against the pandas twin and oracled
-    #                     in pytest; codec-family exports (wav/bmp/png)
-    #                     carry the mapInPandas/Arrow plumbing
-    # ROUND-11 SECOND ROTATION: the driver sweep runs at round END, so
-    # five of this round's seven newborns promote IMMEDIATELY instead
-    # of waiting a round (q76_cbo_join_reorder,
-    # q77_recursive_cte_front_door, q78_variant_shred,
-    # q79_sql_udf_front_door, multimodal_png_decode — each r11-pytest-
-    # oracle-green at sf0.01 and driver-sim-verified). Five r10-green
-    # slots rotate out, each with a surviving exported twin:
-    "q19_json_extract",  # its export is now promoted q78_variant_shred
-    #                     — the SAME per-event_type stats off the SAME
-    #                     props column through the modern VARIANT path
-    #                     (parse once + typed gets + lenient-miss
-    #                     column, the strict superset)
-    "q63_tpch_q21_sql_front_door",  # identical-SQL front-door
-    #                     discipline carried by promoted q77 (same
-    #                     spark.sql path, plus native recursion); the
-    #                     Q21 business answer stays exported via q61's
-    #                     hand-planned exists/not-exists pipeline
-    "q64_incremental_mv_maintenance",  # delta-algebra maintenance
-    #                     family attested by q44's full-outer MERGE
-    #                     (stays exported + benched) and q67's
-    #                     snapshot diff (stays exported)
-    "text_pii_redact",  # regex-gate family's export is now promoted
-    #                     text_url_filter (r11 driver row incoming);
-    #                     pii_redact's zero-exchange/zero-Python plan
-    #                     assertion stays in test_plans (the stronger
-    #                     check, the q06 precedent)
-    "q55_tpch_q8_market_share",  # deep fact-dim join-tree family
-    #                     attested by q32's 6-table Q5 (stays exported
-    #                     + benched) and q31's Q3 (stays exported +
-    #                     benched); the CASE-share ratio shape by q48's
-    #                     disjunctive CASE revenue (stays exported)
-    # ROUND-11 ROTATION (verdict r10 #1, executing the plan round 10
-    # forfeited): ALL 18 round-9-born operators that waited two rounds
-    # without a driver CORRECTNESS row are promoted in one pass —
-    # q69_trade_reach, q70_window_distribution, q71_rolling_window_1h,
-    # q72_locf_interpolate, q73_triangle_count,
-    # q74_grouping_sets_front_door, q75_observed_metrics,
-    # multimodal_wav_decode, multimodal_bmp_decode, text_url_filter,
-    # text_nfc_normalize, pipeline_split, pipeline_split_leakage,
-    # stream_cdc_apply, stream_dedup_within_watermark,
-    # ann_cluster_medoids, ann_cluster_purity, ann_cluster_separation.
-    # 18 slots rotate out to hold the sweep at exactly 50; every one is
-    # r10-driver-green (last attestation on file, CORRECTNESS_r10) and
-    # keeps a surviving exported twin:
-    "q54_tpch_q7_nation_volume",  # bilateral nation-volume join tree
-    #                     attested by q55's Q8 market share (the same
-    #                     supplier↔customer nation pair tree + year
-    #                     bucketing + CASE volume, stays exported) and
-    #                     q32's 6-table Q5 join (stays exported+benched)
-    "q56_tpch_q9_product_profit",  # deep fact-dim profit tree attested
-    #                     by q55 (Q8's superset join count, stays) and
-    #                     q32 (stays exported + benched)
-    "q57_tpch_q2_min_cost_supplier",  # correlated scalar-subquery min
-    #                     attested by q58's Q11 HAVING-over-scalar-
-    #                     subquery (same decorrelated plan family,
-    #                     stays exported)
-    "q60_tpch_q20_excess_suppliers",  # nested IN/semi-join chain
-    #                     attested by q61's Q21 exists/not-exists
-    #                     semi+anti stack and q59's Q16 NOT-IN
-    #                     (both stay exported)
-    "q62_tpch_q22_dormant_customers",  # NOT-EXISTS + scalar-avg
-    #                     subquery attested by q61 (stays) + q63's
-    #                     identical-SQL EXISTS/NOT-EXISTS front door
-    #                     (stays exported)
-    "q41_tpch_q12_late_lines_by_status",  # dual-CASE conditional sums
-    #                     attested by q48's disjunctive CASE revenue
-    #                     (stays exported); the large-large sort-merge
-    #                     surface stays driver-attested via
-    #                     dedup_minhash_lsh's and dedup_semantic_pairs'
-    #                     PINNED shuffle_merge joins (both stay
-    #                     exported; lsh also benched)
-    "q27_rollup_cascade",  # Expand-aggregate family's export is now
-    #                     promoted q74_grouping_sets_front_door — the
-    #                     explicit GROUPING SETS + GROUPING() flags
-    #                     superset of the rollup cascade; pivot's
-    #                     codepath stays pytest-attested (q26)
-    "q68_scd2_history",  # lag/lead window family's export is now
-    #                     promoted q70 (distribution windows) + q71
-    #                     (time-RANGE frames) — the same single-Sort+
-    #                     Window shuffle shape; the SCD2/versioning
-    #                     family stays exported via q67_snapshot_diff
-    #                     and q44's MERGE
-    "q65_nation_pagerank",  # iterative materialized-edges family's
-    #                     export is now promoted q69_trade_reach (BFS:
-    #                     the same per-level edge⋈frontier shape over
-    #                     the shared _trade_edges artifact) + promoted
-    #                     q73's triangle join; q65 stays BENCHED via
-    #                     all_queries, so its plan is still measured
-    #                     every round
-    "q53_key_skew_report",  # ops-layer grouped skew count attested by
-    #                     q04's grouped aggregate (stays exported +
-    #                     benched); the salted-join remedies it informs
-    #                     stay property-tested (salt-count invariance)
-    "stream_incremental_admit",  # streaming LEFT ANTI admit attested
-    #                     by promoted stream_dedup_within_watermark
-    #                     (the stateful streaming-dedup superset) +
-    #                     dedup_clusters' batch left_anti (stays
-    #                     exported)
-    "dedup_exact",  # fingerprint-groupBy dedup attested by
-    #                     dedup_clusters (same fingerprint machinery +
-    #                     connected components, stays exported) and
-    #                     promoted stream_dedup_within_watermark's
-    #                     streaming contract
-    "dedup_span_report",  # span-fp sliding-window family's export is
-    #                     now promoted pipeline_split_leakage — the
-    #                     same SPAN_K window fingerprints, applied
-    #                     cross-split; the join-free plan assertion
-    #                     stays in pytest (test_plans)
-    "ann_cosine_topk_vectorized",  # exact top-k path re-derived
-    #                     verbatim inside ann_recall's oracle as its
-    #                     ground-truth CTE (stays exported + the
-    #                     vectorized kernel stays benched via
-    #                     all_queries)
-    "ann_kmeans_clusters",  # the shared Lloyd run's export is now the
-    #                     promoted medoids/purity/separation trio —
-    #                     each rides the SAME _km_state artifact and
-    #                     re-attests the assignment contract (medoids
-    #                     reports per-cluster n_members, the strict
-    #                     superset of this entry's size report)
-    "multimodal_ppm_decode",  # codec family's export is now promoted
-    #                     multimodal_wav_decode + multimodal_bmp_decode
-    #                     (same Arrow mapInPandas encode→decode→
-    #                     features pipeline, two more real grammars);
-    #                     the P6 corruption-class tests stay in pytest
-    "pipeline_pack",  # curation funnel's export is now promoted
-    #                     pipeline_split + pipeline_split_leakage
-    #                     (both consume the same funnel CTE chain);
-    #                     the greedy packing machinery stays exported
-    #                     via text_pack
-    "maintenance_zorder_sum",  # rewrite-roundtrip integrity attested
-    #                     by orc_roundtrip_sum (stays exported +
-    #                     benched); the Morton row-group envelopes are
-    #                     asserted from parquet footers in pytest (the
-    #                     stronger check, the clustered_sum precedent)
-    # ROUND-9 ROTATION (verdict r8 #2): round 8 registered
-    # q68_scd2_history as a 51st export without a compensating
-    # demotion, so maintenance_zorder_sum (last in module order) fell
-    # off the driver's 50-row sweep unattested. FIVE r8-driver-green
-    # slots rotate out: one restores the exact-50 budget, four admit
-    # this round's exported newcomers (maintenance_dpp_sum — runtime
-    # dynamic partition pruning, the SARG-linkage analogue;
-    # text_pii_redact; dedup_span_report; multimodal_ppm_decode):
-    "q40_tpch_q4_order_priority",  # EXISTS + non-equi-predicate semi
-    #                     join attested by q63 (identical-SQL
-    #                     EXISTS/NOT-EXISTS through the same spark.sql
-    #                     front door, stays exported) + q61's Q21
-    #                     exists/not-exists semi/anti joins (stays);
-    #                     its oracle still re-runs in pytest every round
-    "q47_tpch_q13_order_distribution",  # left-outer join family
-    #                     attested by q44's full-outer MERGE (the
-    #                     superset join, stays exported + benched);
-    #                     grouped count-distribution shape by q04
-    #                     (stays exported + benched)
-    "q45_gapfill_timeseries",  # dense-grid generate (sequence/explode)
-    #                     attested by text_pack's slice/posexplode
-    #                     machinery (stays exported + benched); the
-    #                     grid left-outer join by q44's full outer
-    #                     (stays); date bucketing by q27's rollup
-    #                     cascade (stays exported) — rotated to admit
-    #                     text_pii_redact at the 50-entry budget
-    "ann_sq_topk",  # the scalar-quantized path EXECUTES inside
-    #                     ann_recall (stays exported) and its oracle is
-    #                     re-derived verbatim as ann_recall's sq_r CTE;
-    #                     the int8 rounding/cap invariants stay
-    #                     pytest-asserted — rotated to admit
-    #                     dedup_span_report at the 50-entry budget
-    "multimodal_features",  # the family's export is now
-    #                     multimodal_ppm_decode — the same binary-column
-    #                     Arrow-batched mapInPandas plumbing PLUS a real
-    #                     P6 image codec (the checksum stand-in's strict
-    #                     superset); the checksum oracle stays in pytest
-    # ROUND-8 ROTATION: the 6 round-7 newcomers promote in one pass
-    # (ann_kmeans_clusters, q65_nation_pagerank, maintenance_zorder_sum,
-    # q66_constraint_suite, dedup_semantic_pairs, q67_snapshot_diff) —
-    # after it the attestation queue holds only this round's own new
-    # operators. 6 slots rotate out to hold the sweep at exactly 50;
-    # every one is r7-driver-green (last attestation on file,
-    # CORRECTNESS_r07) with a surviving exported twin:
-    "q36_tpch_q18_large_orders",  # HAVING-over-grouped-subquery + top-k
-    #                     attested by q58 (Q11's HAVING over a scalar
-    #                     subquery, stays) + q31's TakeOrderedAndProject
-    #                     (stays exported and benched)
-    "q37_tpch_q10_returned_items",  # fact-join-group-topk family attested
-    #                     by q31 TPC-H Q3 (stays exported + benched) and
-    #                     q55/q56's multi-join profit trees (stay)
-    "q42_tpch_q14_promo_revenue",  # single-scan CASE-ratio attested by
-    #                     q48's disjunctive CASE revenue + q41's
-    #                     dual-CASE sums (both stay exported)
-    "q46_tpch_q6_forecast_revenue",  # single-scan filtered agg attested
-    #                     by q01 (stays, benched) + q04's grouped form
-    #                     (stays, benched); PushedFilters plan assert
-    #                     in test_plans is the stronger pushdown check
-    "q50_tpch_q15_top_supplier",  # scalar-subquery max-view attested by
-    #                     q57's correlated min-cost (stays) + q58's
-    #                     HAVING scalar subquery (stays)
-    "maintenance_compact_sum",  # rewrite-roundtrip integrity family's
-    #                     export is now promoted maintenance_zorder_sum
-    #                     (same read→rewrite→re-aggregate contract PLUS
-    #                     Morton clustering); compaction's shuffle-free
-    #                     coalesce sizing stays pytest-asserted
-    # ROUND-7 ROTATION (verdict r5 #2 pattern, applied to the round-6
-    # queue): ALL 22 remaining never-attested operators promoted in one
-    # pass — the 11 round-6 TPC-H completions (q54-q64: Q7/Q8/Q9/Q2/
-    # Q11/Q16/Q20/Q21/Q22 + the Q21 SQL front door + incremental MV
-    # maintenance), the round-6 stream-stream LEFT OUTER join
-    # (stream_click_abandonment — watermark-expiry emission, the
-    # eviction semantics the inner join never exercises), and the 10
-    # round-5 TPC-H/timeseries shapes (q36/q37/q40-q42/q45-q48/q50).
-    # After this rotation every operator in the package has either a
-    # green driver CORRECTNESS row on file or a documented twin-attested
-    # demotion. 22 slots rotated out, every one r6-driver-green with a
-    # surviving exported twin, documented inline below.
-    # rotated out THIS round (round-7), each r6-green with its twin:
-    "q49_tpch_q17_small_quantity",  # identical-SQL front door attested by
-    #                     promoted q63 (EXISTS/NOT-EXISTS through the same
-    #                     spark.sql path); correlated scalar-agg
-    #                     decorrelation by promoted q57's correlated min
-    "q43_event_funnel",  # ordered-sequence semantics attested by q61's
-    #                     exists/not-exists + non-equi predicates (stays
-    #                     exported; q40 rotated out in r9);
-    #                     chained-window machinery by text_pack's
-    #                     cumulative window (stays exported)
-    "q39_skew_salted_join",  # salt-count-invariance hypothesis test is the
-    #                     stronger check; join-correctness family stays
-    #                     via q31/q32 (both exported and benched)
-    "q22_asof_join",  # the asof_join KERNEL is hypothesis-property-tested
-    #                     against a pure-Python reference every round
-    #                     (test_kernel_contract); temporal-join family
-    #                     stays exported via q23_range_join
-    "q24_approx_distinct",  # tolerance-checked sketch pytest stays; exact
-    #                     COUNT(DISTINCT) surface now attested by promoted
-    #                     q59 (TPC-H Q16's distinct-supplier count)
-    "q35_map_functions",  # scalar-decomposition policy machine-enforced by
-    #                     test_entry_contract's schema meta-test; the
-    #                     semi-structured family stays via q19_json_extract
-    "q28_bag_set_ops",  # join-free INTERSECT/EXCEPT ALL plan assertion in
-    #                     test_plans stays; set-op codepath lives inside
-    #                     dedup_clusters' union/distinct (stays exported)
-    "q29_array_functions",  # array machinery re-attested by every ann_*
-    #                     oracle (aggregate/zip_with dot products) and
-    #                     text_pack's slice/posexplode (all stay); the
-    #                     scalar-output contract test guards its schema
-    "q51_numeric_profile",  # exact-integer mean/variance attested by q04's
-    #                     exact decimal sums (stays benched+exported) and
-    #                     the ops-layer family by q53 (stays exported)
-    "q52_referential_audit",  # per-edge LEFT ANTI orphan counts attested by
-    #                     dedup_clusters' left_anti (stays) + promoted
-    #                     q59/q62's NOT-IN anti joins
-    "maintenance_clustered_sum",  # clustered-rewrite row-group envelopes
-    #                     asserted from parquet footers in pytest (the
-    #                     stronger check); rewrite-roundtrip family stays
-    #                     via maintenance_compact_sum (stays exported)
-    "stream_foreach_batch_sink",  # exactly-once CRASH-RECOVERY pytest
-    #                     (crash after batch 1, checkpoint restart,
-    #                     uncommitted-batch-only replay) is the stronger
-    #                     check; sink-side streaming stays attested via
-    #                     stream_windowed_counts (stays exported+benched)
-    "stream_click_attribution",  # the stream-stream join family's export
-    #                     is now promoted stream_click_abandonment — the
-    #                     LEFT OUTER superset of this inner join (same
-    #                     watermarks, same range condition, PLUS the
-    #                     expiry-driven null-extension semantics)
-    "text_langid",  # per-doc Catalyst signal family attested by
-    #                     text_quality (stays exported + benched)
-    "text_zscore",  # grouped-agg pandas UDF surface attested by
-    #                     text_median_len (stays exported)
-    "text_source_mix",  # broadcast micro-rate sampling attested by
-    #                     pipeline_pack's per-source budget packing
-    #                     (stays exported); determinism pytest stays
-    "text_lm_score",  # corpus-model scoring family attested by
-    #                     text_tfidf_topk (stays exported); the bounded-
-    #                     model caps are pytest-asserted every round
-    "q05_metadata_count",  # PushedAggregation COUNT(*) plan assertion in
-    #                     test_plans is the stronger check; count surface
-    #                     in bench's lineitem_rows probe via all_queries
-    "dedup_overlap_matrix",  # attribution layer over the SAME pair set as
-    #                     dedup_minhash_lsh (stays exported + benched);
-    #                     AQE-sized join plan asserted in pytest
-    "multimodal_integrity_audit",  # payload-vs-metadata audit shares
-    #                     multimodal_features' decode plumbing (stays
-    #                     exported); corrupt-blob pytest stays
-    "ann_rp_topk",  # JL-projection path recomputed as a CTE inside
-    #                     ann_recall's oracle (stays exported)
-    "ann_pq_topk",  # PQ/ADC path likewise re-derived in ann_recall's
-    #                     recall report (stays exported); codebook-cap
-    #                     and rounding invariants are pytest-asserted
-    # rotated out in round 6, each r5-green with its twin:
-    "q33_outer_joins",  # full/left outer family attested by promoted
-    #                     q44_merge_upsert_cdc (full-outer + CASE resolve
-    #                     is the same join plan with a harder projection)
-    "q34_sql_scalar_subquery",  # identical-SQL front door attested by
-    #                     promoted q49 (correlated scalar-agg through the
-    #                     same spark.sql path); IN->LeftSemi family by
-    #                     dedup_clusters/stream_incremental_admit's
-    #                     semi/anti joins (both stay)
-    "q03_pushdown_range_filter",  # PushedFilters plan assertion in
-    #                     tests/test_plans.py is the stronger check (the
-    #                     q06 rotation precedent); filtered-agg shape
-    #                     stays via q01/q04
-    "q08_fact_join_agg",  # fact-join-agg + exact_revenue kernel attested
-    #                     by q31 + q32 (both stay exported and benched)
-    "q10_topk",  # TakeOrderedAndProject attested by q31 (stays) + the
-    #                     promoted q43 funnel's ordered output
-    "q18_sessionization",  # gap-based sessions attested by
-    #                     stream_session_windows (stays) + promoted q43
-    #                     (same per-user ordered-window machinery)
-    "q26_pivot",  # grouping-sets/pivot codepath attested by q27 rollup
-    #                     cascade (stays)
-    "q30_lag_lead_ntile",  # Sort+Window plan family attested by promoted
-    #                     q43 (three chained window-mins over one sort)
-    #                     + text_pack's cumulative window (stays)
-    "stream_sliding_counts",  # sliding-window state attested by
-    #                     stream_windowed_counts (stays; same state
-    #                     machinery, tumbling vs sliding spec)
-    "text_idf",  # its corpus-idf CTE lives verbatim inside
-    #                     text_tfidf_topk's oracle (stays)
-    "text_repetition",  # per-doc Catalyst signal family attested by
-    #                     text_quality (stays); its n-gram machinery by
-    #                     the minhash shingle oracles (dedup_minhash_lsh
-    #                     stays)
-    "dedup_incremental",  # LEFT ANTI on fingerprints attested by
-    #                     stream_incremental_admit (stays; identical
-    #                     join, streaming side) + dedup_clusters
-    "dedup_embedding_lsh",  # hyperplane-bucketed family attested by
-    #                     ann_recall (stays; its oracle re-derives the
-    #                     LSH bucket path as a CTE)
-    "ann_ivf_topk",  # ann_recall's oracle recomputes the IVF path as
-    #                     its ivf_r CTE (stays exported and benched)
-    "schema_evolution_sum",  # mergeSchema surface pytest-green since r2;
-    #                     roundtrip family attested by orc_roundtrip_sum
-    #                     (stays)
-    "text_sentences",  # replaced as the UDTF export by promoted
-    #                     text_sentence_stats (same UDTF, oracle-checked
-    #                     aggregate projection); row-level splitter stays
-    #                     pytest-compared against the shared reference
-    # rotated out in round 5 (twins documented in the block comment
-    # above):
-    "q02_null_skip_sum",
-    "q06_projection_pruning",
-    "q07_broadcast_star_join",
-    "q13_window_running_sum",
-    "q14_rollup",
-    "q21_correlated_exists",
-    "q25_percentiles",
-    "stream_dedup_keys",
-    "stream_enriched_totals",
-    "text_fingerprint",
-    "text_ngram_topk",
-    "text_chunk",
-    "text_contamination",
-    "dedup_simhash_pairs",
-    "ann_lsh_bucketed",
-    "multimodal_resize",
-    "pipeline_curate",
-    "orc_metadata_rowcount",
-    # round-4 rotation, still pytest-only with exported twins:
-    "q11_set_ops",  # union/distinct/exceptAll inside dedup_clusters
-    "q15_distinct_agg",  # distinct-agg family stays via q24
-    "q16_scalar_functions",  # scalar surface in every surviving oracle
-    "q17_date_buckets",  # date_trunc attested by q27 cascade
-    "text_tokens",  # tokenizer attested by text_pack + text_quality
-    "text_hash_sample",  # poly-hash attested by minhash oracles
-    "multimodal_frame_sample",  # mapInPandas fan-out via multimodal_features
-    "orc_pushdown_filter",  # SARGs attested by q03 + plan assertions
-    # q09's semi join is attested by promoted q34's IN→LeftSemi and its
-    # anti join by dedup_clusters' left_anti + promoted dedup_incremental:
-    "q09_semi_anti_join",
-    # directory-pruning is attested by the PartitionFilters plan
-    # assertion in tests/test_plans.py (the stronger check):
-    "partition_pruned_sum",
-    # windowless grouped-agg streaming state: complete-mode agg shape
-    # attested by stream_windowed_counts' state machinery:
-    "stream_grouped_totals",
-    # earlier-round demotions, each with a surviving driver twin:
-    "q20_cube",  # grouping-sets codepath attested by q26/q27
-    "q12_window_latest_order",  # ranking windows attested by every ann_* top-k
-    "ann_cosine_topk",  # oracle identical to ann_cosine_topk_vectorized
+    # --- round-12 rotation (queue → zero; see ROTATIONS.md) ---
+    "multimodal_bmp_decode",  # png (image-codec superset) + wav stay
+    "ann_cluster_separation",  # medoids+purity ride the same _km_state
+    # --- round-11 second rotation ---
+    "q19_json_extract",  # q78's VARIANT path is the strict superset
+    "q63_tpch_q21_sql_front_door",  # q77 front door + q61 business answer
+    "q64_incremental_mv_maintenance",  # q44 MERGE + q67 snapshot diff
+    "text_pii_redact",  # text_url_filter + zero-exchange plan assert
+    "q55_tpch_q8_market_share",  # q31/q32 join trees + q48 CASE ratio
+    # --- round-11 rotation ---
+    "q54_tpch_q7_nation_volume",  # q55-family join tree via q32
+    "q56_tpch_q9_product_profit",  # q32's 6-table tree
+    "q57_tpch_q2_min_cost_supplier",  # q58's decorrelated scalar subquery
+    "q60_tpch_q20_excess_suppliers",  # q61 semi/anti stack + q59 NOT-IN
+    "q62_tpch_q22_dormant_customers",  # q61 NOT-EXISTS family
+    "q41_tpch_q12_late_lines_by_status",  # q48 CASE sums; SMJ via lsh pins
+    "q27_rollup_cascade",  # q74 GROUPING SETS superset
+    "q68_scd2_history",  # q70/q71 window shuffle; q67/q44 versioning
+    "q65_nation_pagerank",  # q69 BFS + q73 triangles; stays benched
+    "q53_key_skew_report",  # q04 grouped agg; salt invariance pytest
+    "stream_incremental_admit",  # stream_dedup_within_watermark superset
+    "dedup_exact",  # dedup_clusters' fingerprint machinery
+    "dedup_span_report",  # pipeline_split_leakage's span-fp windows
+    "ann_cosine_topk_vectorized",  # ann_recall ground-truth CTE; benched
+    "ann_kmeans_clusters",  # medoids/purity trio on the same _km_state
+    "multimodal_ppm_decode",  # wav/png codec family; P6 tests in pytest
+    "pipeline_pack",  # pipeline_split consumes the funnel; text_pack packs
+    "maintenance_zorder_sum",  # orc_roundtrip + footer-envelope pytest
+    # --- round-9 rotation ---
+    "q40_tpch_q4_order_priority",  # q61 EXISTS semi joins
+    "q47_tpch_q13_order_distribution",  # q44 outer join + q04 distribution
+    "q45_gapfill_timeseries",  # text_pack posexplode + q44 outer join
+    "ann_sq_topk",  # executes inside ann_recall (sq_r CTE)
+    "multimodal_features",  # ppm/wav/png decode superset plumbing
+    # --- round-8 rotation ---
+    "q36_tpch_q18_large_orders",  # q58 HAVING + q31 top-k
+    "q37_tpch_q10_returned_items",  # q31 fact-join-group-topk
+    "q42_tpch_q14_promo_revenue",  # q48 CASE-ratio family
+    "q46_tpch_q6_forecast_revenue",  # q01/q04 + PushedFilters assert
+    "q50_tpch_q15_top_supplier",  # q57/q58 scalar-subquery family
+    "maintenance_compact_sum",  # zorder rewrite contract superset
+    # --- round-7 rotation ---
+    "q49_tpch_q17_small_quantity",  # q63/q57 front-door + decorrelation
+    "q43_event_funnel",  # q61 sequences + text_pack windows
+    "q39_skew_salted_join",  # salt-invariance hypothesis test
+    "q22_asof_join",  # kernel hypothesis-tested; q23_range_join exported
+    "q24_approx_distinct",  # tolerance pytest; q59 exact COUNT DISTINCT
+    "q35_map_functions",  # scalar-decomposition meta-test
+    "q28_bag_set_ops",  # join-free plan assert; dedup_clusters set ops
+    "q29_array_functions",  # ann_* oracles + text_pack posexplode
+    "q51_numeric_profile",  # q04 exact decimal aggregates
+    "q52_referential_audit",  # dedup_clusters left_anti + q59/q62
+    "maintenance_clustered_sum",  # parquet-footer envelope pytest
+    "stream_foreach_batch_sink",  # crash-recovery pytest is stronger
+    "stream_click_attribution",  # stream_click_abandonment LEFT OUTER superset
+    "text_langid",  # text_quality Catalyst signal family
+    "text_zscore",  # text_median_len grouped-agg pandas UDF
+    "text_source_mix",  # pipeline_pack budget sampling
+    "text_lm_score",  # text_tfidf_topk corpus-model family
+    "q05_metadata_count",  # PushedAggregation plan assert; bench probe
+    "dedup_overlap_matrix",  # same pair set as dedup_minhash_lsh
+    "multimodal_integrity_audit",  # multimodal decode plumbing
+    "ann_rp_topk",  # ann_recall rp CTE
+    "ann_pq_topk",  # ann_recall pq CTE
+    # --- round-6 rotation ---
+    "q33_outer_joins",  # q44 full-outer MERGE superset
+    "q34_sql_scalar_subquery",  # q49/q77 front door; LeftSemi via dedup
+    "q03_pushdown_range_filter",  # PushedFilters plan assert
+    "q08_fact_join_agg",  # q31/q32; stays benched
+    "q10_topk",  # q31 TakeOrderedAndProject; stays benched
+    "q18_sessionization",  # stream_session_windows; stays benched
+    "q26_pivot",  # q27/q74 grouping-sets codepath
+    "q30_lag_lead_ntile",  # q43/text_pack Sort+Window family
+    "stream_sliding_counts",  # stream_windowed_counts state machinery
+    "text_idf",  # CTE inside text_tfidf_topk's oracle
+    "text_repetition",  # text_quality signals + shingle oracles
+    "dedup_incremental",  # stream_incremental_admit + dedup_clusters
+    "dedup_embedding_lsh",  # ann_recall LSH CTE
+    "ann_ivf_topk",  # ann_recall ivf_r CTE; stays benched
+    "schema_evolution_sum",  # mergeSchema pytest; orc_roundtrip family
+    "text_sentences",  # text_sentence_stats UDTF export (rows-only twin)
+    # --- round-5 rotation ---
+    "q02_null_skip_sum",  # q01's null-skip semantics
+    "q06_projection_pruning",  # ReadSchema plan assert
+    "q07_broadcast_star_join",  # q31/q32 BHJ shapes
+    "q13_window_running_sum",  # q30/text_pack running frames
+    "q14_rollup",  # q26/q27/q74 grouping sets
+    "q21_correlated_exists",  # q34 decorrelated LeftSemi
+    "q25_percentiles",  # text_median_len exact percentiles
+    "stream_dedup_keys",  # stream_dedup_within_watermark superset
+    "stream_enriched_totals",  # stream_incremental_admit join shape
+    "text_fingerprint",  # minhash oracles' rolling poly-hash
+    "text_ngram_topk",  # text_tfidf_topk skeleton
+    "text_chunk",  # text_pack token machinery
+    "text_contamination",  # LeftSemi n-gram probes via q34 + dedup joins
+    "dedup_simhash_pairs",  # dedup_embedding_lsh bucketed family
+    "ann_lsh_bucketed",  # ann_recall lsh CTE
+    "multimodal_resize",  # multimodal_features mapInPandas plumbing
+    "pipeline_curate",  # funnel CTE inside pipeline_pack/split oracles
+    "orc_metadata_rowcount",  # q05 + PushedAggregation plan assert
+    # --- round-4 rotation and earlier ---
+    "q11_set_ops",  # dedup_clusters union/distinct/exceptAll
+    "q15_distinct_agg",  # q24/q59 distinct-agg family
+    "q16_scalar_functions",  # scalar surface in every oracle
+    "q17_date_buckets",  # q27 date_trunc cascade
+    "text_tokens",  # text_pack + text_quality tokenizer
+    "text_hash_sample",  # minhash poly-hash oracles
+    "multimodal_frame_sample",  # multimodal_features fan-out
+    "orc_pushdown_filter",  # q03 SARGs + plan asserts
+    "q09_semi_anti_join",  # q34 LeftSemi + dedup_clusters left_anti
+    "partition_pruned_sum",  # PartitionFilters plan assert
+    "stream_grouped_totals",  # stream_windowed_counts complete-mode agg
+    "q20_cube",  # q26/q27 grouping sets
+    "q12_window_latest_order",  # ann_* ranking windows
+    "ann_cosine_topk",  # oracle identical to vectorized variant
     "dedup_ngram_jaccard",  # oracle identical to dedup_minhash_lsh
     "dedup_bitset_jaccard",  # oracle identical to dedup_minhash_lsh
-    "dedup_embedding_cosine",  # cosine kernel attested by every ann_* entry
-    "dedup_simhash",  # its oracle is a CTE inside dedup_simhash_pairs (pytest)
-    "csv_roundtrip_sum",  # roundtrip shape attested by orc_roundtrip_sum
-    "json_roundtrip_sum",
+    "dedup_embedding_cosine",  # ann_* cosine kernels
+    "dedup_simhash",  # CTE inside dedup_simhash_pairs
+    "csv_roundtrip_sum",  # orc_roundtrip_sum roundtrip shape
+    "json_roundtrip_sum",  # orc_roundtrip_sum roundtrip shape
 }
 
 
