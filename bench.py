@@ -80,7 +80,55 @@ HEADLINE = [
     # wedge-join graph shape (two chained edge joins over the shared
     # _trade_edges artifact), unlike q65's per-iteration rank shuffle
     "q73_triangle_count",
+    # ADDITIVE round-12 slot (r11 verdict #4: at most one new slot, and
+    # this is its pick): a real DEFLATE decompress in the measured set
+    # — the reference's own hot stage is block decompression
+    # (dpu_decompress.c:224-300); this is the Arrow-batched
+    # encode→inflate→unfilter→features pipeline over binary columns
+    "multimodal_png_decode",
 ]
+
+
+def calibration(spark) -> tuple[float, dict]:
+    """Fixed CPU-bound probe that prices this run's host contention.
+
+    Three rounds of cross-round comparisons (r7→r8, r9→r10, r10→r11)
+    attributed uniform +15-25% headline drift to hypervisor co-tenancy
+    by SIGNATURE only (unchanged-code slots drifting as much as changed
+    ones, empty spread_flags). This makes it MEASURED: a workload whose
+    cost is constant by construction — a pinned-size numpy matmul (pure
+    FLOPs, BLAS-threaded, so stolen cores show up) plus a 1-partition
+    Spark job (JVM task-scheduling overhead under the same load) — is
+    timed with the same min-of-N discipline as the queries. Cross-round
+    slot comparisons should divide by the calibration ratio: a slot
+    that moved 1.2× while calibration moved 1.2× did not regress.
+
+    Returns (calibration_sec, detail): the summed min-of-samples of the
+    two parts, and the per-part samples for BENCH_DETAIL.json.
+    """
+    import numpy as np
+
+    a = (np.arange(1024 * 1024, dtype=np.float64) % 1013.0).reshape(
+        1024, 1024
+    ) / 1013.0
+    np_ts, spark_ts = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(12):
+            (a @ a).sum()  # 12 × ~2.1 GFLOP, result discarded
+        np_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.range(0, 8_000_000, 1, 1).selectExpr(
+            "sum(id % 997) AS s"
+        ).collect()
+        spark_ts.append(time.perf_counter() - t0)
+    cal = round(min(np_ts) + min(spark_ts), 4)
+    return cal, {
+        "numpy_matmul_sec": round(min(np_ts), 4),
+        "spark_1part_sec": round(min(spark_ts), 4),
+        "numpy_samples": [round(t, 4) for t in np_ts],
+        "spark_samples": [round(t, 4) for t in spark_ts],
+    }
 
 
 def main() -> None:
@@ -132,6 +180,10 @@ def main() -> None:
 
     for name in HEADLINE:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Calibration brackets the timed window (before + after): the min
+    # across both prices this run's contention floor on the same
+    # min-of-N basis as queries_min below.
+    cal_before, cal_detail_before = calibration(spark)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(ITERS):
         reclaim()
@@ -140,6 +192,8 @@ def main() -> None:
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+    cal_after, cal_detail_after = calibration(spark)
+    calibration_sec = min(cal_before, cal_after)
     timings = {
         name: round(statistics.median(ts), 4) for name, ts in samples.items()
     }
@@ -242,6 +296,18 @@ def main() -> None:
     # slope) land in BENCH_DETAIL.json next to this script.
     detail = {
         "queries_min": timings_min,
+        # Drift normalization (r11 verdict #2): per-slot min in units
+        # of this run's calibration time. Cross-round comparisons of
+        # THESE numbers are host-contention-free — a slot whose
+        # seconds moved with calibration_sec has not changed.
+        "calibration_sec": calibration_sec,
+        "calibration_before": cal_detail_before,
+        "calibration_after": cal_detail_after,
+        "queries_min_per_cal": {
+            name: round(t / calibration_sec, 3)
+            for name, t in timings_min.items()
+            if calibration_sec > 0
+        },
         "partition_sweep_q01": sweep,
         "queries_small_sf": small_timings,
         "scale_ratio": scale_ratio,
@@ -281,6 +347,7 @@ def main() -> None:
             flagship_rows_per_sec=(
                 round(n_rows / flagship) if flagship else None
             ),
+            calibration_sec=calibration_sec,
         )
     )
 
@@ -293,6 +360,7 @@ def headline_json(
     sf,
     lineitem_rows: int,
     flagship_rows_per_sec,
+    calibration_sec=None,
 ) -> str:
     """Serialize the one driver-parsed JSON line, guaranteed to fit the
     driver's 2000-char output window (tested in test_entry_contract)."""
@@ -303,6 +371,14 @@ def headline_json(
         "queries": timings,
         "value_min": value_min,
         "spread_flags": spread_flags,
+        # fixed-workload contention price for this run; divide per-slot
+        # numbers by the cross-round calibration ratio before calling
+        # anything a regression (full per-part samples in BENCH_DETAIL)
+        **(
+            {"calibration_sec": calibration_sec}
+            if calibration_sec is not None
+            else {}
+        ),
         "sf": sf,
         "iterations": ITERS,
         "lineitem_rows": lineitem_rows,

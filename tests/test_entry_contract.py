@@ -97,6 +97,7 @@ def test_bench_headline_line_fits_driver_window():
         sf=0.1,
         lineitem_rows=600_000_000,
         flagship_rows_per_sec=123_456_789,
+        calibration_sec=12345.6789,
     )
     assert len(line) < 1900, len(line)
     import json
@@ -124,6 +125,7 @@ def test_bench_headline_truncates_queries_when_all_else_fails():
         sf=0.1,
         lineitem_rows=600_000_000,
         flagship_rows_per_sec=123_456_789,
+        calibration_sec=12345.6789,
     )
     assert len(line) < 1900, len(line)
     parsed = json.loads(line)
