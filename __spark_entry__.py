@@ -69,6 +69,9 @@ def _modules():
 # records the comparison, not whether it runs). Format: name, # twin.
 # Rotation history and full rationale: ROTATIONS.md.
 PYTEST_ONLY = {
+    # --- round-12 attestation queue (newborns; promote in r13) ---
+    "source_stream_availablenow",  # DataSourceStreamReader half of the
+    #                     Python connector; batch half exported r12
     # --- round-12 rotation (queue → zero; see ROTATIONS.md) ---
     "multimodal_bmp_decode",  # png (image-codec superset) + wav stay
     "ann_cluster_separation",  # medoids+purity ride the same _km_state

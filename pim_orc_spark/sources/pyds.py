@@ -25,12 +25,15 @@ planning/iteration/registration shape is exactly this.
 
 from __future__ import annotations
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 # Knuth's multiplicative hash constant and a prime modulus: a per-row
@@ -41,11 +44,24 @@ PYDS_MOD = 997
 PYDS_N = 5000
 PYDS_PARTS = 8
 PYDS_BUCKETS = 16
+# Rows admitted per microbatch by the paced SIMPLE stream reader; the
+# full stream reader exposes the whole feed at once (availableNow
+# drains it in one planned batch of PYDS_PARTS splits).
+PYDS_STREAM_BATCH = 1250
 
 
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start, self.end = start, end
+
+
+def _rows(start: int, end: int):
+    """The closed-form feed: row i is fully determined by its index, so
+    ANY [start, end) range replays bit-identically — the property that
+    makes both exactly-once replay (readBetweenOffsets) and the SQL
+    oracle possible without storing anything."""
+    for i in range(start, end):
+        yield (i, i % PYDS_BUCKETS, (i * PYDS_MULT) % PYDS_MOD)
 
 
 class SyntheticDocsReader(DataSourceReader):
@@ -66,12 +82,94 @@ class SyntheticDocsReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        for i in range(partition.start, partition.end):
-            yield (i, i % PYDS_BUCKETS, (i * PYDS_MULT) % PYDS_MOD)
+        yield from _rows(partition.start, partition.end)
+
+
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """The FULL streaming contract (Spark 4 ``DataSourceStreamReader``):
+    driver-side offset tracking (``initialOffset``/``latestOffset``) and
+    per-batch partition planning (``partitions(start, end)`` splits the
+    admitted offset range into real InputPartitions, so a microbatch
+    scan parallelizes across executors exactly like the batch source).
+
+    The analogue of the reference's internally-streaming request engine
+    (pim_snappy.c:304-386 drains a request queue in fixed-size chunks);
+    here the "queue" is the closed-form feed and the offsets are plain
+    row indices. ``latestOffset`` reports the WHOLE bounded feed as
+    available, so one planned batch drains it — restart-trivial by
+    construction (latest never moves). That choice is deliberate:
+    Spark's PythonMicroBatchStream does not implement AvailableNow
+    admission control and FALLS BACK to single-batch execution (logged
+    by MicroBatchExecution), so an all-available latestOffset makes the
+    fallback semantically identical to a true AvailableNow drain. The
+    paced, multi-microbatch + crash-replay semantics live in the SIMPLE
+    reader below, whose wrapper re-initializes its offset from the
+    checkpoint on restart
+    (pyspark.sql.datasource_internal._SimpleStreamReaderWrapper).
+    """
+
+    def __init__(self, options):
+        self.n = int(options.get("n", PYDS_N))
+        self.parts = int(options.get("parts", PYDS_PARTS))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": max(self.n, 0)}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["index"]), int(end["index"])
+        if e <= s:  # empty admitted range → empty plan (API contract)
+            return []
+        step = max(1, (e - s + self.parts - 1) // self.parts)
+        return [
+            _RangePartition(i, min(i + step, e)) for i in range(s, e, step)
+        ]
+
+    def read(self, partition):
+        yield from _rows(partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean up: the feed is closed-form, no buffered
+        # state exists below `end` to release
+        pass
+
+
+class SyntheticDocsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """The SIMPLE streaming contract, paced: each ``read(start)`` admits
+    at most ``batch_rows`` rows and returns the advanced offset, so a
+    run produces a SEQUENCE of microbatches (n / batch_rows of them) —
+    the shape that exercises offset checkpointing for real. Exactly-once
+    across restart is delivered by ``readBetweenOffsets``: Spark replays
+    any batch that was planned (offset log) but not committed (commit
+    log) by re-reading the SAME [start, end) range, which the
+    closed-form feed reproduces bit-identically. Proven by the
+    kill-and-restart pytest in tests/test_sources.py."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", PYDS_N))
+        self.batch_rows = int(options.get("batch_rows", PYDS_STREAM_BATCH))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        s = int(start["index"])
+        e = min(s + self.batch_rows, self.n)
+        if e <= s:
+            return iter([]), {"index": s}
+        return iter(list(_rows(s, e))), {"index": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_rows(int(start["index"]), int(end["index"]))))
 
 
 class SyntheticDocsSource(DataSource):
-    """``spark.read.format("synthetic_docs")`` after registration."""
+    """``spark.read.format("synthetic_docs")`` after registration; the
+    same format name serves ``spark.readStream`` through the two stream
+    readers above (option ``api=simple`` selects the paced simple
+    reader; default is the full partition-planning reader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -82,6 +180,19 @@ class SyntheticDocsSource(DataSource):
 
     def reader(self, schema):
         return SyntheticDocsReader(self.options)
+
+    def streamReader(self, schema):
+        if str(self.options.get("api", "")).lower() == "simple":
+            # raising NOT_IMPLEMENTED routes pyspark's _streamReader
+            # helper to simpleStreamReader() — the documented fallback
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return SyntheticDocsStreamReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsSimpleStreamReader(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -116,8 +227,41 @@ def source_python_datasource(
     )
 
 
+def source_stream_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the registered source as a STREAM (AvailableNow trigger;
+    Spark's documented fallback for Python sources executes it as one
+    full batch, which the all-available ``latestOffset`` makes exactly
+    equivalent) and reduce to per-bucket facts plus the id range:
+    ``min_id``/``max_id`` prove every partition of the planned offset
+    range arrived (a lost split truncates a range; a replayed one flips
+    n_rows/sums). ``sf_dir`` is unused — as with the batch entry, the
+    contract under test is the SOURCE API; the oracle regenerates the
+    relation."""
+    from pim_orc_spark.streaming.stream_events import run_to_completion
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_docs")
+        .option("n", str(PYDS_N))
+        .option("parts", str(PYDS_PARTS))
+        .load()
+    )
+    agg = sdf.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("h").alias("sum_h"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+    return run_to_completion(
+        agg, "pyds_stream_an", "complete"
+    ).orderBy("bucket")
+
+
 QUERIES = {
     "source_python_datasource": source_python_datasource,
+    "source_stream_availablenow": source_stream_availablenow,
 }
 
 ORACLES = {
@@ -126,6 +270,15 @@ ORACLES = {
            COUNT(*) AS n_rows,
            CAST(SUM((i * {PYDS_MULT}) % {PYDS_MOD}) AS BIGINT) AS sum_h,
            CAST(SUM(i) AS BIGINT) AS sum_id
+    FROM (SELECT unnest(range(0, {PYDS_N})) AS i)
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "source_stream_availablenow": f"""
+    SELECT i % {PYDS_BUCKETS} AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM((i * {PYDS_MULT}) % {PYDS_MOD}) AS BIGINT) AS sum_h,
+           CAST(MIN(i) AS BIGINT) AS min_id,
+           CAST(MAX(i) AS BIGINT) AS max_id
     FROM (SELECT unnest(range(0, {PYDS_N})) AS i)
     GROUP BY bucket ORDER BY bucket
     """,

@@ -469,3 +469,140 @@ def test_python_datasource_matches_oracle_and_plans_partitions(
     )
     assert small.rdd.getNumPartitions() == 3
     assert small.count() == 10
+
+
+def test_python_stream_source_availablenow_matches_oracle(spark, sf_dir):
+    """The DataSourceStreamReader half of the connector: an
+    AvailableNow run must drain the whole bounded feed, its per-batch
+    scan must parallelize across the partitions() plan (PYDS_PARTS
+    splits, not one monolithic iterator), and the per-bucket facts
+    must match the closed-form oracle."""
+    from pim_orc_spark.sources import pyds
+
+    df = pyds.source_stream_availablenow(spark, sf_dir)
+    ok, msg = compare(
+        df, pyds.ORACLES["source_stream_availablenow"], sf_dir
+    )
+    assert ok, msg
+
+    # partition planning: probe the planned batch width from inside
+    # foreachBatch (the batch DataFrame sits directly on the stream
+    # reader's InputPartitions)
+    pyds.register(spark)
+    widths = {}
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .option("n", str(pyds.PYDS_N))
+        .option("parts", str(pyds.PYDS_PARTS))
+        .load()
+        .writeStream.foreachBatch(
+            lambda bdf, bid: widths.__setitem__(
+                bid, bdf.rdd.getNumPartitions()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert widths, "no microbatch ran"
+    assert set(widths.values()) == {pyds.PYDS_PARTS}, widths
+
+
+def test_python_stream_simple_reader_paces_and_replays_exactly_once(
+    spark, tmp_path
+):
+    """The paced SimpleDataSourceStreamReader: each admitted batch is
+    batch_rows wide (offset checkpointing is exercised across MANY
+    microbatches, not one), and a crash between a batch's output and
+    its commit replays EXACTLY the checkpointed [start, end) range via
+    readBetweenOffsets on restart — the union of all batch outputs is
+    the feed, bit-exact, no dupes, no gaps."""
+    import os as _os
+
+    from pim_orc_spark.sources import pyds
+
+    pyds.register(spark)
+    n, batch_rows = 5000, 1250
+    ckpt = str(tmp_path / "ckpt")
+    out_root = str(tmp_path / "out")
+    _os.makedirs(out_root)
+
+    def stream():
+        return (
+            spark.readStream.format("synthetic_docs")
+            .option("api", "simple")
+            .option("n", str(n))
+            .option("batch_rows", str(batch_rows))
+            .load()
+        )
+
+    def make_apply(crash_on):
+        def apply(batch_df, batch_id):
+            # write FIRST, then crash: the worst spot — output exists,
+            # commit log doesn't, so restart MUST replay this batch
+            # (idempotent overwrite by batch_id = the documented sink
+            # contract, same as the cdc_apply generation pattern)
+            batch_df.write.mode("overwrite").parquet(
+                _os.path.join(out_root, f"batch={batch_id}")
+            )
+            if crash_on is not None and batch_id == crash_on:
+                raise RuntimeError("simulated stream-source crash")
+
+        return apply
+
+    def run(crash_on):
+        q = (
+            stream()
+            .writeStream.foreachBatch(make_apply(crash_on))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import pytest as _pytest
+
+    # Spark's PythonMicroBatchStream does not support AvailableNow and
+    # falls back to SINGLE-BATCH execution per run — so each run admits
+    # exactly one paced batch and batch ids continue across runs on the
+    # same checkpoint. Run 1 commits batch 0; run 2 writes batch 1's
+    # output then crashes before its commit; the restart must replay
+    # batch 1 from the offset log via readBetweenOffsets.
+    run(crash_on=None)
+    with _pytest.raises(Exception, match="simulated stream-source crash"):
+        run(crash_on=1)
+    # drive further runs until the feed is drained (one batch per run;
+    # loop bound = one run per remaining batch plus replay slack)
+    for _ in range(n // batch_rows + 2):
+        run(crash_on=None)
+        done = {
+            d for d in _os.listdir(out_root) if d.startswith("batch=")
+        }
+        if len(done) >= n // batch_rows:
+            break
+
+    batch_dirs = sorted(
+        (d for d in _os.listdir(out_root) if d.startswith("batch=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    assert len(batch_dirs) >= 2, (
+        f"pacing produced a single batch: {batch_dirs}"
+    )
+    # the crashed batch was replayed with the SAME offsets: its rows
+    # are exactly the second admitted range
+    replayed = {
+        r.doc_id
+        for r in spark.read.parquet(
+            _os.path.join(out_root, "batch=1")
+        ).collect()
+    }
+    assert replayed == set(range(batch_rows, 2 * batch_rows))
+    # union across batches = the closed-form feed, no dupes, no gaps
+    rows = spark.read.parquet(
+        _os.path.join(out_root, "batch=*")
+    ).collect()
+    assert len(rows) == n
+    assert {(r.doc_id, r.bucket, r.h) for r in rows} == {
+        (i, i % pyds.PYDS_BUCKETS, (i * pyds.PYDS_MULT) % pyds.PYDS_MOD)
+        for i in range(n)
+    }
