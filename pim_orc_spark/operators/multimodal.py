@@ -145,32 +145,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _extract_features_arrow(batches):
     """mapInArrow kernel: pyarrow RecordBatch in, RecordBatch out —
-    no Arrow→pandas→Arrow conversion on either edge (pandas boxes each
-    binary cell in a Python object; the RecordBatch keeps the raw
-    buffer). Same arithmetic as ``_extract_features``, so the two
-    kernels are interchangeable and share one oracle."""
+    no Arrow→pandas→Arrow conversion on either edge, and no per-cell
+    Python ``bytes`` boxing either: the variable-width binary column is
+    consumed as its TWO raw buffers (int32/int64 offsets + one
+    contiguous data buffer) through numpy views, so the only copy is
+    the uint8→int64 widening the checksum arithmetic itself needs.
+    Same arithmetic as ``_extract_features``, so the two kernels are
+    interchangeable and share one oracle."""
     import pyarrow as pa
 
     for rb in batches:
         ids = rb.column(rb.schema.get_field_index("doc_id")).cast(
             pa.int64()
         )
-        payloads = [
-            bytes(p)
-            for p in rb.column(
-                rb.schema.get_field_index("payload")
-            ).to_pylist()
+        arr = rb.column(rb.schema.get_field_index("payload"))
+        if arr.null_count:
+            # fixture payloads are non-null by construction; a null
+            # here means a corrupt upstream — fail loudly, the audit
+            # operator owns tolerating damage
+            raise ValueError("null payload in mapInArrow feature kernel")
+        off_dtype = (
+            np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        )
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+            arr.offset : arr.offset + len(arr) + 1
         ]
-        pows = _pow31(max((len(p) for p in payloads), default=0))
-        lens = [len(p) for p in payloads]
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        lens = np.diff(offsets).astype(np.int64)
+        pows = _pow31(int(lens.max()) if len(lens) else 0)
         checks = [
             _checksum_np(
-                np.frombuffer(p, dtype=np.uint8).astype(np.int64), pows
+                data[offsets[i] : offsets[i + 1]].astype(np.int64), pows
             )
-            for p in payloads
+            for i in range(len(arr))
         ]
         yield pa.RecordBatch.from_arrays(
-            [ids, pa.array(lens, pa.int64()), pa.array(checks, pa.int64())],
+            [
+                ids,
+                pa.array(lens, pa.int64()),
+                pa.array(checks, pa.int64()),
+            ],
             names=["doc_id", "n_bytes", "checksum"],
         )
 
@@ -920,6 +939,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         if ihdr is None and ctype != b"IHDR":
             raise ValueError("IHDR must be the first chunk")
         if ctype == b"IHDR":
+            # a CRC-valid chunk can still be grammatically wrong: the
+            # spec fixes IHDR at exactly 13 bytes and exactly one
+            # occurrence — both must stay in the ValueError corruption
+            # class, not leak as struct.error / silent overwrite
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR chunk")
+            if len(body) != 13:
+                raise ValueError(
+                    f"IHDR body must be 13 bytes, got {len(body)}"
+                )
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body

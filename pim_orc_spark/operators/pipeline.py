@@ -94,6 +94,10 @@ def _funnel(
     def _probe(
         art: tuple[DataFrame, DataFrame, DataFrame, DataFrame]
     ) -> bool:
+        # BOTH checkpoint-backed frames must answer: base feeds the
+        # qual/exact consumers directly, so a lost base block would
+        # evade a final-only probe and fail every later call instead
+        art[0].isEmpty()
         art[3].isEmpty()
         return True
 

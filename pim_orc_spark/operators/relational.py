@@ -2811,7 +2811,15 @@ def _cbo_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 def _cbo_confs(spark: SparkSession, enabled: bool) -> dict[str, str]:
     """Set the two CBO switches, returning the previous values (caller
-    restores in a finally)."""
+    restores in a finally).
+
+    SINGLE-THREADED ASSUMPTION: ``spark.conf`` is session-global, so
+    any query PLANNED concurrently in this session during the caller's
+    conf window would silently plan under CBO too. Both harnesses that
+    drive q76 (the driver sweep and pytest) plan queries sequentially;
+    a concurrently-driven deployment must scope the flip to a cloned
+    session (``spark.newSession()`` shares the catalog + executors but
+    owns its conf) before running q76 alongside other work."""
     confs = {
         "spark.sql.cbo.enabled": str(enabled).lower(),
         "spark.sql.cbo.joinReorder.enabled": str(enabled).lower(),

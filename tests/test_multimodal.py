@@ -203,6 +203,22 @@ def test_png_codec_roundtrip_and_validation():
     swapped = PNG_SIG + _png_chunk(b"IDAT", b"") + payload[8:]
     with pt.raises(ValueError, match="IHDR must be the first"):
         decode_png(swapped)
+    # IHDR grammar: a CRC-valid but wrong-length body must raise the
+    # documented ValueError, not struct.error
+    shortihdr = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBB", 4, 3, 8, 2, 0, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pt.raises(ValueError, match="IHDR body must be 13"):
+        decode_png(shortihdr)
+    # exactly one IHDR: a duplicate must not silently win
+    ihdr_chunk = _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    )
+    doubled = PNG_SIG + ihdr_chunk + ihdr_chunk + payload[8 + 25 :]
+    with pt.raises(ValueError, match="duplicate IHDR"):
+        decode_png(doubled)
     # missing IEND
     iend_at = payload.index(b"IEND") - 4
     with pt.raises(ValueError, match="missing IEND"):
