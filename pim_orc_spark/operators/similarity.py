@@ -1099,10 +1099,13 @@ FROM md GROUP BY cid ORDER BY cluster_id
     )
 
 
-SEM_TAU = 0.4  # fixture-calibrated: this synthetic corpus is diffuse
-#               (max within-cluster cosine ≈ 0.51), so the semantic-dup
-#               cut sits where the fixture HAS near-neighbors; on real
-#               text embeddings the same operator runs at ~0.9+.
+SEM_TAU = 0.4  # fixture-calibrated default: this synthetic corpus is
+#               diffuse (max within-cluster cosine ≈ 0.51), so the
+#               semantic-dup cut sits where the fixture HAS
+#               near-neighbors; on real text embeddings the same
+#               operator runs at ~0.9+. Production retuning is a
+#               kwarg away: derived_sem_tau() reads the cut off the
+#               corpus's own cosine distribution.
 SEM_SALT = 8  # tasks a hot cluster's pair work is split across
 SEM_HOT_CLUSTER = 32  # rows — above this a cluster's |c|²/2 pair
 #               evals no longer belong in ONE join task. Deliberately
@@ -1110,6 +1113,83 @@ SEM_HOT_CLUSTER = 32  # rows — above this a cluster's |c|²/2 pair
 #               exercises the salted path in every driver sweep; at
 #               100 TB with a production k, essentially every cluster
 #               crosses it, which is the regime the salt exists for.
+#               derived_hot_threshold() reads it off the cluster-size
+#               histogram instead; the exported entry keeps the pin
+#               because the pair OUTPUT is threshold-invariant anyway
+#               (property-tested) — only the shuffle layout moves.
+SEM_HOT_QUANTILE = 0.99  # histogram anchor for the derived threshold
+SEM_HOT_FACTOR = 0.5  # hot = bigger than factor × the p99 cluster
+SEM_TAU_QUANTILE = 0.95  # keep the densest 5% of candidate cosines
+
+
+def derived_hot_threshold(
+    assigned: DataFrame,
+    quantile: float = SEM_HOT_QUANTILE,
+    factor: float = SEM_HOT_FACTOR,
+) -> int:
+    """Hot-cluster threshold FROM the data: ``factor`` × the
+    ``quantile`` of the cluster-size histogram. A cluster close to the
+    corpus's own large-cluster regime gets salted; the magic row count
+    pinned in ``SEM_HOT_CLUSTER`` becomes a fixture convenience rather
+    than a scaling assumption. The histogram is k rows (one per
+    cluster), so the exact percentile is a metadata-sized aggregate —
+    no sampling, no extra corpus pass beyond the groupBy the hot-set
+    build already runs."""
+    row = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.expr(f"percentile(n, {quantile})").alias("q"))
+        .collect()[0]
+    )
+    return max(1, int((row["q"] or 0) * factor))
+
+
+def derived_sem_tau(
+    nv: DataFrame,
+    quantile: float = SEM_TAU_QUANTILE,
+    per_cluster_cap: int = 50,
+) -> float:
+    """Semantic-dup cut FROM the data: the ``quantile`` of the
+    within-cluster candidate-cosine distribution, estimated on a
+    deterministic per-cluster sample (first ``per_cluster_cap`` rows
+    by vec_id — ids carry no semantic order, so this is an unbiased
+    cheap sample that never exceeds k × cap²/2 pair evals regardless
+    of corpus size). Callers that retune for a real corpus pass the
+    result as ``dedup_semantic_pairs(..., tau=...)``; the exported
+    entry keeps the pinned SEM_TAU so the fixture oracle stays a
+    constant."""
+    from pyspark.sql import Window
+
+    capped = (
+        nv.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= per_cluster_cap)
+        .drop("rn")
+    )
+    b = capped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+        "cid",
+    )
+    cos = F.round(
+        dot_unrolled(F.col("v"), F.col("vb"), DIM)
+        / (F.col("nrm") * F.col("nrm_b")),
+        6,
+    )
+    row = (
+        capped.hint("shuffle_merge")
+        .join(b, "cid")
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(cos.alias("cos"))
+        .agg(F.expr(f"percentile(cos, {quantile})").alias("tau"))
+        .collect()[0]
+    )
+    return float(row["tau"])
 
 
 def _semantic_pairs_from(
@@ -1117,6 +1197,7 @@ def _semantic_pairs_from(
     salt: int = SEM_SALT,
     hot_threshold: int = SEM_HOT_CLUSTER,
     hot_cids: tuple[int, ...] | None = None,
+    tau: float = SEM_TAU,
 ) -> DataFrame:
     """Within-cluster cosine pair join over (vec_id, v, cid, nrm),
     with hot clusters SALTED: the equi-key of the self-join is the
@@ -1167,7 +1248,7 @@ def _semantic_pairs_from(
                 "vec_b",
                 cos.alias("cos"),
             )
-            .filter(F.col("cos") >= SEM_TAU)
+            .filter(F.col("cos") >= tau)
             .orderBy("vec_a", "vec_b")
         )
 
@@ -1206,7 +1287,12 @@ def _semantic_pairs_from(
     return finish(left.join(right, ["cid", "salt"]))
 
 
-def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = SEM_TAU,
+    hot_threshold: int | None = None,
+) -> DataFrame:
     """SEMANTIC DEDUP (SemDeDup-shape): near-duplicate pairs by
     embedding cosine, with the pair search scoped to k-means clusters —
     the composition that makes embedding dedup tractable at corpus
@@ -1241,7 +1327,14 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias("nrm"),
     )
-    return _semantic_pairs_from(nv, hot_cids=hot_cids)
+    if hot_threshold is not None:
+        # caller-derived threshold (e.g. derived_hot_threshold):
+        # recompute the hot set from the assignment instead of using
+        # the artifact's pinned-threshold byproduct
+        return _semantic_pairs_from(
+            nv, hot_threshold=hot_threshold, tau=tau
+        )
+    return _semantic_pairs_from(nv, hot_cids=hot_cids, tau=tau)
 
 
 QUERIES = {

@@ -230,3 +230,65 @@ def test_semantic_pairs_reuse_launches_no_probe_job(spark, sf_dir):
     jobs = sc.statusTracker().getJobIdsForGroup("semdedup-plan")
     assert len(jobs) <= 1, f"plan construction launched jobs: {jobs}"
     assert df.columns == ["vec_a", "vec_b", "cos"]
+
+
+def test_derived_threshold_and_tau_agree_with_pins(spark, sf_dir):
+    """r11 verdict #7: the fixture-calibrated pins become derivable.
+
+    (a) Hot threshold: the pair set must be INVARIANT under the
+    data-derived threshold vs the pinned SEM_HOT_CLUSTER — hotness
+    only moves work between tasks, never rows (the salt contract).
+    (b) Tau: derived_sem_tau reads the cut off the corpus's own
+    within-cluster cosine distribution; running the operator at the
+    derived tau must equal filtering the pinned-tau result at it
+    (the cut is a pure post-filter, so deriving it cannot change
+    which candidates exist), and the quantile must be monotone."""
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.similarity import (
+        DIM,
+        SEM_TAU,
+        _km_state,
+        dedup_semantic_pairs,
+        derived_hot_threshold,
+        derived_sem_tau,
+        dot_unrolled,
+    )
+
+    assigned, _, _ = _km_state(spark, sf_dir)
+    thr = derived_hot_threshold(assigned)
+    # fixture regime: ≈60-row uniform clusters, p99 ≈ 60 → thr ≈ 30,
+    # the same order as the 32-row pin (the pin is a representative
+    # fixture value, not a special one)
+    assert 1 <= thr <= 200, thr
+
+    pinned = sorted(
+        (r.vec_a, r.vec_b, r.cos)
+        for r in dedup_semantic_pairs(spark, sf_dir).collect()
+    )
+    derived = sorted(
+        (r.vec_a, r.vec_b, r.cos)
+        for r in dedup_semantic_pairs(
+            spark, sf_dir, hot_threshold=thr
+        ).collect()
+    )
+    assert pinned and derived == pinned
+
+    nv = assigned.select(
+        "vec_id",
+        "v",
+        "cid",
+        F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias("nrm"),
+    )
+    tau_hi = derived_sem_tau(nv, quantile=0.99)
+    tau_lo = derived_sem_tau(nv, quantile=0.5)
+    assert tau_lo <= tau_hi
+    assert -1.0 <= tau_lo and tau_hi <= 1.0
+    if tau_hi >= SEM_TAU:
+        at_derived = sorted(
+            (r.vec_a, r.vec_b, r.cos)
+            for r in dedup_semantic_pairs(
+                spark, sf_dir, tau=tau_hi
+            ).collect()
+        )
+        assert at_derived == [p for p in pinned if p[2] >= tau_hi]
