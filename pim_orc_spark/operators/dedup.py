@@ -165,6 +165,28 @@ def _tree_sum(cols: list[Column]) -> Column:
     return cols[0]
 
 
+def _size_gate(sza: str, szb: str) -> Column:
+    """Lossless size-ratio prefilter: J ≥ t forces min(|A|,|B|) /
+    max(|A|,|B|) ≥ t (the intersection can never exceed the smaller
+    set), so two integer multiply-compares discard a candidate pair
+    before the per-pair set intersect. The same gate ``bitset_pairs``
+    and ``dedup_ngram_jaccard`` already run; in the LSH engine it is
+    wired into the WIDE verify path only — there it fronts a real
+    O(|A|+|B|) array_intersect over already-DISTINCT candidates. It
+    is deliberately ABSENT from the narrow inline path: that join
+    condition runs on the fallback evaluator ~once per colliding band
+    pair, extra conjuncts cost real time there, and the tiny-dictionary
+    corpora that take that branch have concentrated doc sizes the gate
+    cannot prune (measured +21% calibration-normalized on the benched
+    slot before being backed out)."""
+    from fractions import Fraction
+
+    fr = Fraction(JACCARD_T).limit_denominator(1000)
+    return (F.col(sza) * fr.denominator >= F.col(szb) * fr.numerator) & (
+        F.col(szb) * fr.denominator >= F.col(sza) * fr.numerator
+    )
+
+
 def _popcount_jaccard(
     nb: int, ma: str = "ma", mb: str = "mb", sza: str = "sza", szb: str = "szb"
 ) -> Column:
@@ -395,14 +417,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          banded rows and verification evaluates INSIDE the band-join
          condition — the candidate set never materializes, never
          shuffles, and the generated condition is small enough to stay
-         in compiled codegen. A wider dictionary (the 740-word
-         char-3-gram ceiling, or a token-feature variant) flips to
+         in compiled codegen. A wider dictionary (toward the 740-word
+         char-3-gram ceiling, or a token-feature variant) flips BOTH
+         stages: the signature build collects exact dictionary-index
+         SETS (O(1) per gram — the dense bit_or form costs O(nb) per
+         gram, which between fixture scale and dictionary saturation
+         is effectively quadratic in the corpus; caught by
+         tests/test_scale_slope.py), and verification becomes
          exactly-once candidates via a first-collision-band filter
-         followed by two candidate-keyed mask-attach joins
-         (O(candidates × 16 B) shuffle instead of
-         O(docs × bands × mask)). Same threshold-style runtime choice
-         Spark itself makes between broadcast and shuffle joins; both
-         paths are oracle-identical and tested.
+         followed by two candidate-keyed index-set attach joins with
+         hash-based array_intersect. Same threshold-style runtime
+         choice Spark itself makes between broadcast and shuffle
+         joins; both paths are oracle-identical and tested.
       4. Exactly-once output: the inline path DISTINCTs the verified
          SURVIVORS — |result| × colliding-band multiplicity rows, a
          metadata-sized shuffle (round 3 paid a ~20M-row candidate
@@ -436,8 +462,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         art[0].isEmpty()
         return True
 
+    # cache key carries the carry-threshold: narrow and wide builds
+    # produce DIFFERENT per-doc schemas (mask words vs index set), so a
+    # threshold change (tests monkeypatch it; production may tune it)
+    # must never serve the other path's cached rows
     per_doc, nb = cached_artifact(
-        "minhash_sigs",
+        f"minhash_sigs_c{CARRY_MASK_MAX_WORDS}",
         spark,
         sf_dir,
         lambda: _doc_signatures(
@@ -509,22 +539,43 @@ def _doc_signatures(
         F.min((F.col("h") * a + b) % MOD).alias(f"s{i}")
         for i, (a, b) in enumerate(params)
     ]
-    # Bitset words as bit_or aggregates — NOT collect_set + a mask fold:
-    # collect_set is a TypedImperativeAggregate, and one such column
-    # demotes the ENTIRE 128-min aggregate from whole-stage-codegen
-    # HashAggregateExec to ObjectHashAggregate (measured ~1.7× slower
-    # end-to-end). bit_or is declarative, so the fused agg keeps
-    # codegen. Duplicate grams per doc OR in the same bit — idempotent —
-    # and the set size falls out as Σ popcount(word) afterwards.
-    word_cols = [
-        F.bit_or(
-            F.expr(
-                f"CASE WHEN idx DIV 64 = {w} "
-                "THEN shiftleft(1L, idx % 64) ELSE 0L END"
-            )
-        ).alias(f"m{w}")
-        for w in range(nb)
-    ]
+    if nb <= CARRY_MASK_MAX_WORDS:
+        # NARROW dictionary — bitset words as bit_or aggregates, NOT
+        # collect_set + a mask fold: collect_set is a
+        # TypedImperativeAggregate, and one such column demotes the
+        # ENTIRE 128-min aggregate from whole-stage-codegen
+        # HashAggregateExec to ObjectHashAggregate (measured ~1.7×
+        # slower end-to-end). bit_or is declarative, so the fused agg
+        # keeps codegen. Duplicate grams per doc OR in the same bit —
+        # idempotent — and the set size falls out as Σ popcount(word).
+        word_cols = [
+            F.bit_or(
+                F.expr(
+                    f"CASE WHEN idx DIV 64 = {w} "
+                    "THEN shiftleft(1L, idx % 64) ELSE 0L END"
+                )
+            ).alias(f"m{w}")
+            for w in range(nb)
+        ]
+    else:
+        # WIDE dictionary — the bit_or formulation evaluates nb CASEs
+        # PER GRAM ROW, making stage-1 cost O(corpus_grams × nb): the
+        # dictionary grows with the corpus until its ~47k char-3-gram
+        # ceiling, so between fixture scale and saturation the build is
+        # effectively QUADRATIC (caught by the one-decade slope test,
+        # tests/test_scale_slope.py — a 10× corpus with a near-ceiling
+        # dictionary measured ~100× before this branch existed). Here
+        # each gram row costs O(1): collect the exact dictionary
+        # indices as a set and let verification intersect the sorted
+        # index arrays directly (array_intersect is hash-based
+        # O(|A|+|B|), the same order as walking a saturated mask).
+        # collect_set demotes this agg to ObjectHashAggregate (~1.7×
+        # on the stage) — the price of deleting an O(nb)-per-gram term
+        # that dwarfs it. Index sets, NOT gram-hash sets: poly_hash is
+        # mod 2³¹−1, and at a 47k dictionary a corpus-level collision
+        # is likelier than not — dictionary indices are collision-free,
+        # so the Jaccard stays exact (oracle-identical).
+        word_cols = [F.collect_set("idx").alias("gset")]
     agg = ex.groupBy("doc_id").agg(*sig_cols, *word_cols)
 
     # Band key = xxhash64 of the band's 4 signature values, not their
@@ -553,13 +604,23 @@ def _doc_signatures(
     # intersect: on adversarial corpora (high background similarity)
     # banding admits ~all pairs and verification dominates — the bitset
     # keeps per-pair cost at a few dozen instructions either way.
-    sz_expr = _tree_sum([F.bit_count(F.col(f"m{w}")) for w in range(nb)])
-    per_doc = agg.select(
-        "doc_id",
-        band_keys.alias("keys"),
-        F.array(*[F.col(f"m{w}") for w in range(nb)]).alias("mask"),
-        sz_expr.alias("sz"),
-    ).localCheckpoint()
+    if nb <= CARRY_MASK_MAX_WORDS:
+        sz_expr = _tree_sum(
+            [F.bit_count(F.col(f"m{w}")) for w in range(nb)]
+        )
+        per_doc = agg.select(
+            "doc_id",
+            band_keys.alias("keys"),
+            F.array(*[F.col(f"m{w}") for w in range(nb)]).alias("mask"),
+            sz_expr.alias("sz"),
+        ).localCheckpoint()
+    else:
+        per_doc = agg.select(
+            "doc_id",
+            band_keys.alias("keys"),
+            "gset",
+            F.size("gset").alias("sz"),
+        ).localCheckpoint()
     return per_doc, nb
 
 
@@ -567,8 +628,8 @@ def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
     """Stages 2-4 of the LSH engine (the per-QUERY work once the
     signature index exists): salted band self-join, in-join or
     attach-join Jaccard verification, exactly-once output."""
-    jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
     if nb <= CARRY_MASK_MAX_WORDS:
+        jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
         # Inline verify-then-distinct: mask+size ride the banded rows
         # (WITHOUT the keys array — 32 longs/row lighter through the
         # shuffle), the Jaccard test evaluates INSIDE the join
@@ -596,6 +657,16 @@ def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
         cands = _salted_band_candidates(
             banded, payload=("mask", "sz"), n_bands=LSH_BANDS
         )
+        # NO _size_gate here, deliberately: this branch's verify runs
+        # inside the join condition on the FALLBACK evaluator (see
+        # _salted_band_candidates' A/B table), where every extra
+        # conjunct costs real per-candidate time, and the corpus class
+        # that reaches this branch (tiny dictionary ⇒ concentrated doc
+        # sizes) is exactly where the gate prunes ~nothing — measured
+        # +21% on the benched sf0.1 slot (calibration-normalized)
+        # before being backed out. The gate pays off in the wide
+        # branch below, where it short-circuits a per-pair set
+        # intersect and the candidates are already DISTINCT-reduced.
         return (
             cands.select(
                 "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
@@ -604,19 +675,35 @@ def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
             .distinct()
         )
     else:
-        # Wide-mask path: banded rows stay skinny and masks are attached
-        # to the (smaller-per-row) candidate set with two doc-keyed
-        # joins — shuffle O(candidates × 16 B) instead of
-        # O(docs × bands × mask).
+        # Wide-dictionary path: banded rows stay skinny and the exact
+        # dictionary-index SETS are attached to the (smaller-per-row)
+        # candidate set with two doc-keyed joins — shuffle
+        # O(candidates × |gset|) instead of O(docs × bands × mask) —
+        # and verification intersects the index sets directly
+        # (array_intersect, hash-based O(|A|+|B|): the same order of
+        # work as walking a saturated dense mask, without stage 1 ever
+        # paying O(nb) per gram to build one; see _doc_signatures).
+        # Skinny banded rows + DISTINCT, not first-collision: carrying
+        # the 32-long keys array through the band self-join makes the
+        # sort-merge input ~13× heavier per row, and on the corpus
+        # class that REACHES this path (wide dictionary ⇒ high gram
+        # diversity ⇒ low background J) candidates ≈ true pairs — a
+        # DISTINCT over them is metadata-sized, so paying the array
+        # haulage to avoid it is backwards (measured 16× → near-linear
+        # one-decade slope on the 19.6k-gram synthetic corpus,
+        # tests/test_scale_slope.py). The candidate-dense adversarial
+        # corpora that justify first-collision take the narrow branch
+        # above by construction (tiny vocabulary ⇒ tiny dictionary).
         banded = per_doc.select(
-            "doc_id", "keys", F.posexplode("keys").alias("band", "key")
+            "doc_id", F.posexplode("keys").alias("band", "key")
         )
         cands = (
             _salted_band_candidates(banded, n_bands=LSH_BANDS)
+            .distinct()
             .join(
                 per_doc.select(
                     F.col("doc_id").alias("doc_a"),
-                    F.col("mask").alias("mask_a"),
+                    F.col("gset").alias("gset_a"),
                     F.col("sz").alias("sz_a"),
                 ),
                 "doc_a",
@@ -624,11 +711,19 @@ def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
             .join(
                 per_doc.select(
                     F.col("doc_id").alias("doc_b"),
-                    F.col("mask").alias("mask_b"),
+                    F.col("gset").alias("gset_b"),
                     F.col("sz").alias("sz_b"),
                 ),
                 "doc_b",
             )
+            .filter(_size_gate("sz_a", "sz_b"))
+            .withColumn(
+                "n_common",
+                F.size(F.array_intersect("gset_a", "gset_b")),
+            )
+        )
+        jac = F.col("n_common") / (
+            F.col("sz_a") + F.col("sz_b") - F.col("n_common")
         )
     return cands.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")

@@ -1,0 +1,236 @@
+"""One-decade-UP scale slope (r11 verdict #6): the sf0.01→sf0.1 slope
+pass in bench.py bounds superlinearity BELOW fixture scale; this test
+extends the method one decade ABOVE it. A synthetic sf1 is materialized
+(10× the data of sf0.1), and the five most expensive bench slots are
+timed at both scales. A linear operator lands near the data ratio (≈10)
+minus fixed overhead; a superlinear constant hiding above fixture scale
+shows up as a ratio well past it.
+
+Corpus semantics (each slot must scale over an IN-CLASS corpus, or the
+"slope" measures the corpus, not the operator):
+
+- lineitem/orders/customer/supplier: ten key-shifted replicas of sf0.1
+  — the join graph becomes 10 disjoint copies (no cross-replica
+  fan-out); nation keys kept, so the graph slots aggregate 10× facts
+  onto the same 25-vertex graph. Exactly the 100 TB shape where
+  dimensions are metadata and facts grow.
+- documents (feeds dedup_minhash_lsh): a GENERATED diverse corpus at
+  both scales — hash-derived tokens from a 50k-word vocabulary with a
+  planted near-duplicate in every DUP_EVERY-th doc — NOT the fixture
+  documents table. The fixture corpus is the documented
+  LSH-adversarial case (≈30-word vocabulary, background 3-gram
+  J ≈ 0.6): banding admits ~all pairs there, so its LSH output — and
+  therefore its cost — is Θ(n²) IN-DISTRIBUTION, the
+  information-theoretic floor the operator's own docstring concedes.
+  A linearity assertion on it is ill-posed at any normalization
+  (measured ~300× for 10× docs: candidates ×10 × dictionary-width
+  ×5 × per-candidate fallback-evaluator costs; see SURVEY round-12
+  notes). On the diverse corpus the gram dictionary SATURATES at both
+  scales and candidates track planted pairs — the regime LSH exists
+  for, and the regime a 100 TB deployment is in.
+
+Two earlier false starts, kept as warnings: (1) replicating the
+fixture docs with per-token replica prefixes left interior grams
+shared (cross-replica J ≈ 0.5 → quadratic candidates — the "slope"
+measured a malformed corpus); (2) a per-replica character bijection
+fixed cross-replica overlap but not the corpus's intrinsic
+within-replica candidate density.
+
+perf-marked: wall-clock facts on a co-tenant host; run with
+``pytest -m perf tests/test_scale_slope.py``. Co-tenancy guidance from
+bench.py applies — min-of-N is the contention-immune statistic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+# the slope is measured from the BENCH scale (sf0.1) one decade up,
+# matching the verdict's protocol — not from the test sweep's sf0.01
+BASE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SLOPE_BASE_DIR", "/root/testdata/sf0.1"
+)
+
+SLOTS = [
+    "q01_flagship_sum",
+    "q04_pricing_summary",
+    "dedup_minhash_lsh",
+    "q65_nation_pagerank",
+    "q73_triangle_count",
+]
+REPS = 10
+# 10× data + fixed overhead; past this a superlinear constant is the
+# simplest explanation (the r3 LSH cliff was ~100× at one decade)
+MAX_RATIO = 12.0
+TIMED_PASSES = int(os.environ.get("SPARK_GRAFT_SLOPE_PASSES", "2"))
+
+# ------------------------------------------------ diverse doc corpus
+DOCS_SMALL = 5_000  # matches the fixture documents row count at sf0.1
+VOCAB = 50_000
+DOC_TOKENS = 120
+DUP_EVERY = 20  # doc i with i % DUP_EVERY == 1 near-duplicates doc i-1
+PERTURB_EVERY = 25  # the near-dup differs in every 25th token (J≈0.95)
+
+
+def _synth_docs(spark, n_docs: int, out: str) -> None:
+    """Deterministic diverse corpus: doc i is DOC_TOKENS hash-derived
+    words from a VOCAB-word vocabulary; every DUP_EVERY-th doc copies
+    its predecessor except every PERTURB_EVERY-th token, planting
+    near-dup pairs (3-gram J ≈ 0.95 ≥ the 0.8 threshold) at a fixed
+    rate so the LSH pair output — and hence its cost — scales linearly
+    with the corpus. All-Catalyst generation, no Python row funcs."""
+    base_id = F.col("id") - F.when(
+        F.col("id") % DUP_EVERY == 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    is_dup = F.col("id") % DUP_EVERY == 1
+
+    def word(seed_col):
+        # base-26 word encoding, NOT decimal: "w"+digits words live in
+        # a 12-char alphabet whose 3-gram universe is ~1.4k, so every
+        # doc covers ~half of it and background J lands at ~0.33 —
+        # banding then admits ~a third of ALL pairs (quadratic, the
+        # same disease as the fixture corpus, measured as a stuck
+        # signature/pair stage). conv(...,10,26) words draw from a
+        # 27-char alphabet (~20k gram universe): docs cover ~3% of it,
+        # background J ≈ 0.02, band-collision probability ~1e-7 —
+        # the coverage profile of real text.
+        return F.lower(
+            F.conv(
+                F.pmod(F.xxhash64(seed_col), F.lit(VOCAB)).cast("string"),
+                10,
+                26,
+            )
+        )
+
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(DOC_TOKENS - 1)),
+        lambda j: F.when(
+            is_dup & (j % PERTURB_EVERY == 0),
+            word(F.col("id") * DOC_TOKENS + j + F.lit(10**12)),
+        ).otherwise(word(base_id * DOC_TOKENS + j)),
+    )
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", tokens).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synth").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+
+
+def _build_sf1(spark, sf_dir: str, out: str) -> None:
+    reps = F.broadcast(
+        spark.range(REPS).select(F.col("id").cast("long").alias("rep"))
+    )
+
+    def load(t):
+        return spark.read.parquet(f"{sf_dir}/{t}.parquet")
+
+    def shift(col, span):
+        return (F.col(col) + F.col("rep") * F.lit(span)).alias(col)
+
+    def span_of(df, col):
+        return int(df.agg(F.max(col)).collect()[0][0]) + 1
+
+    li, od, cu, su = (
+        load("lineitem"),
+        load("orders"),
+        load("customer"),
+        load("supplier"),
+    )
+    ok_span = span_of(od, "o_orderkey")
+    ck_span = span_of(cu, "c_custkey")
+    sk_span = span_of(su, "s_suppkey")
+
+    def rep_all(df, *shifted):
+        names = {c for c, _ in shifted}
+        cols = [shift(c, s) for c, s in shifted] + [
+            c for c in df.columns if c not in names
+        ]
+        return df.crossJoin(reps).select(*cols)
+
+    rep_all(li, ("l_orderkey", ok_span), ("l_suppkey", sk_span)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/lineitem.parquet")
+    rep_all(od, ("o_orderkey", ok_span), ("o_custkey", ck_span)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/orders.parquet")
+    rep_all(cu, ("c_custkey", ck_span)).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet"
+    )
+    rep_all(su, ("s_suppkey", sk_span)).write.mode("overwrite").parquet(
+        f"{out}/supplier.parquet"
+    )
+    for t in ("nation", "region"):
+        load(t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    _synth_docs(spark, REPS * DOCS_SMALL, out)
+
+
+def _time_slots(qs, spark, dirs: dict[str, str]) -> dict[str, float]:
+    # warmup pass: codegen + resident artifacts (signature index, trade
+    # edges) build here, exactly like bench.py's untimed pass 0 — the
+    # slope compares steady-state costs at both scales
+    for name in SLOTS:
+        qs[name](spark, dirs[name]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    best: dict[str, float] = {}
+    for _ in range(TIMED_PASSES):
+        for name in SLOTS:
+            t0 = time.perf_counter()
+            qs[name](spark, dirs[name]).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best[name] = min(best.get(name, float("inf")), dt)
+    return best
+
+
+@pytest.mark.perf
+def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
+    import __spark_entry__ as entry
+
+    sf_dir = BASE_SF_DIR
+    sf1 = str(tmp_path / "sf1")
+    docs_small = str(tmp_path / "docs_small")
+    _build_sf1(spark, sf_dir, sf1)
+    _synth_docs(spark, DOCS_SMALL, docs_small)
+    n_small = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_big = spark.read.parquet(f"{sf1}/lineitem.parquet").count()
+    assert n_big == REPS * n_small
+
+    # the planted near-dups must actually come out at both scales —
+    # otherwise the LSH timing measures an empty pair path
+    from pim_orc_spark.operators.dedup import dedup_minhash_lsh
+
+    n_pairs_small = dedup_minhash_lsh(spark, docs_small).count()
+    n_pairs_big = dedup_minhash_lsh(spark, sf1).count()
+    assert n_pairs_small >= DOCS_SMALL // DUP_EVERY
+    # pair output scales with the corpus (±: band-collision extras)
+    assert n_pairs_big >= REPS * (DOCS_SMALL // DUP_EVERY)
+    assert n_pairs_big <= 3 * REPS * n_pairs_small
+
+    qs = entry.all_queries()
+    small_dirs = {name: sf_dir for name in SLOTS}
+    small_dirs["dedup_minhash_lsh"] = docs_small
+    big_dirs = {name: sf1 for name in SLOTS}
+    small = _time_slots(qs, spark, small_dirs)
+    big = _time_slots(qs, spark, big_dirs)
+    ratios = {n: round(big[n] / small[n], 2) for n in SLOTS}
+    print(f"\nscale_slope sf0.1→sf1: {ratios}")
+    print(f"  small={ {n: round(t, 3) for n, t in small.items()} }")
+    print(f"  big={ {n: round(t, 3) for n, t in big.items()} }")
+    offenders = {n: r for n, r in ratios.items() if r > MAX_RATIO}
+    assert not offenders, (
+        f"superlinear one-decade slope (>{MAX_RATIO}x for 10x data): "
+        f"{offenders}; all ratios {ratios}"
+    )
