@@ -72,6 +72,8 @@ PYTEST_ONLY = {
     # --- round-12 attestation queue (newborns; promote in r13) ---
     "source_stream_availablenow",  # DataSourceStreamReader half of the
     #                     Python connector; batch half exported r12
+    "sink_python_datasource",  # DataSourceWriter half (two-phase
+    #                     commit); reader halves carry the registration
     # --- round-12 rotation (queue → zero; see ROTATIONS.md) ---
     "multimodal_bmp_decode",  # png (image-codec superset) + wav stay
     "ann_cluster_separation",  # medoids+purity ride the same _km_state

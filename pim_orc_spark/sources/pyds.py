@@ -25,6 +25,11 @@ planning/iteration/registration shape is exactly this.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
 from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,8 +37,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Knuth's multiplicative hash constant and a prime modulus: a per-row
@@ -165,6 +173,110 @@ class SyntheticDocsSimpleStreamReader(SimpleDataSourceStreamReader):
         return iter(list(_rows(int(start["index"]), int(end["index"]))))
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    """Per-task commit message: where the task staged its rows, and how
+    many. Must be picklable (it travels executor → driver)."""
+
+    path: str
+    rows: int
+
+
+class JsonDirBatchWriter(DataSourceWriter):
+    """The SINK half of the connector, batch form — a faithful
+    two-phase commit (the FileCommitProtocol shape Spark's own file
+    sinks use, in pure Python):
+
+    - ``write(iterator)`` runs once per task on executors: rows land in
+      a STAGING file (``_staged/part-<uuid>.jsonl``) that no reader can
+      observe, and the task's commit message carries its path+count.
+    - ``commit(messages)`` runs on the driver only after EVERY task
+      succeeded: staged files are renamed into the target directory and
+      a ``_MANIFEST.json`` naming them is written LAST — a reader that
+      requires the manifest can never see a torn job.
+    - ``abort(messages)`` deletes whatever was staged; the target
+      directory is untouched (all-or-nothing).
+
+    Rows are written as JSON lines: schema-agnostic, no extra deps, and
+    the torn/partial states the protocol must rule out are trivially
+    inspectable in tests.
+
+    DEPLOYMENT NOTE: staging + rename assumes executors and driver see
+    ONE filesystem (true on local[n] and on clusters with a shared
+    mount). An object-store deployment keeps the identical protocol but
+    stages as multipart uploads / temp keys and "renames" by completing
+    them in commit() — the two-phase shape is the contract, the rename
+    is the local-FS instantiation of it."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("synthetic_docs writer requires option 'path'")
+        self.overwrite = overwrite
+        # test hook: a doc_id that makes the owning task fail AFTER
+        # staging some rows — the abort path needs a mid-write failure
+        self.fail_on = options.get("fail_on")
+
+    def write(self, iterator):
+        staged_dir = os.path.join(self.path, "_staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        fname = os.path.join(staged_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        fail_on = int(self.fail_on) if self.fail_on is not None else None
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                if fail_on is not None and d.get("doc_id") == fail_on:
+                    raise RuntimeError(
+                        f"simulated write failure at doc_id={fail_on}"
+                    )
+                fh.write(json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+        return _StagedFile(path=fname, rows=n)
+
+    def _publish(self, messages, target: str) -> None:
+        os.makedirs(target, exist_ok=True)
+        published, rows = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(target, os.path.basename(m.path))
+            os.replace(m.path, final)
+            published.append(os.path.basename(final))
+            rows += m.rows
+        # manifest last: its existence IS the commit
+        with open(os.path.join(target, "_MANIFEST.json"), "w") as fh:
+            json.dump({"files": sorted(published), "rows": rows}, fh)
+
+    def commit(self, messages):
+        self._publish(messages, self.path)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonDirStreamWriter(JsonDirBatchWriter, DataSourceStreamWriter):
+    """Streaming form: identical task-side staging, but the driver
+    commit lands each microbatch in its own ``batch=<id>`` directory,
+    REPLACING it if present — so a batch replayed after a crash between
+    sink commit and checkpoint commit overwrites its own output with
+    identical bytes instead of doubling it (the idempotent-by-batch-id
+    contract exactly-once sinks require; same design as the foreachBatch
+    generation sink, stream_events.py)."""
+
+    def commit(self, messages, batchId: int) -> None:
+        target = os.path.join(self.path, f"batch={batchId}")
+        if os.path.isdir(target):  # replay: replace, never append
+            for f in os.listdir(target):
+                os.remove(os.path.join(target, f))
+        self._publish(messages, target)
+
+    def abort(self, messages, batchId: int) -> None:
+        JsonDirBatchWriter.abort(self, messages)
+
+
 class SyntheticDocsSource(DataSource):
     """``spark.read.format("synthetic_docs")`` after registration; the
     same format name serves ``spark.readStream`` through the two stream
@@ -193,6 +305,12 @@ class SyntheticDocsSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return SyntheticDocsSimpleStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return JsonDirBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonDirStreamWriter(self.options, overwrite)
 
 
 def register(spark: SparkSession) -> None:
@@ -259,9 +377,48 @@ def source_stream_availablenow(
     ).orderBy("bucket")
 
 
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the SINK half of the connector: the synthetic
+    relation is written through the two-phase-commit Python writer
+    (task-staged JSONL, driver rename + manifest), read back from the
+    committed files only, and reduced to the same per-bucket facts as
+    the batch-source entry — so a torn commit, lost staged file, or
+    double-published part flips a count or sum against the closed-form
+    oracle. ``sf_dir`` is unused (the contract under test is the sink
+    protocol); the output directory is a fresh session-temp dir."""
+    import tempfile
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="pyds_sink_")
+    (
+        spark.read.format("synthetic_docs")
+        .option("n", str(PYDS_N))
+        .option("parts", str(PYDS_PARTS))
+        .load()
+        .write.format("synthetic_docs")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(out, f) for f in manifest["files"]]
+    df = spark.read.schema("doc_id long, bucket long, h long").json(files)
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("sum_h"),
+            F.sum("doc_id").alias("sum_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "source_python_datasource": source_python_datasource,
     "source_stream_availablenow": source_stream_availablenow,
+    "sink_python_datasource": sink_python_datasource,
 }
 
 ORACLES = {
@@ -279,6 +436,16 @@ ORACLES = {
            CAST(SUM((i * {PYDS_MULT}) % {PYDS_MOD}) AS BIGINT) AS sum_h,
            CAST(MIN(i) AS BIGINT) AS min_id,
            CAST(MAX(i) AS BIGINT) AS max_id
+    FROM (SELECT unnest(range(0, {PYDS_N})) AS i)
+    GROUP BY bucket ORDER BY bucket
+    """,
+    # the sink round-trip must reproduce the source relation exactly,
+    # so its oracle is the batch-source oracle verbatim
+    "sink_python_datasource": f"""
+    SELECT i % {PYDS_BUCKETS} AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM((i * {PYDS_MULT}) % {PYDS_MOD}) AS BIGINT) AS sum_h,
+           CAST(SUM(i) AS BIGINT) AS sum_id
     FROM (SELECT unnest(range(0, {PYDS_N})) AS i)
     GROUP BY bucket ORDER BY bucket
     """,

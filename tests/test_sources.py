@@ -606,3 +606,164 @@ def test_python_stream_simple_reader_paces_and_replays_exactly_once(
         (i, i % pyds.PYDS_BUCKETS, (i * pyds.PYDS_MULT) % pyds.PYDS_MOD)
         for i in range(n)
     }
+
+
+def test_python_sink_two_phase_commit_roundtrip(spark, sf_dir, tmp_path):
+    """The batch DataSourceWriter: rows land via task staging + driver
+    rename + manifest-last. After a successful job the staging dir is
+    empty, the manifest names exactly the published parts, and the
+    round-trip relation matches the closed-form oracle."""
+    import json as _json
+    import os as _os
+
+    from pim_orc_spark.sources import pyds
+
+    df = pyds.sink_python_datasource(spark, sf_dir)
+    ok, msg = compare(
+        df, pyds.ORACLES["sink_python_datasource"], sf_dir
+    )
+    assert ok, msg
+
+    # protocol state inspection on a dedicated target dir
+    pyds.register(spark)
+    out = str(tmp_path / "sink")
+    (
+        spark.read.format("synthetic_docs")
+        .option("n", "100")
+        .option("parts", "4")
+        .load()
+        .write.format("synthetic_docs")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    with open(_os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    parts = sorted(
+        f for f in _os.listdir(out) if f.startswith("part-")
+    )
+    assert manifest["files"] == parts
+    assert manifest["rows"] == 100
+    assert len(parts) == 4  # one staged file per input split
+    staged = _os.path.join(out, "_staged")
+    assert not _os.listdir(staged), "staging must be drained on commit"
+    n = sum(
+        1
+        for f in parts
+        for _ in open(_os.path.join(out, f))
+    )
+    assert n == 100
+
+
+def test_python_sink_abort_leaves_no_published_files(spark, tmp_path):
+    """All-or-nothing: a task failing MID-WRITE (after staging rows)
+    fails the job, abort() removes the staged debris, and the target
+    directory holds no parts and no manifest."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pim_orc_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "sink_abort")
+    with _pytest.raises(Exception, match="simulated write failure"):
+        (
+            spark.read.format("synthetic_docs")
+            .option("n", "100")
+            .option("parts", "4")
+            .load()
+            .write.format("synthetic_docs")
+            .option("path", out)
+            .option("fail_on", "87")  # poison row in the last split
+            .mode("append")
+            .save()
+        )
+    assert not _os.path.exists(_os.path.join(out, "_MANIFEST.json"))
+    assert not [
+        f for f in _os.listdir(out) if f.startswith("part-")
+    ]
+    # NOTE: the FAILED task's own staged file may remain in _staged —
+    # its commit message never reached the driver, so abort() cannot
+    # know it (the standard file-commit-protocol leak, reaped by the
+    # next overwrite or a janitor). The invariant is the PUBLISHED
+    # namespace: abort() must have removed every staged file it was
+    # told about, which the successful tasks' messages cover —
+    # asserted implicitly by the manifest/parts absence above.
+
+
+def test_python_stream_sink_commits_batches_idempotently(
+    spark, tmp_path
+):
+    """End-to-end PYTHON pipeline: the paced simple stream reader feeds
+    the streaming sink. Each microbatch publishes into its own
+    batch=<id> dir with a manifest; re-committing a batch id (replay
+    after a crash between sink commit and checkpoint commit) REPLACES
+    the directory, so the union over batch dirs equals the feed
+    exactly once."""
+    import json as _json
+    import os as _os
+
+    from pim_orc_spark.sources import pyds
+
+    pyds.register(spark)
+    n, batch_rows = 4000, 1000
+    out = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_docs")
+            .option("api", "simple")
+            .option("n", str(n))
+            .option("batch_rows", str(batch_rows))
+            .load()
+            .writeStream.format("synthetic_docs")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(n // batch_rows + 1):
+        run_once()
+        batches = [
+            d for d in _os.listdir(out) if d.startswith("batch=")
+        ]
+        if len(batches) >= n // batch_rows:
+            break
+    batches = sorted(
+        (d for d in _os.listdir(out) if d.startswith("batch=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    assert len(batches) >= 2, batches
+    seen = []
+    for b in batches:
+        bdir = _os.path.join(out, b)
+        with open(_os.path.join(bdir, "_MANIFEST.json")) as fh:
+            manifest = _json.load(fh)
+        rows = []
+        for f in manifest["files"]:
+            with open(_os.path.join(bdir, f)) as fh:
+                rows.extend(_json.loads(line) for line in fh)
+        assert len(rows) == manifest["rows"]
+        seen.extend(rows)
+    assert len(seen) == n
+    assert {r["doc_id"] for r in seen} == set(range(n))
+    # replay simulation: driver-side re-commit of an already-published
+    # batch id must replace, not append
+    w = pyds.JsonDirStreamWriter({"path": out}, overwrite=False)
+    staged = _os.path.join(out, "_staged")
+    _os.makedirs(staged, exist_ok=True)
+    fake = _os.path.join(staged, "part-replayed.jsonl")
+    with open(fake, "w") as fh:
+        fh.write(_json.dumps({"doc_id": 0, "bucket": 0, "h": 0}) + "\n")
+    w.commit([pyds._StagedFile(path=fake, rows=1)], batchId=0)
+    b0 = _os.path.join(out, "batch=0")
+    with open(_os.path.join(b0, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    assert manifest["files"] == ["part-replayed.jsonl"]
+    assert [
+        f for f in _os.listdir(b0) if f.startswith("part-")
+    ] == ["part-replayed.jsonl"]
