@@ -69,11 +69,11 @@ def _modules():
 # records the comparison, not whether it runs). Format: name, # twin.
 # Rotation history and full rationale: ROTATIONS.md.
 PYTEST_ONLY = {
-    # --- round-12 attestation queue (newborns; promote in r13) ---
-    "source_stream_availablenow",  # DataSourceStreamReader half of the
-    #                     Python connector; batch half exported r12
-    "sink_python_datasource",  # DataSourceWriter half (two-phase
-    #                     commit); reader halves carry the registration
+    # --- round-12 SECOND rotation (newborns promote same-round; the
+    # sweep runs at round end — see ROTATIONS.md) ---
+    "multimodal_wav_decode",  # png (exported + benched) carries the
+    #                     Arrow codec pipeline; RIFF grammar tests stay
+    "ann_cluster_purity",  # medoids ride the same _km_state artifact
     # --- round-12 rotation (queue → zero; see ROTATIONS.md) ---
     "multimodal_bmp_decode",  # png (image-codec superset) + wav stay
     "ann_cluster_separation",  # medoids+purity ride the same _km_state
