@@ -165,6 +165,27 @@ def _tree_sum(cols: list[Column]) -> Column:
     return cols[0]
 
 
+def _gate_fraction(threshold: float | None = None):
+    """Rational lower bound fr ≤ threshold for the size gate's integer
+    math. ``limit_denominator`` alone can round ABOVE the threshold
+    (0.4999 → 1/2), which would make the "lossless" gate lossy — a pair
+    with J ≥ t but size ratio in (fr', t) would be wrongly pruned. When
+    the compact fraction rounds up, fall back to the exact-or-below
+    10⁻⁶-grid truncation; an import-time assert below pins the
+    invariant for the default threshold."""
+    from fractions import Fraction
+
+    t = JACCARD_T if threshold is None else threshold
+    fr = Fraction(t).limit_denominator(1000)
+    if fr > Fraction(t):
+        num = int(t * 10**6)  # truncated decimal grid, ≤ t up to the
+        if Fraction(num, 10**6) > Fraction(t):  # float-multiply round-up
+            num -= 1
+        fr = Fraction(num, 10**6)
+    assert fr <= Fraction(t), f"size-gate fraction {fr} exceeds {t}"
+    return fr
+
+
 def _size_gate(sza: str, szb: str) -> Column:
     """Lossless size-ratio prefilter: J ≥ t forces min(|A|,|B|) /
     max(|A|,|B|) ≥ t (the intersection can never exceed the smaller
@@ -179,9 +200,7 @@ def _size_gate(sza: str, szb: str) -> Column:
     corpora that take that branch have concentrated doc sizes the gate
     cannot prune (measured +21% calibration-normalized on the benched
     slot before being backed out)."""
-    from fractions import Fraction
-
-    fr = Fraction(JACCARD_T).limit_denominator(1000)
+    fr = _gate_fraction()
     return (F.col(sza) * fr.denominator >= F.col(szb) * fr.numerator) & (
         F.col(szb) * fr.denominator >= F.col(sza) * fr.numerator
     )
@@ -213,9 +232,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / uni
     # Lossless size gate (J ≥ t ⇒ min/max set-size ratio ≥ t): skips the
     # string-array intersect for pairs that cannot pass.
-    from fractions import Fraction
-
-    fr = Fraction(JACCARD_T).limit_denominator(1000)
+    fr = _gate_fraction()
     gate = (F.size("ga") * fr.denominator >= F.size("gb") * fr.numerator) & (
         F.size("gb") * fr.denominator >= F.size("ga") * fr.numerator
     )
@@ -784,9 +801,7 @@ def bitset_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # Size-ratio prefilter: |A∩B| ≤ min(|A|,|B|), so J ≥ t requires
     # min/max ≥ t. Evaluated as part of the join condition it discards a
     # pair on two comparisons before any popcount work.
-    from fractions import Fraction
-
-    fr = Fraction(JACCARD_T).limit_denominator(1000)
+    fr = _gate_fraction()
     t_num, t_den = fr.numerator, fr.denominator  # integer math in the gate
     size_gate = (F.col("sza") * t_den >= F.col("szb") * t_num) & (
         F.col("szb") * t_den >= F.col("sza") * t_num

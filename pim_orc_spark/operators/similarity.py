@@ -1189,6 +1189,15 @@ def derived_sem_tau(
         .agg(F.expr(f"percentile(cos, {quantile})").alias("tau"))
         .collect()[0]
     )
+    if row["tau"] is None:
+        # every cluster sampled ≤1 row → zero candidate pairs → the
+        # percentile is NULL; name the condition instead of letting
+        # float(None) raise an opaque TypeError (ADVICE r12)
+        raise ValueError(
+            "derived_sem_tau: empty within-cluster candidate "
+            "distribution (no cluster contributed ≥2 sampled rows); "
+            "raise per_cluster_cap or fall back to SEM_TAU"
+        )
     return float(row["tau"])
 
 

@@ -196,6 +196,11 @@ class JsonDirBatchWriter(DataSourceWriter):
       requires the manifest can never see a torn job.
     - ``abort(messages)`` deletes whatever was staged; the target
       directory is untouched (all-or-nothing).
+    - Path REUSE honors the save mode: ``mode("overwrite")`` clears the
+      prior job's committed parts + manifest before publishing;
+      ``mode("append")`` merges the prior manifest's files/rows into
+      the new one (uuid part names never collide), so manifest readers
+      always see the union of committed jobs.
 
     Rows are written as JSON lines: schema-agnostic, no extra deps, and
     the torn/partial states the protocol must rule out are trivially
@@ -234,9 +239,15 @@ class JsonDirBatchWriter(DataSourceWriter):
                 n += 1
         return _StagedFile(path=fname, rows=n)
 
-    def _publish(self, messages, target: str) -> None:
+    def _publish(
+        self,
+        messages,
+        target: str,
+        prior_files: tuple = (),
+        prior_rows: int = 0,
+    ) -> None:
         os.makedirs(target, exist_ok=True)
-        published, rows = [], 0
+        published, rows = list(prior_files), prior_rows
         for m in messages:
             if m is None:
                 continue
@@ -249,7 +260,37 @@ class JsonDirBatchWriter(DataSourceWriter):
             json.dump({"files": sorted(published), "rows": rows}, fh)
 
     def commit(self, messages):
-        self._publish(messages, self.path)
+        # Honor the save mode on a REUSED path (ADVICE r12): overwrite
+        # clears the prior job's committed parts before publishing (no
+        # stale files mixed into the target), while append merges the
+        # existing manifest's files/rows into the new one so manifest
+        # readers keep seeing every committed row. Part names are
+        # uuid-based, so append never collides.
+        manifest = os.path.join(self.path, "_MANIFEST.json")
+        prior_files, prior_rows = (), 0
+        if os.path.isfile(manifest):
+            with open(manifest) as fh:
+                prior = json.load(fh)
+            if self.overwrite:
+                for f in prior.get("files", []):
+                    p = os.path.join(self.path, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                os.remove(manifest)
+            else:
+                prior_files = tuple(prior.get("files", []))
+                prior_rows = int(prior.get("rows", 0))
+        elif self.overwrite:
+            # no manifest (nothing committed), but stale parts from an
+            # aborted-or-foreign job may sit in the target: clear them
+            if os.path.isdir(self.path):
+                for f in os.listdir(self.path):
+                    if f.startswith("part-") and f.endswith(".jsonl"):
+                        os.remove(os.path.join(self.path, f))
+        self._publish(
+            messages, self.path,
+            prior_files=prior_files, prior_rows=prior_rows,
+        )
 
     def abort(self, messages):
         for m in messages:
@@ -385,11 +426,17 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch-source entry — so a torn commit, lost staged file, or
     double-published part flips a count or sum against the closed-form
     oracle. ``sf_dir`` is unused (the contract under test is the sink
-    protocol); the output directory is a fresh session-temp dir."""
-    import tempfile
+    protocol); the output directory is KEYED and cleared per invocation
+    (not mkdtemp) so repeated driver sweeps / pytest / bench runs reuse
+    ONE bounded location instead of leaking a JSONL copy per call
+    (ADVICE r12; same pattern as the foreachBatch sink,
+    stream_events.py)."""
+    import shutil
 
     register(spark)
-    out = tempfile.mkdtemp(prefix="pyds_sink_")
+    out = "/tmp/pim_orc_spark/pyds_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
     (
         spark.read.format("synthetic_docs")
         .option("n", str(PYDS_N))

@@ -13,6 +13,24 @@ def test_dedup_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_gate_fraction_is_lower_bound():
+    """ADVICE r12: the size gate's rational bound must never round
+    ABOVE the Jaccard threshold — fr > t would make the documented
+    'lossless' prefilter lossy (pairs with J ≥ t but size ratio in
+    (fr⁻, t) wrongly pruned). limit_denominator alone fails this for
+    e.g. 0.4999 → 1/2; the helper must fall back to a truncated grid
+    fraction and stay within 2e-6 of the threshold (tight enough that
+    the gate still prunes what it should)."""
+    from fractions import Fraction
+
+    for t in (0.8, 0.4999, 0.7, 1 / 3, 0.866025, 0.999999, 0.5):
+        fr = dedup._gate_fraction(t)
+        assert fr <= Fraction(t), (t, fr)
+        assert float(fr) > t - 2e-6, (t, fr)
+    # the default threshold resolves to the exact representable 4/5
+    assert dedup._gate_fraction() == Fraction(4, 5)
+
+
 def test_minhash_lsh_equals_exact_baseline(spark, sf_dir):
     """The LSH path must reproduce the exact all-pairs result (recall
     bound (1-J^4)^32 ≈ 5e-8 at the 0.8 threshold)."""

@@ -292,3 +292,29 @@ def test_derived_threshold_and_tau_agree_with_pins(spark, sf_dir):
             ).collect()
         )
         assert at_derived == [p for p in pinned if p[2] >= tau_hi]
+
+
+def test_derived_sem_tau_raises_on_empty_candidates(spark, sf_dir):
+    """ADVICE r12: with zero within-cluster candidate pairs (every
+    cluster sampled to ≤1 row) the percentile is NULL; the function
+    must name that condition instead of raising an opaque TypeError
+    from float(None)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.similarity import (
+        DIM,
+        _km_state,
+        derived_sem_tau,
+        dot_unrolled,
+    )
+
+    assigned, _, _ = _km_state(spark, sf_dir)
+    nv = assigned.select(
+        "vec_id",
+        "v",
+        "cid",
+        F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias("nrm"),
+    )
+    with _pytest.raises(ValueError, match="empty within-cluster"):
+        derived_sem_tau(nv, per_cluster_cap=1)

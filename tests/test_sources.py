@@ -655,6 +655,78 @@ def test_python_sink_two_phase_commit_roundtrip(spark, sf_dir, tmp_path):
     assert n == 100
 
 
+def test_python_sink_path_reuse_append_and_overwrite(spark, tmp_path):
+    """Save-mode semantics on a REUSED path (ADVICE r12): append merges
+    the prior manifest's files/rows (manifest readers keep every
+    committed row); overwrite clears the prior job's parts + manifest
+    so no stale file mixes into the target."""
+    import json as _json
+    import os as _os
+
+    from pim_orc_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "sink_reuse")
+
+    def save(n: int, mode: str) -> None:
+        (
+            spark.read.format("synthetic_docs")
+            .option("n", str(n))
+            .option("parts", "2")
+            .load()
+            .write.format("synthetic_docs")
+            .option("path", out)
+            .mode(mode)
+            .save()
+        )
+
+    def manifest():
+        with open(_os.path.join(out, "_MANIFEST.json")) as fh:
+            return _json.load(fh)
+
+    save(60, "append")
+    save(40, "append")
+    m = manifest()
+    parts = sorted(f for f in _os.listdir(out) if f.startswith("part-"))
+    assert m["rows"] == 100
+    assert m["files"] == parts and len(parts) == 4
+    rows = sum(
+        1 for f in parts for _ in open(_os.path.join(out, f))
+    )
+    assert rows == 100  # both jobs' rows readable via the manifest
+
+    save(25, "overwrite")
+    m = manifest()
+    parts = sorted(f for f in _os.listdir(out) if f.startswith("part-"))
+    assert m["rows"] == 25
+    assert m["files"] == parts and len(parts) == 2
+    rows = sum(
+        1 for f in parts for _ in open(_os.path.join(out, f))
+    )
+    assert rows == 25  # the appended jobs' parts are gone, not mixed
+
+
+def test_python_sink_entry_reuses_one_directory(spark, sf_dir):
+    """The exported sink entry must not leak a directory per call
+    (ADVICE r12): repeated invocations reuse ONE keyed location and
+    no mkdtemp-style pyds_sink_* siblings accumulate."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from pim_orc_spark.sources import pyds
+
+    before = set(_glob.glob("/tmp/pyds_sink_*"))
+    pyds.sink_python_datasource(spark, sf_dir).collect()
+    pyds.sink_python_datasource(spark, sf_dir).collect()
+    assert set(_glob.glob("/tmp/pyds_sink_*")) == before
+    with open(
+        _os.path.join("/tmp/pim_orc_spark/pyds_sink", "_MANIFEST.json")
+    ) as fh:
+        m = _json.load(fh)
+    assert m["rows"] == pyds.PYDS_N  # exactly one committed job
+
+
 def test_python_sink_abort_leaves_no_published_files(spark, tmp_path):
     """All-or-nothing: a task failing MID-WRITE (after staging rows)
     fails the job, abort() removes the staged debris, and the target
