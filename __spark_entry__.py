@@ -36,6 +36,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def _modules():
     from pim_orc_spark.operators import (
+        cogroup,
         dedup,
         multimodal,
         pipeline,
@@ -57,6 +58,7 @@ def _modules():
         dedup,
         similarity,
         multimodal,
+        cogroup,
         pipeline,
         orc_io,
         maintenance,
@@ -69,6 +71,13 @@ def _modules():
 # records the comparison, not whether it runs). Format: name, # twin.
 # Rotation history and full rationale: ROTATIONS.md.
 PYTEST_ONLY = {
+    # --- round-13 rotation (cogroup cells close the §2.8 matrix;
+    # newborns promote same-round — see ROTATIONS.md) ---
+    "cogroup_arrow_align",  # identical oracle to the exported
+    #                     cogroup_balance_align; bit-equality pytest
+    "q70_window_distribution",  # q71 time-RANGE + q72 ignore-nulls
+    #                     carry the window taxonomy attestation
+    "text_url_filter",  # text_quality's all-JVM filter family
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the
