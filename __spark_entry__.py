@@ -78,6 +78,12 @@ PYTEST_ONLY = {
     "q70_window_distribution",  # q71 time-RANGE + q72 ignore-nulls
     #                     carry the window taxonomy attestation
     "text_url_filter",  # text_quality's all-JVM filter family
+    "q67_snapshot_diff",  # q44 full-outer MERGE family +
+    #                     dedup_clusters set-op machinery (funds the
+    #                     dedup_containment promotion)
+    "dedup_exact_collated",  # dedup_clusters' exact-fingerprint
+    #                     grouping; the collation comparator is
+    #                     oracle-checked in pytest from birth
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

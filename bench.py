@@ -86,6 +86,12 @@ HEADLINE = [
     # (dpu_decompress.c:224-300); this is the Arrow-batched
     # encode→inflate→unfilter→features pipeline over binary columns
     "multimodal_png_decode",
+    # ADDITIVE round-13 slot (r12 verdict #4: at most one new slot, and
+    # this is its pick): the pure-Python DataSource scan — the one new
+    # execution surface with a materially different cost model (a
+    # Python worker per partition, Arrow-batched back into the JVM);
+    # measuring it beside the JVM scans prices that overhead per round
+    "source_python_datasource",
 ]
 
 
@@ -283,6 +289,39 @@ def main() -> None:
             if small_timings.get(name, 0) > 0
         }
 
+    # Cross-round drift-free comparison (r12 verdict #2): divide this
+    # run's per-slot min by its calibration, then by the PREVIOUS
+    # round's recorded value of the same quotient (bench_prev_cal.json,
+    # snapshotted from the prior round's BENCH_DETAIL). The ratio is
+    # host-contention-free by construction; slots moving >1.25× either
+    # way are flagged as real movers to investigate, retiring the
+    # signature-based drift argument.
+    queries_min_per_cal = {
+        name: round(t / calibration_sec, 3)
+        for name, t in timings_min.items()
+        if calibration_sec > 0
+    }
+    prev_round, cal_vs_prev, cal_movers = None, {}, {}
+    prev_path = os.path.join(_REPO_ROOT, "bench_prev_cal.json")
+    if os.path.exists(prev_path) and calibration_sec > 0:
+        with open(prev_path) as fh:
+            prev = json.load(fh)
+        prev_round = prev.get("round")
+        for name, cur in queries_min_per_cal.items():
+            p = prev.get("queries_min_per_cal", {}).get(name)
+            if p:
+                r = round(cur / p, 3)
+                cal_vs_prev[name] = r
+                if r > 1.25 or r < 0.8:
+                    cal_movers[name] = r
+        if cal_movers:
+            print(
+                f"bench: calibration-normalized movers vs {prev_round} "
+                "(>1.25x either way): "
+                + ", ".join(f"{k}={v}x" for k, v in cal_movers.items()),
+                file=sys.stderr,
+            )
+
     # Scan-agg throughput for the flagship (reference continuity metric).
     n_rows = qs["q05_metadata_count"](spark, SF_DIR).collect()[0][0]
     flagship = timings["q01_flagship_sum"]
@@ -303,26 +342,16 @@ def main() -> None:
         "calibration_sec": calibration_sec,
         "calibration_before": cal_detail_before,
         "calibration_after": cal_detail_after,
-        "queries_min_per_cal": {
-            name: round(t / calibration_sec, 3)
-            for name, t in timings_min.items()
-            if calibration_sec > 0
-        },
+        "queries_min_per_cal": queries_min_per_cal,
+        # the measured cross-round comparison that replaced the old
+        # signature-based drift_note: per-slot (min/cal) ratio vs the
+        # previous round's recorded value (1.0 = unchanged cost)
+        "cal_prev_round": prev_round,
+        "cal_normalized_vs_prev": cal_vs_prev,
+        "cal_normalized_movers": cal_movers,
         "partition_sweep_q01": sweep,
         "queries_small_sf": small_timings,
         "scale_ratio": scale_ratio,
-        # r7→r8 headline drift verdict watch-item: +15-25% UNIFORM
-        # across all 14 slots with zero code change to any benched
-        # query, spread_flags empty, no janino codegen errors in
-        # stderr, both runs on the same host boot ~2h apart — the
-        # co-tenancy signature this box has shown since round 1
-        # (identical plans measured 2.8s vs 25.4s minutes apart).
-        # Per-slot RELATIVE ratios are the trustworthy signal; the
-        # absolute total is not comparable across runs.
-        "drift_note": (
-            "uniform cross-slot drift = host co-tenancy; compare "
-            "per-slot ratios, not absolute totals, across rounds"
-        ),
         # present only when the slope pass actually ran, so an empty
         # ratio map is distinguishable from a skipped pass
         **(

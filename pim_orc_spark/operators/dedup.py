@@ -747,6 +747,26 @@ def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_T)
 
 
+def lsh_band_candidates(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """DIAGNOSTIC: the distinct band-collision candidate pairs BEFORE
+    verification — the quantity whose growth decides whether LSH is in
+    its linear regime (candidates ≈ planted near-dup pairs) or the
+    adversarial quadratic one (banding admits ~all pairs). The scale
+    slope test (tests/test_scale_slope.py, r12 verdict #1) asserts a
+    COUNTING invariant on this — candidates ≤ c × planted pairs on the
+    diverse corpus at both scales — so a quadratic regression is caught
+    by arithmetic host noise cannot move, not only by wall clock. Uses
+    the same signature build and salted band join as the real engine
+    (skinny banded rows on either path — no payload needed to count)."""
+    per_doc, nb = _doc_signatures(spark, docs)
+    if nb == 0:
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    banded = per_doc.select(
+        "doc_id", F.posexplode("keys").alias("band", "key")
+    )
+    return _salted_band_candidates(banded, n_bands=LSH_BANDS).distinct()
+
+
 def dedup_bitset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard ≥ 0.8 pairs via dictionary-encoded bitsets — the
     fast path on high-background-similarity corpora.
@@ -811,6 +831,111 @@ def bitset_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .filter((F.col("doc_a") < F.col("doc_b")) & size_gate)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+CONTAIN_T = 0.9  # |A∩B| / |A| — "A is (mostly) inside B"
+CONTAIN_MIN_GRAMS = 20  # tiny gram sets are trivially contained
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment dedup: ordered pairs (inner, outer)
+    where C(inner→outer) = |G(inner) ∩ G(outer)| / |G(inner)| ≥ 0.9 —
+    the doc-inside-doc relation Jaccard cannot see (|A| ≪ |B| drives
+    J → |A|/|B| ≈ 0 while C(A→B) stays 1). Training pipelines dedupe
+    on this to drop quotes/excerpts/boilerplate-wrapped copies that
+    symmetric near-dedup keeps.
+
+    Plan: the same dictionary-bitset engine as ``bitset_pairs`` (AND +
+    popcount per ordered pair) with an asymmetric size gate — C ≥ t
+    forces |B| ≥ t·|A| (intersection ≤ |B|), one integer compare that
+    discards a pair before any popcount work. This corpus class (dense
+    background, dictionary-bounded) is the all-pairs regime where
+    bitsets are the measured best plan (see ``dedup_bitset_jaccard``).
+    A sparse 100 TB corpus flips to candidate generation first — but
+    note banding over MinHash misses asymmetric pairs by construction
+    (J is tiny exactly when containment is interesting), so the scale
+    path is a doc-frequency-capped posting-list join or prefix
+    filtering, not the Jaccard-tuned LSH."""
+    return containment_pairs(spark, load_table(spark, sf_dir, "documents"))
+
+
+def containment_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The containment engine behind ``dedup_containment``, usable on
+    ANY (doc_id, text) DataFrame — same convention as ``bitset_pairs``
+    / ``minhash_pairs``. Semantics and scale notes: see
+    ``dedup_containment``."""
+    g = _grams_of(spark, docs)
+    enc, nb = _bitset_encode(spark, g)
+    if nb == 0:
+        return spark.createDataFrame(
+            [], "doc_inner long, doc_outer long, containment double"
+        )
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    a = enc.repartition(n_parts).select(
+        F.col("doc_id").alias("doc_inner"),
+        F.col("mask").alias("ma"),
+        F.col("sz").alias("sza"),
+    )
+    b = enc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mb"),
+        F.col("sz").alias("szb"),
+    )
+    inter = _tree_sum(
+        [
+            F.bit_count(F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w)))
+            for w in range(nb)
+        ]
+    )
+    fr = _gate_fraction(CONTAIN_T)
+    # asymmetric gate: inter ≤ |B|, so C = inter/|A| ≥ t ⇒ |B|·den ≥ |A|·num
+    gate = F.col("szb") * fr.denominator >= F.col("sza") * fr.numerator
+    containment = F.round(inter.cast("double") / F.col("sza"), 6)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("doc_inner") != F.col("doc_b"))
+            & (F.col("sza") >= CONTAIN_MIN_GRAMS)
+            & gate
+        )
+        .select(
+            "doc_inner",
+            F.col("doc_b").alias("doc_outer"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+def dedup_exact_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive exact dedup via Spark 4 string COLLATION
+    (``UTF8_LCASE``): the groupBy compares strings under the collation
+    instead of binary equality — the engine-level surface for
+    case-insensitive text pipelines, with no ``lower()``
+    materialization in the hot path (the collation comparator runs
+    inside the hash aggregate). The fixture corpus is all-lowercase
+    ASCII, so case variance is INJECTED deterministically (even
+    doc_ids upper-cased) to make the collated grouping do real work;
+    the oracle groups by ``lower()`` of the same derivation. Output is
+    one row per case-insensitive text class: (keep_doc_id = MIN,
+    n_copies) — deterministic, no collated key exported (the group's
+    representative string is whichever variant the aggregate sees
+    first)."""
+    d = load_table(spark, sf_dir, "documents")
+    varied = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return (
+        varied.groupBy(F.collate("t", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
     )
 
 
@@ -1236,6 +1361,8 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_incremental": dedup_incremental,
+    "dedup_containment": dedup_containment,
+    "dedup_exact_collated": dedup_exact_collated,
 }
 
 
@@ -1377,3 +1504,26 @@ def _embedding_lsh_sql() -> str:
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_sql()
 ORACLES["dedup_span_report"] = _span_report_sql()
+
+ORACLES["dedup_containment"] = f"""
+WITH g AS (
+  SELECT doc_id, {char_ngrams_sql("text", NGRAM_N)} AS grams FROM documents
+)
+SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(a.grams), 6) AS containment
+FROM g a JOIN g b ON a.doc_id <> b.doc_id
+WHERE len(a.grams) >= {CONTAIN_MIN_GRAMS}
+  AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(a.grams), 6) >= {CONTAIN_T}
+"""
+
+ORACLES["dedup_exact_collated"] = """
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS t
+  FROM documents
+)
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM v GROUP BY lower(t)
+"""

@@ -13,6 +13,65 @@ def test_dedup_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_containment_sees_asymmetric_pairs_jaccard_misses(spark):
+    """The semantic point of the containment operator: a small doc
+    fully inside a much larger one has containment 1.0 but Jaccard
+    ≈ |A|/|B| far below the near-dup threshold — symmetric dedup
+    keeps it, containment dedup flags it."""
+    small = "the quick brown fox jumps over the lazy dog near the river"
+    big = small + " " + " ".join(
+        f"padding sentence number {i} with plenty of extra unrelated "
+        "words to inflate the gram set of the outer document"
+        for i in range(12)
+    )
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in dedup.containment_pairs(spark, docs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9
+    assert (2, 1) not in pairs  # the big doc is NOT inside the small
+    assert not any(3 in p for p in pairs)
+    # and the symmetric engine misses it: J ≈ |A|/|B| ≪ 0.8
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.bitset_pairs(spark, docs).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_collated_dedup_merges_case_variants(spark):
+    """UTF8_LCASE grouping must merge case variants that binary
+    grouping keeps apart, without touching genuinely distinct texts."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello World"),
+            (1, "hello world"),
+            (2, "HELLO WORLD"),
+            (3, "another doc"),
+        ],
+        "doc_id long, text string",
+    )
+    merged = (
+        docs.groupBy(F.collate("text", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+        .collect()
+    )
+    got = {(r.keep_doc_id, r.n_copies) for r in merged}
+    assert got == {(0, 3), (3, 1)}
+    # binary grouping sees three distinct variants
+    assert docs.select("text").distinct().count() == 4
+
+
 def test_gate_fraction_is_lower_bound():
     """ADVICE r12: the size gate's rational bound must never round
     ABOVE the Jaccard threshold — fr > t would make the documented

@@ -73,6 +73,25 @@ MAX_RATIO = 12.0
 # candidate path = 50×+.
 LSH_MAX_RATIO = 15.0
 TIMED_PASSES = int(os.environ.get("SPARK_GRAFT_SLOPE_PASSES", "3"))
+# Counting invariant on the candidate set (r12 verdict #1, form
+# corrected by round-13 measurement). The verdict proposed
+# "candidates ≤ c × planted", but that form is information-
+# theoretically unattainable for fixed banding parameters: banding is
+# an i.i.d. per-pair filter with admission probability
+# p ≈ Σ_bands E[J⁴] over the BACKGROUND pair-J distribution, so the
+# candidate count is p·n²/2 + planted — quadratic with a tiny
+# constant on ANY corpus with nonzero background admission. Measured
+# here (r13): 47,761 candidates at 5k docs, 4,659,996 at 50k — a
+# flat 0.37-0.38% of all pairs at both scales, because this corpus's
+# char-3-gram universe SATURATES its 27-char-alphabet ceiling
+# (27³ = 19,683) and per-doc coverage (~2.5%) fixes the background J
+# tail. The counting invariant that IS scale-stable — and that host
+# noise cannot move — is the admission RATE: it must not grow across
+# the decade (a quadratic REGRESSION, banding admitting ~all pairs,
+# moves it from ~0.4% toward 30-100%: the fixture corpus measures
+# ~98% admission), and it must stay far below the adversarial regime.
+CAND_RATE_MAX = 0.02  # ≤2% of all pairs admitted (adversarial ≈ 98%)
+CAND_RATE_GROWTH = 1.5  # rate_big ≤ 1.5 × rate_small (flat ⇒ ~1.0)
 
 # ------------------------------------------------ diverse doc corpus
 DOCS_SMALL = 5_000  # matches the fixture documents row count at sf0.1
@@ -242,7 +261,10 @@ def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
     # the planted near-dups must actually come out at both scales —
     # otherwise the LSH timing measured an empty pair path (runs after
     # the timing so the cold pass above captures the artifact builds)
-    from pim_orc_spark.operators.dedup import dedup_minhash_lsh
+    from pim_orc_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        lsh_band_candidates,
+    )
 
     n_pairs_small = dedup_minhash_lsh(spark, docs_small).count()
     n_pairs_big = dedup_minhash_lsh(spark, sf1).count()
@@ -250,11 +272,79 @@ def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
     # pair output scales with the corpus (±: band-collision extras)
     assert n_pairs_big >= REPS * (DOCS_SMALL // DUP_EVERY)
     assert n_pairs_big <= 3 * REPS * n_pairs_small
+
+    # STRUCTURAL invariant (r12 verdict #1): the widened wall-clock
+    # bound on the LSH slot needs counted evidence host noise cannot
+    # move. See CAND_RATE_* above for why the invariant is an
+    # admission-RATE bound (flat across the decade, far below the
+    # adversarial regime) rather than a multiple of the planted pairs
+    # — a quadratic regression (banding admitting the background
+    # wholesale) blows the rate by two orders of magnitude long
+    # before wall clock is even consulted.
+    planted_small = DOCS_SMALL // DUP_EVERY
+    n_cand_small = lsh_band_candidates(
+        spark, spark.read.parquet(f"{docs_small}/documents.parquet")
+    ).count()
+    n_cand_big = lsh_band_candidates(
+        spark, spark.read.parquet(f"{sf1}/documents.parquet")
+    ).count()
+    n_docs_big = REPS * DOCS_SMALL
+    rate_small = n_cand_small / (DOCS_SMALL * (DOCS_SMALL - 1) / 2)
+    rate_big = n_cand_big / (n_docs_big * (n_docs_big - 1) / 2)
+    print(
+        f"  candidates: small={n_cand_small} (rate {rate_small:.4%}), "
+        f"big={n_cand_big} (rate {rate_big:.4%}); "
+        f"planted {planted_small}/{REPS * planted_small}"
+    )
+    # every planted pair must be among the candidates (recall floor)
+    assert n_cand_small >= planted_small
+    assert n_cand_big >= REPS * planted_small
+    assert rate_small <= CAND_RATE_MAX, rate_small
+    assert rate_big <= CAND_RATE_MAX, rate_big
+    assert rate_big <= CAND_RATE_GROWTH * rate_small, (
+        rate_big,
+        rate_small,
+    )
+
     bounds = {n: MAX_RATIO for n in SLOTS}
     bounds["dedup_minhash_lsh"] = LSH_MAX_RATIO
     offenders = {
         n: (r, bounds[n]) for n, r in ratios.items() if r > bounds[n]
     }
+
+    # Persist the round's slope evidence (r12 verdict #1: the ratios
+    # were printed, not persisted — a widened bound needs a standing
+    # trail). SPARK_GRAFT_ROUND names the artifact; bump it per round.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "13")
+    artifact = {
+        "round": f"r{rnd}",
+        "base_sf_dir": sf_dir,
+        "warm_ratios": ratios,
+        "cold_ratios": cold_ratios,
+        "warm_small_sec": {n: round(t, 3) for n, t in small.items()},
+        "warm_big_sec": {n: round(t, 3) for n, t in big.items()},
+        "bounds": bounds,
+        "lsh": {
+            "pairs_small": n_pairs_small,
+            "pairs_big": n_pairs_big,
+            "candidates_small": n_cand_small,
+            "candidates_big": n_cand_big,
+            "admission_rate_small": round(rate_small, 6),
+            "admission_rate_big": round(rate_big, 6),
+            "planted_small": planted_small,
+            "planted_big": REPS * planted_small,
+            "candidate_bound": (
+                f"rate <= {CAND_RATE_MAX} at both scales and "
+                f"rate_big <= {CAND_RATE_GROWTH} * rate_small"
+            ),
+        },
+    }
+    import json
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, f"SLOPE_r{rnd}.json"), "w") as fh:
+        json.dump(artifact, fh, indent=1)
+
     assert not offenders, (
         f"superlinear one-decade slope (ratio, bound): {offenders}; "
         f"all ratios {ratios}"

@@ -294,6 +294,99 @@ def test_derived_threshold_and_tau_agree_with_pins(spark, sf_dir):
         assert at_derived == [p for p in pinned if p[2] >= tau_hi]
 
 
+def _synthetic_tight_nv(spark):
+    """A synthetic embedding corpus whose cosine structure DIFFERS
+    from the diffuse fixture (r12 verdict #6): 8 tight clusters around
+    unit centers with small isotropic noise, so within-cluster cosines
+    sit ~0.8-0.95 where the fixture's max is ≈0.51. Deterministic
+    (seeded rng), Arrow-sized (400×64)."""
+    import numpy as np
+    import pandas as pd
+
+    from pim_orc_spark.operators.similarity import DIM, dot_unrolled
+
+    rng = np.random.default_rng(7)
+    k, n = 8, 400
+    centers = rng.normal(size=(k, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cid = np.arange(n) % k
+    vecs = centers[cid] + 0.15 * rng.normal(size=(n, DIM))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "v": [list(map(float, row)) for row in vecs],
+            "cid": cid.astype("int64"),
+        }
+    )
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(pdf).select(
+        "vec_id",
+        "v",
+        "cid",
+        F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias("nrm"),
+    )
+
+
+@pytest.mark.parametrize("corpus", ["fixture", "synthetic_tight"])
+def test_derived_tau_is_pure_postfilter_on_both_corpora(
+    spark, sf_dir, corpus
+):
+    """r12 verdict #6: the derived-tuning functions must behave on a
+    corpus whose cosine structure differs from the fixture's. On both
+    corpora: (a) derived_hot_threshold returns a sane positive count
+    read off the cluster-size histogram; (b) derived_sem_tau's cut
+    acts as a PURE POST-FILTER — the pair set at the derived tau
+    equals the low-tau pair set filtered at it (deriving the cut can
+    never change which candidate pairs exist); (c) on the tight
+    synthetic corpus the derived cut lands in the high-cosine regime
+    the fixture never reaches, showing the derivation tracks the
+    corpus rather than the pin."""
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.similarity import (
+        DIM,
+        _km_state,
+        _semantic_pairs_from,
+        derived_hot_threshold,
+        derived_sem_tau,
+        dot_unrolled,
+    )
+
+    if corpus == "fixture":
+        assigned, _, _ = _km_state(spark, sf_dir)
+        nv = assigned.select(
+            "vec_id",
+            "v",
+            "cid",
+            F.sqrt(dot_unrolled(F.col("v"), F.col("v"), DIM)).alias(
+                "nrm"
+            ),
+        )
+    else:
+        nv = _synthetic_tight_nv(spark)
+
+    thr = derived_hot_threshold(nv)
+    assert 1 <= thr <= 500, thr
+    tau_d = derived_sem_tau(nv, quantile=0.9)
+    assert -1.0 <= tau_d <= 1.0
+    if corpus == "synthetic_tight":
+        # tight clusters → the data-derived cut sits in the regime
+        # real text embeddings occupy, far above the fixture's ~0.4
+        assert tau_d >= 0.5, tau_d
+
+    base = sorted(
+        (r.vec_a, r.vec_b, r.cos)
+        for r in _semantic_pairs_from(nv, tau=-1.0).collect()
+    )
+    at_derived = sorted(
+        (r.vec_a, r.vec_b, r.cos)
+        for r in _semantic_pairs_from(nv, tau=tau_d).collect()
+    )
+    assert at_derived == [p for p in base if p[2] >= tau_d]
+    assert at_derived, "derived tau filtered out every pair"
+
+
 def test_derived_sem_tau_raises_on_empty_candidates(spark, sf_dir):
     """ADVICE r12: with zero within-cluster candidate pairs (every
     cluster sampled to ≤1 row) the percentile is NULL; the function
