@@ -84,6 +84,10 @@ PYTEST_ONLY = {
     "dedup_exact_collated",  # dedup_clusters' exact-fingerprint
     #                     grouping; the collation comparator is
     #                     oracle-checked in pytest from birth
+    "q80_sql_variables_front_door",  # q77/q79 front-door family;
+    #                     variable binding oracle-checked in pytest
+    "xml_roundtrip_sum",  # orc_roundtrip_sum roundtrip shape (the
+    #                     csv/json precedent)
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

@@ -2996,6 +2996,54 @@ def q79_sql_udf_front_door(
     return spark.sql(_Q79_QUERY)
 
 
+# the EXECUTE IMMEDIATE body: no string literals, so it embeds in the
+# outer statement's single quotes verbatim
+_Q80_REPORT = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_quantity < ?
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q80_sql_variables_front_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL session VARIABLES + EXECUTE IMMEDIATE (Spark 4) — the
+    parameterized-script surface of the SQL front door (what SQL
+    scripts and BI tools use instead of string interpolation, which
+    invites injection and defeats plan caching). ``DECLARE OR REPLACE
+    VARIABLE`` creates a session-scoped threshold; ``SET VARIABLE``
+    computes it FROM the data (a scalar subquery — the median
+    quantity); the report then runs through ``EXECUTE IMMEDIATE ...
+    USING`` with the variable bound to the ``?`` parameter. The oracle
+    derives the identical cut as a CTE and inlines it — values must
+    match exactly, proving the variable binding and parameter pass
+    never touch the data path.
+
+    Scale: the variable is a driver-side scalar (metadata); the
+    parameterized report compiles to the same single-scan grouped
+    aggregate the q04 family runs — parameters are bound at plan time,
+    so pushdown/pruning see a literal."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE pim_qty_cut DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "SET VARIABLE pim_qty_cut = "
+        "(SELECT percentile(l_quantity, 0.5) FROM lineitem)"
+    )
+    return spark.sql(
+        f"EXECUTE IMMEDIATE '{_Q80_REPORT}' USING pim_qty_cut"
+    )
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -3944,6 +3992,7 @@ QUERIES = {
     "q77_recursive_cte_front_door": q77_recursive_cte_front_door,
     "q78_variant_shred": q78_variant_shred,
     "q79_sql_udf_front_door": q79_sql_udf_front_door,
+    "q80_sql_variables_front_door": q80_sql_variables_front_door,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4032,6 +4081,21 @@ ORACLES = {
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+    """,
+    # the variable's scalar-subquery derivation becomes a CTE; the
+    # parameter slot becomes its inlined value
+    "q80_sql_variables_front_door": """
+    WITH cut AS (
+      SELECT quantile_cont(l_quantity, 0.5) AS c FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem, cut
+    WHERE l_quantity < cut.c
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
     """,
     "q01_flagship_sum": f"""
         SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem

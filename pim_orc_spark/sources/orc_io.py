@@ -133,10 +133,21 @@ def text_format_table(
             w = w.option("header", "true").option(
                 "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
             )
+        elif fmt == "xml":
+            # Spark 4's BUILT-IN XML source (the spark-xml package
+            # folded into core): rowTag is mandatory; µs timestamps
+            # match the CSV discipline
+            w = w.option("rowTag", "row").option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            )
         w.format(fmt).save(path)
     r = spark.read.schema(src.schema)
     if fmt == "csv":
         r = r.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        )
+    elif fmt == "xml":
+        r = r.option("rowTag", "row").option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
         )
     return r.format(fmt).load(path)
@@ -155,6 +166,19 @@ def csv_roundtrip_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_roundtrip_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same check over JSON-lines (nested-capable text format)."""
     li = text_format_table(spark, sf_dir, "lineitem", "json")
+    return li.agg(
+        exact_sum("l_extendedprice", "sum_price"),
+    )
+
+
+def xml_roundtrip_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same check over XML — Spark 4's built-in XML data source (the
+    externally-maintained spark-xml package folded into core, rowTag
+    record framing, schema-on-read like the other text formats). The
+    last text format in the engine's source matrix; value equality
+    with the parquet oracle certifies element framing, µs timestamps,
+    and null-element omission round-trip losslessly."""
+    li = text_format_table(spark, sf_dir, "lineitem", "xml")
     return li.agg(
         exact_sum("l_extendedprice", "sum_price"),
     )
@@ -301,6 +325,7 @@ QUERIES = {
     "partition_pruned_sum": partition_pruned_sum,
     "csv_roundtrip_sum": csv_roundtrip_sum,
     "json_roundtrip_sum": json_roundtrip_sum,
+    "xml_roundtrip_sum": xml_roundtrip_sum,
     "schema_evolution_sum": schema_evolution_sum,
 }
 
@@ -341,6 +366,9 @@ ORACLES = {
         " AS sum_disc_cents FROM lineitem"
     ),
     "json_roundtrip_sum": (
+        f"SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
+    ),
+    "xml_roundtrip_sum": (
         f"SELECT {exact_sum_sql('l_extendedprice', 'sum_price')} FROM lineitem"
     ),
 }
