@@ -88,6 +88,9 @@ PYTEST_ONLY = {
     #                     variable binding oracle-checked in pytest
     "xml_roundtrip_sum",  # orc_roundtrip_sum roundtrip shape (the
     #                     csv/json precedent)
+    "stream_full_outer_reconcile",  # stream_click_abandonment's
+    #                     eviction machinery (left-outer superset of
+    #                     the same join; both-sides cutoffs in pytest)
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

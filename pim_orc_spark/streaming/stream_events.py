@@ -518,6 +518,76 @@ def stream_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_full_outer_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM FULL OUTER join — completing the streaming join
+    taxonomy (inner: ``stream_click_attribution``; left outer:
+    ``stream_click_abandonment``): a two-feed reconciliation that
+    emits matched click↔purchase pairs as they meet, PLUS the
+    null-extended leftovers of BOTH sides as their state expires.
+
+    Eviction asymmetry the oracle must model (Spark derives each
+    side's state watermark from the join condition): a CLICK can be
+    matched by future purchases until the watermark W passes
+    click_ts + horizon (purchases satisfy purchase_ts ≤ click_ts +
+    horizon), so its null-extended row emits when click_ts + horizon
+    < W — the abandonment cutoff. A PURCHASE can be matched by future
+    clicks only while W ≤ purchase_ts (clicks satisfy click_ts ≤
+    purchase_ts), so its null-extended row emits when purchase_ts <
+    W — a CHEAPER retention (no horizon term), which is why the
+    purchase side's state is the smaller of the two. Rows near stream
+    end never expire (verdict genuinely unknown), so the batch oracle
+    applies the same cutoffs at the final watermark
+    W = min(max click ts, max purchase ts) − delay, strict `<`
+    matching Spark's `ts < eviction watermark` removal predicate.
+
+    Scale: state per side is bounded by its retention window
+    (horizon+delay for clicks, delay for purchases), independent of
+    corpus size — the full-outer form costs no more state than the
+    left-outer form, only the extra emission path."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", JOIN_WATERMARK_DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", JOIN_WATERMARK_DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}")
+        ),
+        "full_outer",
+    )
+    recon = joined.select(
+        F.coalesce("user_id", "p_user_id").alias("uid"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    return run_to_completion(
+        recon, "stream_full_outer_reconcile", "append"
+    )
+
+
 def stream_tws_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming via ``transformWithStateInPandas``
     — Spark 4's successor API to applyInPandasWithState, with
@@ -889,6 +959,7 @@ QUERIES = {
     "stream_enriched_totals": stream_enriched_totals,
     "stream_click_attribution": stream_click_attribution,
     "stream_click_abandonment": stream_click_abandonment,
+    "stream_full_outer_reconcile": stream_full_outer_reconcile,
 }
 
 ORACLES = {
@@ -1034,5 +1105,47 @@ ORACLES = {
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
           AND b.ts >= a.ts
           AND b.ts <= a.ts + INTERVAL {ATTRIBUTION_HORIZON}
+    """,
+    # full outer = matched pairs ∪ expired-unmatched of EACH side,
+    # each side at ITS OWN eviction cutoff (see the op docstring)
+    "stream_full_outer_reconcile": f"""
+        WITH wm AS (
+          SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+          ) - INTERVAL {JOIN_WATERMARK_DELAY} AS w
+        )
+        SELECT c.user_id AS uid, c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM events c JOIN events p ON c.user_id = p.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_HORIZON}
+        UNION ALL
+        SELECT c.user_id AS uid, c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               epoch_us(c.ts) AS click_us, CAST(NULL AS BIGINT) AS purchase_us
+        FROM events c, wm
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_HORIZON}
+          )
+          AND c.ts + INTERVAL {ATTRIBUTION_HORIZON} < wm.w
+        UNION ALL
+        SELECT p.user_id AS uid, CAST(NULL AS BIGINT) AS click_id,
+               p.event_id AS purchase_id,
+               CAST(NULL AS BIGINT) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM events p, wm
+        WHERE p.event_type = 'purchase'
+          AND NOT EXISTS (
+            SELECT 1 FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_HORIZON}
+          )
+          AND p.ts < wm.w
     """,
 }
