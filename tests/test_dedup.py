@@ -13,6 +13,24 @@ def test_dedup_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_fixture_corpus_band_admission_is_adversarial(spark, sf_dir):
+    """Measure (not cite) the claim underpinning the scale-slope
+    corpus choice: on the fixture documents table banding admits MOST
+    of all pairs (background char-3-gram J ≈ 0.6 over a ~377-gram
+    dictionary), i.e. the corpus is in the adversarial regime where
+    LSH candidates are Θ(n²) BY INFORMATION CONTENT — the reason the
+    slope test generates a diverse corpus instead, and the counting
+    contrast to its flat ~0.4% admission rate (SLOPE_r13.json)."""
+    from pim_orc_spark.catalog import load_table
+    from pim_orc_spark.operators.dedup import lsh_band_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    cands = lsh_band_candidates(spark, docs).count()
+    rate = cands / (n * (n - 1) / 2)
+    assert rate > 0.5, rate
+
+
 def test_containment_sees_asymmetric_pairs_jaccard_misses(spark):
     """The semantic point of the containment operator: a small doc
     fully inside a much larger one has containment 1.0 but Jaccard

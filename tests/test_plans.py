@@ -703,6 +703,28 @@ def test_sql_udf_inlines_to_codegen_no_python(spark, sf_dir):
     assert (got["n"], got["mn"]) == (exp["n"], exp["mn"]) and got["n"] > 0
 
 
+def test_sql_variable_parameter_binds_as_pushed_literal(spark, sf_dir):
+    """q80's scale claim, machine-checked: the EXECUTE IMMEDIATE
+    parameter (bound from a session variable) becomes a plan-time
+    LITERAL — the quantity predicate reaches the parquet scan as a
+    PushedFilter (LessThan on l_quantity) and the scan reads only the
+    four referenced columns. A string-interpolation front door gets
+    this too, but only the parameter path gets it without the
+    injection surface — that is the point of the operator."""
+    from pim_orc_spark.operators.relational import (
+        q80_sql_variables_front_door,
+    )
+
+    df = q80_sql_variables_front_door(spark, sf_dir)
+    s = scan_summary(df)
+    assert "LessThan(l_quantity" in s["pushed_filters"], s
+    assert "l_extendedprice" in s["read_schema"]
+    assert "l_orderkey" not in s["read_schema"]  # pruned
+    # and no Python node anywhere — pure front-door SQL
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_cbo_tables_carry_row_and_column_stats(spark, sf_dir):
     """The ANALYZE pass behind q76 must leave auditable statistics in
     the catalog: table-level row counts (DESCRIBE EXTENDED's
