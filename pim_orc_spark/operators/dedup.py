@@ -172,7 +172,13 @@ def _gate_fraction(threshold: float | None = None):
     with J ≥ t but size ratio in (fr', t) would be wrongly pruned. When
     the compact fraction rounds up, fall back to the exact-or-below
     10⁻⁶-grid truncation; an import-time assert below pins the
-    invariant for the default threshold."""
+    invariant for the default threshold. Guarantees: fr ≤ t always
+    (losslessness — the correctness property), and fr > t − 1/1000
+    (limit_denominator(1000)'s worst-case gap, hit when the nearest
+    small-denominator fraction sits below t — e.g. 71/126 at
+    t ≈ 0.5634961; a slightly loose gate only admits a few extra
+    candidates to exact verification, never loses a pair).
+    Hypothesis-tested over arbitrary thresholds."""
     from fractions import Fraction
 
     t = JACCARD_T if threshold is None else threshold

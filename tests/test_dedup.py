@@ -108,6 +108,28 @@ def test_gate_fraction_is_lower_bound():
     assert dedup._gate_fraction() == Fraction(4, 5)
 
 
+def test_gate_fraction_lossless_property():
+    """Property form over arbitrary thresholds: the bound never
+    exceeds t (losslessness — the property that keeps the gate from
+    ever pruning a true pair) and never trails it by more than
+    limit_denominator(1000)'s worst-case 1/1000 gap (tightness — the
+    gate still prunes; hypothesis found 71/126 sitting 4e-6 under
+    t ≈ 0.5634961, which is fine, merely a marginally looser gate)."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=0.01, max_value=0.999999))
+    def check(t):
+        fr = dedup._gate_fraction(t)
+        assert fr <= Fraction(t), (t, fr)
+        assert float(fr) > t - 1.1e-3, (t, fr)
+
+    check()
+
+
 def test_minhash_lsh_equals_exact_baseline(spark, sf_dir):
     """The LSH path must reproduce the exact all-pairs result (recall
     bound (1-J^4)^32 ≈ 5e-8 at the 0.8 threshold)."""
