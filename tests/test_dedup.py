@@ -13,6 +13,66 @@ def test_dedup_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def _py_grams(text: str) -> set[str]:
+    """Pure-Python replica of char_ngrams(tokens-joined text, 3) — the
+    independent third implementation the property test compares the
+    bitset engine against (Catalyst and DuckDB being the other two)."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    s = " ".join(toks)
+    return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+
+def test_containment_matches_bruteforce_property(spark):
+    """Hypothesis over small random corpora: the bitset containment
+    engine must equal a pure-Python brute force of the same
+    definition (C(a→b) = |G(a)∩G(b)|/|G(a)| ≥ t, |G(a)| ≥ min_grams,
+    a ≠ b) — catching dictionary-encode, gate, and popcount bugs
+    independently of DuckDB."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.operators.dedup import (
+        CONTAIN_MIN_GRAMS,
+        CONTAIN_T,
+        containment_pairs,
+    )
+
+    word = st.sampled_from(
+        "alpha beta gamma delta epsilon zeta eta theta".split()
+    )
+    doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        got = {
+            (r.doc_inner, r.doc_outer): r.containment
+            for r in containment_pairs(
+                spark,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+            ).collect()
+        }
+        grams = {i: _py_grams(t) for i, t in rows}
+        want = {}
+        for a in grams:
+            for b in grams:
+                if a == b or len(grams[a]) < CONTAIN_MIN_GRAMS:
+                    continue
+                c = round(len(grams[a] & grams[b]) / len(grams[a]), 6)
+                if c >= CONTAIN_T:
+                    want[(a, b)] = c
+        assert got == want, (got, want, texts)
+
+    check()
+
+
 def test_fixture_corpus_band_admission_is_adversarial(spark, sf_dir):
     """Measure (not cite) the claim underpinning the scale-slope
     corpus choice: on the fixture documents table banding admits MOST
