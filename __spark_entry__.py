@@ -91,6 +91,9 @@ PYTEST_ONLY = {
     "stream_full_outer_reconcile",  # stream_click_abandonment's
     #                     eviction machinery (left-outer superset of
     #                     the same join; both-sides cutoffs in pytest)
+    "multimodal_phash_dedup",  # decode via the exported codec family
+    #                     (png/features_arrow); candidates-then-verify
+    #                     via dedup_minhash_lsh; full oracle in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

@@ -1071,6 +1071,188 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_decode_png_batch, PPM_FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------
+# Perceptual-hash image dedup: the multimodal arm of the dedup
+# family. A 100 TB media corpus dedupes on content HASHES of decoded
+# pixels (re-encodes, metadata edits, and tiny retouches defeat
+# byte-level fingerprints); the pipeline is decode → 64-bit
+# average-hash → block-pigeonhole candidate join → exact Hamming
+# verify — the same candidates-then-verify shape as MinHash/SimHash
+# text dedup, with a REAL image decode in the loop.
+
+PHASH_T = 6  # Hamming threshold on the 64-bit hash
+PHASH_DUP_EVERY = 10  # doc i with i%10==1 near-duplicates doc i-1
+PHASH_MOD = 200  # pixel channel range; +1 perturbation never wraps
+PHASH_MULT = 2654435761  # Knuth mix: decorrelates per-doc coefficients
+
+
+def _phash_base(doc_id: int) -> tuple[int, int]:
+    """(base image id, dup flag): every PHASH_DUP_EVERY-th doc renders
+    its predecessor's image with a +1 brightness nudge on the even
+    (x+y) checkerboard — a sub-1% luminance change that flips only the
+    hash bits whose sample sits within half a grey level of the mean,
+    planting near-dup pairs at a fixed rate."""
+    dup = 1 if doc_id % PHASH_DUP_EVERY == 1 else 0
+    return doc_id - dup, dup
+
+
+def _phash_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic per-doc image with hash-MIXED gradient
+    coefficients and an x·y curvature term: plain per-doc linear
+    gradients threshold into a handful of half-plane bit patterns
+    (measured: 32% of ALL pairs within Hamming 6 — a degenerate
+    corpus), while mixed coefficients + curvature + mod-wrap sawtooth
+    give each doc its own level-set geometry."""
+    base, dup = _phash_base(doc_id)
+    # ≥8 px per axis so the 8×8 sample grid never repeats a position:
+    # at 5-10×4-7 the hash space degenerated (measured 7% of ALL pairs
+    # within Hamming 6); at 9-16×8-13 the planted pairs separate
+    # cleanly (all 50 at distance ≤2, zero background ≤6 in a 4k-pair
+    # sample) — while still crossing the BMP 4-byte row padding both
+    # ways
+    w, h = 9 + base % 8, 8 + base % 6
+    m = base * PHASH_MULT
+    y, x = np.mgrid[0:h, 0:w]
+    r = (m % 97 + (1 + m % 7) * x + (1 + m % 5) * y + (m % 17) * x * y) % PHASH_MOD
+    g = (m % 89 + (1 + m % 11) * x + (1 + m % 3) * y + (m % 19) * x * y) % PHASH_MOD
+    b = (m % 83 + (1 + m % 13) * x + (1 + m % 2) * y + (m % 23) * x * y) % PHASH_MOD
+    p = np.stack([r, g, b], axis=-1).astype(np.int64)
+    if dup:
+        p = p + ((x + y) % 2 == 0)[..., None]
+    return p.astype(np.uint8)
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Subsampled average-hash of a decoded (h, w, 3) image: luminance
+    (r+g+b) at the 8×8 grid positions (⌊i·w/8⌋, ⌊j·h/8⌋), bit j·8+i
+    set iff the sample exceeds the 64-sample mean. The comparison is
+    kept in INTEGERS (L·64 > ΣL) so the oracle reproduces every bit
+    exactly; the classic mean-pooled aHash differs only in using cell
+    means instead of point samples (point sampling keeps the oracle a
+    closed form — the hash's robustness-to-small-edits property is the
+    same, and is what the planted perturbation exercises). Returned as
+    the SIGNED 64-bit value (bit 63 → negative), matching how a
+    BIGINT column stores it in either engine."""
+    L = img.astype(np.int64).sum(axis=2)
+    h, w = L.shape
+    xi = (np.arange(8) * w) // 8
+    yj = (np.arange(8) * h) // 8
+    s = L[np.ix_(yj, xi)]
+    total = int(s.sum())
+    hv = 0
+    for j in range(8):
+        for i in range(8):
+            if int(s[j, i]) * 64 > total:
+                hv |= 1 << (j * 8 + i)
+    return hv - (1 << 64) if hv >= (1 << 63) else hv
+
+
+def _encode_phash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [
+                    encode_bmp(_phash_pixels(int(i))) for i in ids
+                ],
+            }
+        )
+
+
+def _phash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL decode → hash: the BMP parser reconstructs the pixels
+    (bottom-up, BGR, padded rows undone) and the hash is computed from
+    the DECODED array — a corrupted decode flips hash bits and the
+    pair set against the oracle."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "phash": pd.Series(
+                    [
+                        ahash64(decode_bmp(bytes(p)))
+                        for p in pdf["payload"]
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+
+def multimodal_phash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: encode (real BMP) →
+    decode (real parser) → 64-bit average-hash → block-pigeonhole
+    candidates → exact Hamming ≤ PHASH_T verify.
+
+    Pigeonhole: PHASH_T+1 = 7 disjoint 9-bit blocks of the hash (bits
+    0..62; bit 63 rides outside every block, which only shrinks the
+    in-block difference budget) — two hashes within distance 6 must
+    agree exactly on ≥1 block, so candidates are an equi-join on
+    (block index, block value), never an all-pairs product. Verify is
+    one XOR+popcount inside codegen; the exact same scale shape as
+    ``dedup_simhash_pairs``, now over decoded image content. The
+    oracle recomputes every hash bit arithmetically from the
+    closed-form pixel functions (all-integer threshold L·64 > ΣL), so
+    equality certifies decode + hash + candidate join + verify end to
+    end."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        _encode_phash_batch,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    hashed = payloads.mapInPandas(
+        _phash_batch,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("phash", LongType()),
+            ]
+        ),
+    )
+    n_blocks = PHASH_T + 1
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("phash"), 9 * i).bitwiseAND(F.lit(511))
+            for i in range(n_blocks)
+        ]
+    )
+    banded = hashed.select(
+        "doc_id", "phash", F.posexplode(blocks).alias("blk", "v")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+        "blk",
+        "v",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+        "blk",
+        "v",
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        left.join(right, ["blk", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_T)
+        .distinct()
+    )
+
+
 def read_binary_files(
     spark: SparkSession, path: str, pattern: str = "*"
 ) -> DataFrame:
@@ -1118,6 +1300,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_integrity_audit": multimodal_integrity_audit,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
 }
 
 # Fixture text is pure ASCII, so UTF-8 bytes == character codes and the
@@ -1284,3 +1467,54 @@ ORACLES = {
 # the Arrow-native kernel is interchangeable with the pandas one by
 # construction — one oracle serves both
 ORACLES["multimodal_features_arrow"] = ORACLES["multimodal_features"]
+
+# every hash BIT is recomputed arithmetically (integer threshold
+# L·64 > ΣL over the 64 closed-form grid samples), then the same
+# Hamming pair relation — equality certifies decode + hash +
+# candidate join + verify end to end. Bit 63 is folded in as the
+# BIGINT sign term, matching the kernel's signed packing.
+ORACLES["multimodal_phash_dedup"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         doc_id - CASE WHEN doc_id % {PHASH_DUP_EVERY} = 1
+                       THEN 1 ELSE 0 END AS base,
+         CASE WHEN doc_id % {PHASH_DUP_EVERY} = 1 THEN 1 ELSE 0 END AS dup
+  FROM documents
+), d AS (
+  SELECT doc_id, base, dup, 9 + base % 8 AS w, 8 + base % 6 AS h FROM p
+), s AS (
+  SELECT doc_id, j * 8 + i AS bit,
+         ((m % 97 + (1 + m % 7) * x + (1 + m % 5) * y
+            + (m % 17) * x * y) % {PHASH_MOD})
+           + ((m % 89 + (1 + m % 11) * x + (1 + m % 3) * y
+                + (m % 19) * x * y) % {PHASH_MOD})
+           + ((m % 83 + (1 + m % 13) * x + (1 + m % 2) * y
+                + (m % 23) * x * y) % {PHASH_MOD})
+           + 3 * dup * (CASE WHEN (x + y) % 2 = 0 THEN 1 ELSE 0 END) AS L
+  FROM (
+    SELECT doc_id, dup, i, j, base * {PHASH_MULT} AS m,
+           (i * w) // 8 AS x, (j * h) // 8 AS y
+    FROM d,
+         (SELECT unnest(range(0, 8)) AS i),
+         (SELECT unnest(range(0, 8)) AS j)
+  )
+), hb AS (
+  SELECT doc_id, bit,
+         CASE WHEN L * 64 > SUM(L) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS b
+  FROM s
+), hh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bit < 63
+                       THEN b * (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END)
+              + SUM(CASE WHEN bit = 63
+                         THEN b * (-9223372036854775807 - 1)
+                         ELSE 0 END) AS BIGINT) AS phash
+  FROM hb GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_T}
+"""

@@ -385,3 +385,52 @@ def test_arrow_kernel_matches_pandas_kernel(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_phash_dedup_finds_planted_near_dups(spark, sf_dir):
+    """The perceptual-hash dedup must (a) recover EVERY planted
+    near-dup pair (the +1-checkerboard retouch lands within Hamming
+    PHASH_T — measured ≤2), and (b) discriminate: background pairs
+    admitted stay a tiny fraction of the pair universe (the hash is a
+    content fingerprint, not a bucket lottery)."""
+    from pim_orc_spark.catalog import load_table
+    from pim_orc_spark.operators.multimodal import (
+        PHASH_DUP_EVERY,
+        multimodal_phash_dedup,
+    )
+
+    n = load_table(spark, sf_dir, "documents").count()
+    rows = multimodal_phash_dedup(spark, sf_dir).collect()
+    found = {(r.doc_a, r.doc_b) for r in rows}
+    planted = {
+        (i - 1, i) for i in range(1, n) if i % PHASH_DUP_EVERY == 1
+    }
+    assert planted <= found, planted - found
+    assert len(found - planted) <= 0.01 * (n * (n - 1) / 2)
+
+
+def test_ahash_is_robust_to_small_retouch_and_sensitive_to_content():
+    """Kernel-level contract of the perceptual hash, no Spark: a
+    ±1-luminance checkerboard retouch moves the hash ≤ PHASH_T bits;
+    a different image's hash is far away."""
+    import numpy as np
+
+    from pim_orc_spark.operators.multimodal import (
+        PHASH_T,
+        _phash_pixels,
+        ahash64,
+    )
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = ahash64(_phash_pixels(0))
+    retouched = ahash64(_phash_pixels(1))  # doc 1 = doc 0 + retouch
+    other = ahash64(_phash_pixels(2))
+    assert ham(base, retouched) <= PHASH_T
+    assert ham(base, other) > PHASH_T
+    # and the hash survives its own BMP round-trip
+    from pim_orc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    img = _phash_pixels(7)
+    assert ahash64(decode_bmp(encode_bmp(img))) == ahash64(img)
