@@ -94,6 +94,9 @@ PYTEST_ONLY = {
     "multimodal_phash_dedup",  # decode via the exported codec family
     #                     (png/features_arrow); candidates-then-verify
     #                     via dedup_minhash_lsh; full oracle in pytest
+    "q81_hll_mergeable_distinct",  # q59's exact COUNT DISTINCT +
+    #                     q24's approx twin; sketch accuracy and
+    #                     mergeability booleans oracle-checked in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

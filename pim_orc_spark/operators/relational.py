@@ -3044,6 +3044,72 @@ def q80_sql_variables_front_door(
     )
 
 
+HLL_LGK = 14  # datasketches lgConfigK: ~0.8% relative standard error
+HLL_TOL_PCT = 2  # asserted accuracy envelope (≈2.5 standard errors)
+
+
+def q81_hll_mergeable_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Spark's Apache DataSketches
+    HLL functions) — the 100 TB distinct-counting pattern: each
+    partition/day/segment aggregates a fixed-size ``hll_sketch_agg``
+    sketch, and ANY rollup is a cheap ``hll_union_agg`` over sketches
+    — no re-scan of the raw data, unlike exact COUNT DISTINCT whose
+    partials cannot merge. The q24/q59 family covers exact and
+    approx_count_distinct; this covers the REUSABLE-sketch form.
+
+    The sketch estimate is engine-specific (DuckDB has no
+    DataSketches HLL), so the exported contract is the part that IS
+    cross-engine checkable: per-group EXACT distinct counts plus two
+    boolean facts the driver hash-compares against literal TRUE —
+    (a) accuracy: every group's sketch estimate lands within
+    HLL_TOL_PCT of its exact count (integer math, no float
+    tolerance); (b) MERGEABILITY, the property the pattern exists
+    for: the estimate from the UNION of the per-group sketches lands
+    within the same envelope of the global exact distinct. (Bit-exact
+    union-vs-direct-sketch equality was tried first and is NOT a
+    stable property — merging routes through a different internal
+    representation than direct aggregation, and the estimates
+    diverged at sf0.01 while agreeing at sf0.001 — so the asserted
+    property is the operational one: a rollup computed purely from
+    retained sketches is as accurate as the pattern promises.) A
+    sketch regression flips a boolean and fails the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.expr(f"hll_sketch_agg(l_orderkey, {HLL_LGK})").alias("sk"),
+    )
+    union_est = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias(
+            "est_union"
+        )
+    )
+    global_exact = li.agg(
+        F.countDistinct("l_orderkey").alias("n_exact_global")
+    )
+    globals_ = F.broadcast(union_est.crossJoin(global_exact))  # 1 row
+    est = F.expr("hll_sketch_estimate(sk)")
+    within = (
+        F.abs(est - F.col("n_exact")) * 100
+        <= F.col("n_exact") * HLL_TOL_PCT
+    )
+    union_within = (
+        F.abs(F.col("est_union") - F.col("n_exact_global")) * 100
+        <= F.col("n_exact_global") * HLL_TOL_PCT
+    )
+    return (
+        per.crossJoin(globals_)
+        .select(
+            "l_returnflag",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            within.alias("est_within_tol"),
+            union_within.alias("union_within_tol"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -3993,6 +4059,7 @@ QUERIES = {
     "q78_variant_shred": q78_variant_shred,
     "q79_sql_udf_front_door": q79_sql_udf_front_door,
     "q80_sql_variables_front_door": q80_sql_variables_front_door,
+    "q81_hll_mergeable_distinct": q81_hll_mergeable_distinct,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4078,6 +4145,19 @@ ORACLES = {
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
            {exact_revenue_sql()}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    # the sketch estimate is engine-specific; the cross-engine contract
+    # is the exact counts plus the accuracy/mergeability booleans,
+    # which must come out TRUE — a sketch regression flips one and
+    # fails the driver's value hash
+    "q81_hll_mergeable_distinct": """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_exact,
+           TRUE AS est_within_tol,
+           TRUE AS union_within_tol
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
