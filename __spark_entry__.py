@@ -97,6 +97,8 @@ PYTEST_ONLY = {
     "q81_hll_mergeable_distinct",  # q59's exact COUNT DISTINCT +
     #                     q24's approx twin; sketch accuracy and
     #                     mergeability booleans oracle-checked in pytest
+    "q82_unpivot_long_form",  # pivot/grouping-sets family via q74;
+    #                     q04's exact sums; Expand plan assert in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

@@ -3110,6 +3110,33 @@ def q81_hll_mergeable_distinct(
     )
 
 
+def q82_unpivot_long_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNPIVOT / melt — the wide→long reshaping that is pivot's
+    (q26's) inverse and a training-pipeline staple (per-metric long
+    form feeds generic downstream aggregation/plotting without a
+    schema per metric). Spark's dedicated ``DataFrame.unpivot``
+    (UNPIVOT in SQL) expands k measure columns into k rows per input
+    row INSIDE the Expand operator — one pass, no self-union of k
+    scans, which is the scale point: the UNION-ALL formulation the
+    oracle uses reads the aggregate k times, the unpivot plan once.
+    Measures share the double type (unpivot requires a common value
+    type); the exact-decimal sums make values engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        exact_sum("l_quantity", "sum_qty"),
+        exact_sum("l_extendedprice", "sum_price"),
+        exact_sum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    ).orderBy("l_returnflag", "measure")
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -4060,6 +4087,7 @@ QUERIES = {
     "q79_sql_udf_front_door": q79_sql_udf_front_door,
     "q80_sql_variables_front_door": q80_sql_variables_front_door,
     "q81_hll_mergeable_distinct": q81_hll_mergeable_distinct,
+    "q82_unpivot_long_form": q82_unpivot_long_form,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4161,6 +4189,24 @@ ORACLES = {
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+    """,
+    # dialect-portable long form: UNION ALL of one select per measure
+    # (DuckDB's UNPIVOT clause exists but the union is unambiguous);
+    # Spark's unpivot does this in ONE scan via Expand
+    "q82_unpivot_long_form": f"""
+    WITH w AS (
+      SELECT l_returnflag,
+             {exact_sum_sql('l_quantity', 'sum_qty')},
+             {exact_sum_sql('l_extendedprice', 'sum_price')},
+             {exact_sum_sql('l_discount', 'sum_disc')}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM w
+    ORDER BY l_returnflag, measure
     """,
     # the variable's scalar-subquery derivation becomes a CTE; the
     # parameter slot becomes its inlined value

@@ -725,6 +725,22 @@ def test_sql_variable_parameter_binds_as_pushed_literal(spark, sf_dir):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
+def test_unpivot_expands_in_one_scan(spark, sf_dir):
+    """q82's scale claim: unpivot reshapes k measures into k rows per
+    input row inside ONE Expand over ONE scan — the UNION-ALL
+    formulation its oracle uses would read the aggregate k times."""
+    from pim_orc_spark.operators.relational import q82_unpivot_long_form
+
+    plan = (
+        q82_unpivot_long_form(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan, plan[:1500]
+    assert plan.count("FileScan") == 1, plan[:1500]
+
+
 def test_cbo_tables_carry_row_and_column_stats(spark, sf_dir):
     """The ANALYZE pass behind q76 must leave auditable statistics in
     the catalog: table-level row counts (DESCRIBE EXTENDED's
