@@ -3045,7 +3045,11 @@ def q80_sql_variables_front_door(
 
 
 HLL_LGK = 14  # datasketches lgConfigK: ~0.8% relative standard error
-HLL_TOL_PCT = 2  # asserted accuracy envelope (≈2.5 standard errors)
+HLL_TOL_PCT = 3  # asserted envelope ≈3.7 standard errors: the sketch
+#                 is deterministic per dataset, but the driver
+#                 REGENERATES the fixture each round, so the realized
+#                 error re-draws — 2% (2.5σ) carried a few-percent
+#                 flake risk per round across the three groups
 
 
 def q81_hll_mergeable_distinct(
