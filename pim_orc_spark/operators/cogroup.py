@@ -139,6 +139,16 @@ def _align_arrow(left, right):
 
     lt, rt = ordered(left), ordered(right)
     n = max(lt.num_rows, rt.num_rows)
+    if n == 0:  # defensive twin of _align_pandas' empty-both branch
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "rnk": pa.array([], pa.int64()),
+                "cust_name": pa.array([], pa.string()),
+                "supp_name": pa.array([], pa.string()),
+                "bal_gap": pa.array([], pa.float64()),
+            }
+        )
     key = (
         lt.column("n_name")[0].as_py()
         if lt.num_rows

@@ -1220,7 +1220,10 @@ def multimodal_phash_dedup(
                 StructField("phash", LongType()),
             ]
         ),
-    )
+    ).localCheckpoint()  # the self-join consumes hashed on BOTH sides;
+    # without a materialization each side re-runs the whole Python
+    # encode→decode→hash pipeline (the same multi-consumer trade
+    # _doc_signatures and _bitset_encode make); one 16-byte row per doc
     n_blocks = PHASH_T + 1
     blocks = F.array(
         *[

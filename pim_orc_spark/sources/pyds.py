@@ -272,21 +272,19 @@ class JsonDirBatchWriter(DataSourceWriter):
             with open(manifest) as fh:
                 prior = json.load(fh)
             if self.overwrite:
-                for f in prior.get("files", []):
-                    p = os.path.join(self.path, f)
-                    if os.path.exists(p):
-                        os.remove(p)
                 os.remove(manifest)
             else:
                 prior_files = tuple(prior.get("files", []))
                 prior_rows = int(prior.get("rows", 0))
-        elif self.overwrite:
-            # no manifest (nothing committed), but stale parts from an
-            # aborted-or-foreign job may sit in the target: clear them
-            if os.path.isdir(self.path):
-                for f in os.listdir(self.path):
-                    if f.startswith("part-") and f.endswith(".jsonl"):
-                        os.remove(os.path.join(self.path, f))
+        if self.overwrite and os.path.isdir(self.path):
+            # clear EVERY top-level part — manifest-listed or stale
+            # debris from an aborted/foreign job — so the overwritten
+            # directory holds exactly the new job's files (a
+            # manifest-scoped sweep would leave unmanifested strays
+            # mixed into the target)
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
         self._publish(
             messages, self.path,
             prior_files=prior_files, prior_rows=prior_rows,
@@ -429,8 +427,11 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol); the output directory is KEYED and cleared per invocation
     (not mkdtemp) so repeated driver sweeps / pytest / bench runs reuse
     ONE bounded location instead of leaking a JSONL copy per call
-    (ADVICE r12; same pattern as the foreachBatch sink,
-    stream_events.py)."""
+    (ADVICE r12). The returned DataFrame is MATERIALIZED from the
+    committed files before the function returns — the per-bucket facts
+    are 16 rows — so the result never dangles on files a later
+    invocation's clear would delete (the hazard the round-13 review
+    flagged in the rmtree-on-entry form)."""
     import shutil
 
     register(spark)
@@ -451,7 +452,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest = json.load(fh)
     files = [os.path.join(out, f) for f in manifest["files"]]
     df = spark.read.schema("doc_id long, bucket long, h long").json(files)
-    return (
+    rows = (
         df.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -459,6 +460,10 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_id"),
         )
         .orderBy("bucket")
+        .collect()
+    )
+    return spark.createDataFrame(
+        rows, "bucket long, n_rows bigint, sum_h bigint, sum_id bigint"
     )
 
 

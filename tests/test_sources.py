@@ -695,6 +695,11 @@ def test_python_sink_path_reuse_append_and_overwrite(spark, tmp_path):
     )
     assert rows == 100  # both jobs' rows readable via the manifest
 
+    # stale UNMANIFESTED debris (a crashed/foreign job's part) must
+    # also be cleared by overwrite — not only the manifest's files
+    with open(_os.path.join(out, "part-stale.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 999}\n')
+
     save(25, "overwrite")
     m = manifest()
     parts = sorted(f for f in _os.listdir(out) if f.startswith("part-"))
@@ -703,7 +708,7 @@ def test_python_sink_path_reuse_append_and_overwrite(spark, tmp_path):
     rows = sum(
         1 for f in parts for _ in open(_os.path.join(out, f))
     )
-    assert rows == 25  # the appended jobs' parts are gone, not mixed
+    assert rows == 25  # appended parts AND the stray are gone, not mixed
 
 
 def test_python_sink_entry_reuses_one_directory(spark, sf_dir):
