@@ -99,6 +99,8 @@ PYTEST_ONLY = {
     #                     mergeability booleans oracle-checked in pytest
     "q82_unpivot_long_form",  # pivot/grouping-sets family via q74;
     #                     q04's exact sums; Expand plan assert in pytest
+    "snappy_block_decode",  # codec family via multimodal_png_decode;
+    #                     cross-validated vs snappy-java in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StructField,
     StructType,
@@ -1256,6 +1257,87 @@ def multimodal_phash_dedup(
     )
 
 
+# ---------------------------------------------------------------
+# The reference's OWN hot algorithm as a runnable, oracle-checked
+# operator: Snappy block decompression (SURVEY §2.9 D1/D2 —
+# previously config-mapped to Spark's ORC codec settings, now ALSO
+# demonstrated as code; kernel + format notes + reference citations
+# in functions/pysnappy.py, cross-validated both directions against
+# snappy-java in tests).
+
+SNAPPY_RUNS = 24  # byte-runs per synthetic payload
+
+
+def _snappy_payload(doc_id: int) -> bytes:
+    """Closed-form run-length stream: run i is byte (doc_id + 7i) %
+    251 repeated 5 + (doc_id·(i+1) + i) % 13 times — every run ≥ 5 BY
+    CONSTRUCTION so the encoder emits real COPY elements for every
+    doc (a 3-byte floor left doc 0 all-literal and its
+    compressed_smaller fact false), and every decompressed-stream
+    fact is SQL arithmetic."""
+    return b"".join(
+        bytes([(doc_id + 7 * i) % 251])
+        * (5 + (doc_id * (i + 1) + i) % 13)
+        for i in range(SNAPPY_RUNS)
+    )
+
+
+def _snappy_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from pim_orc_spark.functions.pysnappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    for pdf in batches:
+        ids, nb, sb, ws, smaller = [], [], [], [], []
+        for doc_id in pdf["doc_id"].astype("int64"):
+            raw = _snappy_payload(int(doc_id))
+            comp = snappy_compress(raw)
+            dec = snappy_decompress(comp)
+            ids.append(int(doc_id))
+            nb.append(len(dec))
+            sb.append(sum(dec))
+            ws.append(sum(p * b for p, b in enumerate(dec)))
+            smaller.append(len(comp) < len(raw))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(nb, dtype="int64"),
+                "sum_bytes": pd.Series(sb, dtype="int64"),
+                "wsum": pd.Series(ws, dtype="int64"),
+                "compressed_smaller": pd.Series(smaller, dtype="bool"),
+            }
+        )
+
+
+def snappy_block_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress → tag-stream-decode each synthetic run-length payload
+    with the pure-Python Snappy block codec and reduce the DECODED
+    stream to integer facts (length, byte sum, position-weighted sum —
+    the last catches a copy landing at the wrong offset even when the
+    byte multiset is right) plus a compression-effectiveness boolean.
+    The oracle recomputes all of it arithmetically from the run
+    construction — equality certifies the varint preamble, all four
+    element families, and the overlapping-copy window logic end to
+    end (the same loop dpu_decompress.c:224-300 runs per block).
+    Map-only at any corpus size; the per-doc payload is bounded."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _snappy_batch,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("n_bytes", LongType()),
+                StructField("sum_bytes", LongType()),
+                StructField("wsum", LongType()),
+                StructField("compressed_smaller", BooleanType()),
+            ]
+        ),
+    )
+
+
 def read_binary_files(
     spark: SparkSession, path: str, pattern: str = "*"
 ) -> DataFrame:
@@ -1304,6 +1386,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_integrity_audit": multimodal_integrity_audit,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "snappy_block_decode": snappy_block_decode,
 }
 
 # Fixture text is pure ASCII, so UTF-8 bytes == character codes and the
@@ -1476,6 +1559,32 @@ ORACLES["multimodal_features_arrow"] = ORACLES["multimodal_features"]
 # Hamming pair relation — equality certifies decode + hash +
 # candidate join + verify end to end. Bit 63 is folded in as the
 # BIGINT sign term, matching the kernel's signed packing.
+# decompressed-stream facts recomputed from the run construction:
+# run i starts at the cumulative length of runs 0..i-1, so the
+# position-weighted sum of a constant run v of length l starting at s
+# is v·(l·s + l(l−1)/2) — all BIGINT arithmetic
+ORACLES["snappy_block_decode"] = f"""
+WITH runs AS (
+  SELECT doc_id, i,
+         (doc_id + 7 * i) % 251 AS v,
+         5 + (doc_id * (i + 1) + i) % 13 AS l
+  FROM documents, (SELECT unnest(range(0, {SNAPPY_RUNS})) AS i)
+), pos AS (
+  SELECT doc_id, v, l,
+         COALESCE(SUM(l) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS s
+  FROM runs
+)
+SELECT doc_id,
+       CAST(SUM(l) AS BIGINT) AS n_bytes,
+       CAST(SUM(v * l) AS BIGINT) AS sum_bytes,
+       CAST(SUM(v * (l * s + l * (l - 1) // 2)) AS BIGINT) AS wsum,
+       TRUE AS compressed_smaller
+FROM pos GROUP BY doc_id
+"""
+
 ORACLES["multimodal_phash_dedup"] = f"""
 WITH p AS (
   SELECT doc_id,

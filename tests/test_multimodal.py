@@ -434,3 +434,68 @@ def test_ahash_is_robust_to_small_retouch_and_sensitive_to_content():
 
     img = _phash_pixels(7)
     assert ahash64(decode_bmp(encode_bmp(img))) == ahash64(img)
+
+
+def test_pysnappy_cross_validates_against_snappy_java(spark):
+    """The pure-Python Snappy block codec must interoperate BOTH ways
+    with an independent implementation (the JVM's snappy-java on
+    Spark's classpath): this decoder decodes snappy-java's output, and
+    snappy-java decodes this encoder's — so the two implementations
+    can't share a mirrored bug. Cases cover empty input, incompressible
+    random bytes (pure literals), long single-byte runs (overlapping
+    offset-1 copies), text with long-range matches, and the operator's
+    own payload construction."""
+    import random
+
+    from pim_orc_spark.functions.pysnappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+    from pim_orc_spark.operators.multimodal import _snappy_payload
+
+    rng = random.Random(3)
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 40,
+        bytes([7]) * 1000,
+        bytes(rng.randrange(256) for _ in range(5000)),
+        (b"hello world " * 50) + bytes([0]) * 300 + b"tail",
+        _snappy_payload(0),
+        _snappy_payload(123),
+    ]
+    jsnappy = spark._jvm.org.xerial.snappy.Snappy
+    for c in cases:
+        assert snappy_decompress(bytes(jsnappy.compress(c))) == c
+        assert bytes(jsnappy.uncompress(snappy_compress(c))) == c
+        assert snappy_decompress(snappy_compress(c)) == c
+
+
+def test_pysnappy_rejects_corrupt_streams():
+    """Strictness contract: truncation and bad offsets raise named
+    errors instead of returning garbage (the same validation posture
+    as the image codecs)."""
+    import pytest as _pytest
+
+    from pim_orc_spark.functions.pysnappy import (
+        snappy_compress,
+        snappy_decompress,
+        varint_decode,
+        varint_encode,
+    )
+
+    good = snappy_compress(b"hello hello hello hello hello!")
+    with _pytest.raises(ValueError, match="truncated|mismatch"):
+        snappy_decompress(good[:-2])  # truncated element
+    with _pytest.raises(ValueError, match="declared"):
+        snappy_decompress(varint_encode(999) + good[1:])  # wrong preamble
+    with _pytest.raises(ValueError, match="offset"):
+        # copy before any history: tag copy-2 len 4 offset 9
+        snappy_decompress(
+            varint_encode(4) + bytes([(3 << 2) | 2, 9, 0])
+        )
+    with _pytest.raises(ValueError, match="varint"):
+        snappy_decompress(b"\xff\xff\xff\xff\xff\xff")
+    with _pytest.raises(ValueError, match="truncated varint"):
+        snappy_decompress(b"\x80")
+    assert varint_decode(varint_encode(123456789))[0] == 123456789
