@@ -101,6 +101,16 @@ PYTEST_ONLY = {
     #                     q04's exact sums; Expand plan assert in pytest
     "snappy_block_decode",  # codec family via multimodal_png_decode;
     #                     cross-validated vs snappy-java in pytest
+    "stream_state_reader",  # stream_grouped_totals (exported) attests
+    #                     the same agg/state machinery whose checkpoint
+    #                     the statestore read exposes; full oracle +
+    #                     state-metadata asserts in pytest
+    "q83_transpose_report",  # q74 pivot/grouping family (the same
+    #                     reshaping axis as q82's unpivot); full
+    #                     conditional-aggregation oracle in pytest
+    "q84_listagg_within_group",  # q04 grouped-agg + q59 exact
+    #                     COUNT DISTINCT machinery; ordered string_agg
+    #                     oracle in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

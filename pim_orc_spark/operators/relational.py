@@ -3141,6 +3141,63 @@ def q82_unpivot_long_form(
     ).orderBy("l_returnflag", "measure")
 
 
+def q83_transpose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSPOSE (Spark 4's ``DataFrame.transpose``) — the matrix flip
+    that turns a tall per-group report into the wide per-measure sheet
+    humans read (measures as rows, groups as columns). The index
+    column's VALUES become the new column names and every measure row
+    becomes a column vector, so the operator is only defined when the
+    group alphabet is bounded — exactly the reporting case (here the
+    5-value event_type alphabet). Measures must share one type; counts
+    and integer-cents sums are both long, so nothing is lost to a
+    common-type cast.
+
+    Scale: the transpose input is the ALREADY-AGGREGATED 5×3 frame —
+    the 100 TB scan is the grouped aggregate feeding it; the flip
+    itself is a driver-sized pivot of group-count × measure-count
+    cells, never of raw rows. The oracle builds the identical sheet
+    with conditional aggregation (one column per alphabet value)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    return wide.transpose().orderBy("key")
+
+
+def q84_listagg_within_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4) — the ordered string
+    aggregation (ANSI SQL:2016 T625) that collapses a group's values
+    into one delimited string: the label-sheet / denormalized-export
+    shape (a dimension's members per parent, a document's tags per
+    doc). WITHIN GROUP (ORDER BY ...) is what makes the result
+    deterministic and hash-comparable — bare listagg order is
+    partition-dependent by spec.
+
+    Two alphabets exercised: DISTINCT priorities per order status
+    (a 1.5 M-row scan collapsing to ≤5 distinct members per group —
+    the scale-honest form: partial DISTINCT runs map-side, only the
+    bounded (status, priority) pairs shuffle) and the count carried
+    alongside proving listagg composes with plain aggregates in one
+    pass."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -4092,6 +4149,8 @@ QUERIES = {
     "q80_sql_variables_front_door": q80_sql_variables_front_door,
     "q81_hll_mergeable_distinct": q81_hll_mergeable_distinct,
     "q82_unpivot_long_form": q82_unpivot_long_form,
+    "q83_transpose_report": q83_transpose_report,
+    "q84_listagg_within_group": q84_listagg_within_group,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4211,6 +4270,41 @@ ORACLES = {
     UNION ALL
     SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM w
     ORDER BY l_returnflag, measure
+    """,
+    # conditional aggregation builds the transposed sheet column by
+    # column; the event_type alphabet is the fixture's fixed 5-value
+    # set (TESTDATA.md), the same bound that makes transpose defined
+    "q83_transpose_report": f"""
+    WITH w AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM({cents_sql('value')}) AS BIGINT) AS sum_cents
+      FROM events GROUP BY event_type
+    )
+    SELECT 'n_events' AS key,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN n_events END) AS BIGINT) AS click,
+           CAST(MAX(CASE WHEN event_type = 'error' THEN n_events END) AS BIGINT) AS error,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN n_events END) AS BIGINT) AS purchase,
+           CAST(MAX(CASE WHEN event_type = 'signup' THEN n_events END) AS BIGINT) AS signup,
+           CAST(MAX(CASE WHEN event_type = 'view' THEN n_events END) AS BIGINT) AS view
+    FROM w
+    UNION ALL
+    SELECT 'sum_cents' AS key,
+           MAX(CASE WHEN event_type = 'click' THEN sum_cents END) AS click,
+           MAX(CASE WHEN event_type = 'error' THEN sum_cents END) AS error,
+           MAX(CASE WHEN event_type = 'purchase' THEN sum_cents END) AS purchase,
+           MAX(CASE WHEN event_type = 'signup' THEN sum_cents END) AS signup,
+           MAX(CASE WHEN event_type = 'view' THEN sum_cents END) AS view
+    FROM w
+    ORDER BY key
+    """,
+    "q84_listagg_within_group": """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ','
+                      ORDER BY o_orderpriority) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
     """,
     # the variable's scalar-subquery derivation becomes a CTE; the
     # parameter slot becomes its inlined value

@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_orc_spark.catalog import normalize_event_ts
-from pim_orc_spark.functions.numeric import cents, exact_sum, exact_sum_sql
+from pim_orc_spark.functions.numeric import (
+    cents,
+    cents_sql,
+    exact_sum,
+    exact_sum_sql,
+)
 from pim_orc_spark.session import ensure_parity_confs
 
 WINDOW = "10 minutes"
@@ -830,6 +835,75 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE INTROSPECTION via Spark 4's State Data Source:
+    ``spark.read.format("statestore").load(checkpoint)`` scans a
+    Structured Streaming checkpoint's state store as a BATCH
+    DataFrame — the ops surface for auditing/debugging a stateful
+    pipeline without replaying it. At 100 TB/day the question "what
+    is in the state store right now" is answered by a parallel batch
+    scan of the checkpoint (one task per state-store partition — the
+    read parallelizes exactly like the stream's own shuffle), never
+    by instrumenting the live query or collecting to the driver.
+
+    The entry runs the grouped-totals aggregation to a checkpoint,
+    stops, and reads the final snapshot back: the ``key`` struct is
+    the group column, the ``value`` struct is Spark's aggregation
+    buffer (``count``, ``sum``). After an AvailableNow run has
+    consumed the whole fixture, that state IS the batch aggregate —
+    the oracle the driver checks, closing the loop from checkpoint
+    bytes to SQL truth. Money flows as integer cents (the ``cents``
+    contract) so the buffer is exact. The companion
+    ``state-metadata`` format (operator / partition / batch
+    inventory) is asserted in pytest.
+
+    Reference analogue: none — the reference is a one-shot batch
+    reader (reader.cc) with no persistent state; this is part of the
+    §2.7 streaming surface the Spark engine adds."""
+    import shutil
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    # KEYED checkpoint dir cleared per invocation (round-5 keyed-dir
+    # policy): a REUSED checkpoint would make the second AvailableNow
+    # run a no-op (nothing new to consume) and its state reader would
+    # silently re-serve the previous run's snapshot.
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    ckpt_dir = os.path.join(
+        "/tmp/pim_orc_spark/stream", sf_tag, "state_reader_ckpt"
+    )
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    with _CONF_LOCK:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS
+        )
+        try:
+            q = (
+                agg.writeStream.format("noop")
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    state = spark.read.format("statestore").load(ckpt_dir)
+    # MATERIALIZE eagerly: the keyed checkpoint is rmtree'd by the
+    # NEXT invocation; the eager localCheckpoint pins this run's
+    # 5-row snapshot independent of the directory's future state.
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("sum_cents"),
+    ).localCheckpoint(eager=True)
+
+
 def _cdc_merge_batch(
     batch_df: DataFrame, batch_id: int, state_root: str
 ) -> None:
@@ -960,6 +1034,7 @@ QUERIES = {
     "stream_click_attribution": stream_click_attribution,
     "stream_click_abandonment": stream_click_abandonment,
     "stream_full_outer_reconcile": stream_full_outer_reconcile,
+    "stream_state_reader": stream_state_reader,
 }
 
 ORACLES = {
@@ -978,6 +1053,14 @@ ORACLES = {
     "stream_grouped_totals": f"""
         SELECT event_type, COUNT(*) AS n_events,
                {exact_sum_sql("value", "sum_value")}
+        FROM events GROUP BY event_type
+    """,
+    # the checkpoint's final state snapshot == the batch aggregate:
+    # the state reader exposes the agg BUFFER (count, integer-cents
+    # sum), both exact
+    "stream_state_reader": f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM({cents_sql("value")}) AS BIGINT) AS sum_cents
         FROM events GROUP BY event_type
     """,
     # the sink round-trip must reproduce the batch aggregate exactly —

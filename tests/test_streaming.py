@@ -25,6 +25,30 @@ def test_repeat_invocation_isolated(spark, sf_dir):
     assert a == b == 5
 
 
+def test_state_reader_metadata_inventory(spark, sf_dir):
+    """The state reader's companion ``state-metadata`` format: after a
+    stream_state_reader run, the checkpoint's metadata inventory names
+    the aggregation operator, the pinned state partition count, and
+    the committed batch range — the facts an operator on call reads
+    FIRST (which stores exist, how many partitions to scan) before
+    pointing the statestore reader at a multi-TB checkpoint."""
+    import os
+
+    stream_events.stream_state_reader(spark, sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    ckpt = os.path.join(
+        "/tmp/pim_orc_spark/stream", sf_tag, "state_reader_ckpt"
+    )
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1, f"expected one stateful operator, got {md}"
+    row = md[0]
+    assert row.operatorName == "stateStoreSave"
+    assert row.numPartitions == int(
+        stream_events.STREAM_SHUFFLE_PARTITIONS
+    )
+    assert row.minBatchId == 0 and row.maxBatchId >= row.minBatchId
+
+
 def test_dedup_within_watermark_bounds_state_and_reemits(spark, tmp_path):
     """dropDuplicatesWithinWatermark is the state bound the
     stream_dedup_keys docstring prescribes for unbounded key spaces:
