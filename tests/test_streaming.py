@@ -462,6 +462,90 @@ def test_cdc_apply_recovers_from_mid_run_crash(spark, sf_dir, tmp_path):
     assert got == exp
 
 
+def test_state_reader_change_feed_tracks_batch_deltas(spark, tmp_path):
+    """``readChangeFeed`` on the statestore source (requires RocksDB
+    changelog checkpointing): the per-batch PUT trail of the state
+    store — the audit answer to "when did this key's state change",
+    read as a batch DataFrame instead of replaying the stream. Three
+    single-file micro-batches of 50 rows over 5 keys must leave one
+    'update' per (key, batch) carrying the RUNNING count (10/20/30),
+    and the feed's last update per key must equal the final snapshot
+    the plain statestore read returns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "cf_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cf_ckpt")
+    schema = "k int, v long"
+    for b in range(3):
+        spark.createDataFrame(
+            [(i % 5, b * 100 + i) for i in range(50)], schema
+        ).coalesce(1).write.parquet(str(src / f"b{b}.parquet"))
+
+    PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    CHANGELOG_KEY = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old_provider = spark.conf.get(PROVIDER_KEY, None)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(PROVIDER_KEY, ROCKS)
+    spark.conf.set(CHANGELOG_KEY, "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(PROVIDER_KEY)
+        else:
+            spark.conf.set(PROVIDER_KEY, old_provider)
+        spark.conf.unset(CHANGELOG_KEY)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    rows = feed.select(
+        "batch_id", "change_type", "key.k", "value.count"
+    ).collect()
+    assert {r.change_type for r in rows} == {"update"}
+    got = {(r.batch_id, r.k, r["count"]) for r in rows}
+    exp = {(b, k, (b + 1) * 10) for b in range(3) for k in range(5)}
+    assert got == exp, f"change feed mismatch: {sorted(got ^ exp)}"
+
+    snap = spark.read.format("statestore").load(ckpt)
+    final = {
+        (r.k, r["count"])
+        for r in snap.select("key.k", "value.count").collect()
+    }
+    last_updates = {(k, n) for (b, k, n) in got if b == 2}
+    assert final == last_updates == {(k, 30) for k in range(5)}
+
+
 def test_rocksdb_state_store_matches_default_and_restarts(spark, tmp_path):
     """STATE-SCALE PATH: at 100 TB the streaming state outgrows
     executor heaps, and Spark's RocksDB state store provider is the
