@@ -111,6 +111,10 @@ PYTEST_ONLY = {
     "q84_listagg_within_group",  # q04 grouped-agg + q59 exact
     #                     COUNT DISTINCT machinery; ordered string_agg
     #                     oracle in pytest
+    "q85_try_safe_arithmetic",  # q04 single-scan grouped agg; the
+    #                     try_* NULL-path CASEs are oracle-checked in
+    #                     pytest (q78's try_parse_json is the exported
+    #                     error-safe twin)
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

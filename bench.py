@@ -302,6 +302,7 @@ def main() -> None:
         if calibration_sec > 0
     }
     prev_round, cal_vs_prev, cal_movers = None, {}, {}
+    cal_shift_median = None
     prev_path = os.path.join(_REPO_ROOT, "bench_prev_cal.json")
     if os.path.exists(prev_path) and calibration_sec > 0:
         with open(prev_path) as fh:
@@ -310,15 +311,35 @@ def main() -> None:
         for name, cur in queries_min_per_cal.items():
             p = prev.get("queries_min_per_cal", {}).get(name)
             if p:
-                r = round(cur / p, 3)
-                cal_vs_prev[name] = r
-                if r > 1.25 or r < 0.8:
-                    cal_movers[name] = r
+                cal_vs_prev[name] = round(cur / p, 3)
+        # A per-slot regression must stand out from the MEDIAN shift,
+        # not from 1.0: the probe is a single-core matmul + 1-partition
+        # Spark job, so co-tenancy that steals whole-host parallel
+        # throughput while leaving single-core burst speed intact moves
+        # EVERY normalized slot by the same factor (observed r13: all
+        # 17 common slots at ~1.7× with calibration 1.5× FASTER — a
+        # probe-profile artifact, not 17 simultaneous regressions). The
+        # median is that global factor; a real regression is a slot
+        # that moved relative to its peers.
+        if cal_vs_prev:
+            cal_shift_median = round(
+                statistics.median(cal_vs_prev.values()), 3
+            )
+            for name, r in cal_vs_prev.items():
+                rel = round(r / cal_shift_median, 3)
+                if rel > 1.25 or rel < 0.8:
+                    cal_movers[name] = {
+                        "vs_prev": r,
+                        "vs_median_shift": rel,
+                    }
         if cal_movers:
             print(
                 f"bench: calibration-normalized movers vs {prev_round} "
-                "(>1.25x either way): "
-                + ", ".join(f"{k}={v}x" for k, v in cal_movers.items()),
+                f"(>1.25x vs the {cal_shift_median}x median shift): "
+                + ", ".join(
+                    f"{k}={v['vs_median_shift']}x"
+                    for k, v in cal_movers.items()
+                ),
                 file=sys.stderr,
             )
 
@@ -348,6 +369,9 @@ def main() -> None:
         # previous round's recorded value (1.0 = unchanged cost)
         "cal_prev_round": prev_round,
         "cal_normalized_vs_prev": cal_vs_prev,
+        # the global factor all slots moved by (probe-profile drift);
+        # movers below are relative to THIS, not to 1.0
+        "cal_shift_median": cal_shift_median,
         "cal_normalized_movers": cal_movers,
         "partition_sweep_q01": sweep,
         "queries_small_sf": small_timings,

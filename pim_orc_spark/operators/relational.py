@@ -3198,6 +3198,65 @@ def q84_listagg_within_group(
     )
 
 
+# int64 half-max: doubling it overflows, so try_multiply exercises its
+# NULL path on exactly the groups the CASE doubles
+_I64_HALF = 4_800_000_000_000_000_000
+
+
+def q85_try_safe_arithmetic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ERROR-SAFE EXPRESSIONS (``try_*``, Spark 3.4+/4) — the ANSI-mode
+    answer to "a single bad row must not kill a 100 TB job": each
+    ``try_`` variant returns NULL where the strict form raises
+    (DIVIDE_BY_ZERO, ARITHMETIC_OVERFLOW, CANNOT_PARSE_TIMESTAMP), so
+    the error surfaces as an auditable NULL count instead of a dead
+    stage at hour six. Each NULL path here fires BY CONSTRUCTION on a
+    known group — the operator proves the non-error groups compute the
+    strict value and the error groups degrade to NULL, both
+    hash-checked:
+
+    - ``try_divide``: the denominator is built to be 0 for exactly one
+      order status;
+    - ``try_multiply``: a half-of-int64-max literal is doubled only
+      for that status → signed overflow;
+    - ``try_to_timestamp``: a malformed literal is parsed only for
+      that status.
+
+    Scale: all three are row-local expressions inside one grouped
+    aggregate over a single scan — whole-stage codegen, no extra
+    shuffle vs the plain report. The oracle models each NULL with a
+    CASE (DuckDB's strict forms would raise, exactly the point)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("sum_cents"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", F.lit(0)).otherwise(
+                F.lit(1)
+            )
+        ).alias("denom"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "n_orders",
+        F.try_divide(F.col("sum_cents"), F.col("denom")).alias(
+            "cents_per_nonf"
+        ),
+        F.try_multiply(
+            F.lit(_I64_HALF),
+            F.when(F.col("o_orderstatus") == "F", F.lit(2)).otherwise(
+                F.lit(1)
+            ),
+        ).alias("overflow_probe"),
+        F.try_to_timestamp(
+            F.when(
+                F.col("o_orderstatus") == "F", F.lit("not-a-date")
+            ).otherwise(F.lit("2024-01-02 03:04:05"))
+        ).alias("parsed_ts"),
+    ).orderBy("o_orderstatus")
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3  # fixed => SQL-unrollable oracle
 PR_ROUND = 9  # per-iteration dp rounding: both engines iterate on
@@ -4151,6 +4210,7 @@ QUERIES = {
     "q82_unpivot_long_form": q82_unpivot_long_form,
     "q83_transpose_report": q83_transpose_report,
     "q84_listagg_within_group": q84_listagg_within_group,
+    "q85_try_safe_arithmetic": q85_try_safe_arithmetic,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4304,6 +4364,29 @@ ORACLES = {
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    # each try_* NULL path is modeled with a CASE — DuckDB's strict
+    # operators would RAISE on the same inputs, which is the semantics
+    # difference the operator exists to demonstrate
+    "q85_try_safe_arithmetic": f"""
+    WITH g AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n_orders,
+             CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS sum_cents,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS denom
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_orders,
+           CASE WHEN denom = 0 THEN NULL
+                ELSE CAST(sum_cents AS DOUBLE) / denom END
+             AS cents_per_nonf,
+           CASE WHEN o_orderstatus = 'F' THEN NULL
+                ELSE CAST({_I64_HALF} AS BIGINT) END AS overflow_probe,
+           CASE WHEN o_orderstatus = 'F' THEN NULL
+                ELSE TIMESTAMP '2024-01-02 03:04:05' END AS parsed_ts
+    FROM g
     ORDER BY o_orderstatus
     """,
     # the variable's scalar-subquery derivation becomes a CTE; the
