@@ -115,6 +115,13 @@ PYTEST_ONLY = {
     #                     try_* NULL-path CASEs are oracle-checked in
     #                     pytest (q78's try_parse_json is the exported
     #                     error-safe twin)
+    "q86_parameterized_identifier",  # q77/q79/q74 front-door family;
+    #                     IDENTIFIER + named-param binding is
+    #                     oracle-checked in pytest (inlined twin SQL)
+    "q87_lateral_topk_per_group",  # q10/q31 top-k family + the
+    #                     text_sentences LATERAL front door; the
+    #                     correlated lateralJoin is oracle-checked in
+    #                     pytest (row_number window twin SQL)
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

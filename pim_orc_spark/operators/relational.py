@@ -3198,6 +3198,81 @@ def q84_listagg_within_group(
     )
 
 
+def q86_parameterized_identifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARAMETERIZED SQL + the ``IDENTIFIER()`` clause (Spark 4) — the
+    SAFE dynamic-SQL surface: a metadata-driven pipeline (table and
+    column names from a config, thresholds from a job parameter)
+    binds names through ``IDENTIFIER(:param)`` and values through
+    ``:named`` parameters instead of f-string interpolation — no
+    injection surface, and the parameter binds at PLAN time so
+    pushdown/pruning see a literal (the same scale argument as q80's
+    EXECUTE IMMEDIATE, one API layer down: this is `spark.sql(query,
+    args=...)`, the programmatic form every orchestrator calls).
+
+    The oracle is the identical query with the identifiers and the
+    value inlined — matching hashes prove the binding layer never
+    touches the data path."""
+    from pim_orc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(IDENTIFIER(:qty_col) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_qty
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:qty_col) < :qty_cut
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={"tbl": "lineitem", "qty_col": "l_quantity", "qty_cut": 25},
+    )
+
+
+def q87_lateral_topk_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CORRELATED LATERAL JOIN via Spark 4's ``DataFrame.lateralJoin``
+    — the DataFrame-API form of ``FROM outer, LATERAL (subquery)``:
+    the inner subquery re-executes PER OUTER ROW with
+    ``F.col(...).outer()`` references bound to that row. The honest
+    use-case shape is a SMALL driving table parameterizing a per-row
+    probe of the fact (here: each distinct returnflag drives a top-2
+    by extendedprice with a total tiebreak) — per-outer-row execution
+    is the cost model, so the outer side must be config-sized while
+    the probe stays distributed. For a LARGE outer side the window
+    top-k (q10/q31's TakeOrderedAndProject) is the right plan; this
+    operator exists because the two shapes are different physical
+    strategies for the same logical ask, and the oracle (a
+    row_number window) proves they agree.
+
+    Complements text.py's SQL ``LATERAL <udtf>`` front door: that cell
+    is UDTF expansion, this one is the correlated-subquery join the
+    DataFrame API grew in Spark 4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+    )
+    probe = (
+        li.where(F.col("l_returnflag") == F.col("flag").outer())
+        .orderBy(
+            F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+        )
+        .limit(2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            cents("l_extendedprice").alias("price_cents"),
+        )
+    )
+    return flags.lateralJoin(probe).orderBy(
+        "flag", F.desc("price_cents"), "l_orderkey", "l_linenumber"
+    )
+
+
 # int64 half-max: doubling it overflows, so try_multiply exercises its
 # NULL path on exactly the groups the CASE doubles
 _I64_HALF = 4_800_000_000_000_000_000
@@ -4211,6 +4286,8 @@ QUERIES = {
     "q83_transpose_report": q83_transpose_report,
     "q84_listagg_within_group": q84_listagg_within_group,
     "q85_try_safe_arithmetic": q85_try_safe_arithmetic,
+    "q86_parameterized_identifier": q86_parameterized_identifier,
+    "q87_lateral_topk_per_group": q87_lateral_topk_per_group,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4388,6 +4465,32 @@ ORACLES = {
                 ELSE TIMESTAMP '2024-01-02 03:04:05' END AS parsed_ts
     FROM g
     ORDER BY o_orderstatus
+    """,
+    # identifiers and the parameter inlined — equal hashes prove the
+    # binding layer is plan-time-only
+    "q86_parameterized_identifier": """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    # the window form of the same logical ask — rn <= 2 under a total
+    # order (price desc, then the unique line key) is exactly the
+    # lateral probe's ORDER BY ... LIMIT 2 per outer row
+    "q87_lateral_topk_per_group": """
+    SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    ORDER BY flag, price_cents DESC, l_orderkey, l_linenumber
     """,
     # the variable's scalar-subquery derivation becomes a CTE; the
     # parameter slot becomes its inlined value
