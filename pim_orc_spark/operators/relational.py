@@ -3236,17 +3236,17 @@ def q87_lateral_topk_per_group(
 ) -> DataFrame:
     """CORRELATED LATERAL JOIN via Spark 4's ``DataFrame.lateralJoin``
     — the DataFrame-API form of ``FROM outer, LATERAL (subquery)``:
-    the inner subquery re-executes PER OUTER ROW with
-    ``F.col(...).outer()`` references bound to that row. The honest
-    use-case shape is a SMALL driving table parameterizing a per-row
-    probe of the fact (here: each distinct returnflag drives a top-2
-    by extendedprice with a total tiebreak) — per-outer-row execution
-    is the cost model, so the outer side must be config-sized while
-    the probe stays distributed. For a LARGE outer side the window
-    top-k (q10/q31's TakeOrderedAndProject) is the right plan; this
-    operator exists because the two shapes are different physical
-    strategies for the same logical ask, and the oracle (a
-    row_number window) proves they agree.
+    the inner subquery's ``F.col(...).outer()`` references bind to
+    each outer row (here: each distinct returnflag drives a top-2 by
+    extendedprice with a total tiebreak). The SEMANTICS are
+    per-outer-row re-execution; the PLAN is not: Catalyst's subquery
+    decorrelation rewrites the correlated ORDER BY ... LIMIT into a
+    rank-filter Window plus one BroadcastHashJoin against the driving
+    table (verified from the executed plan) — no per-row nested loop,
+    so the operator scales with the fact scan even when the driving
+    table grows. The oracle is the row_number-window form the
+    optimizer converges to, so equal hashes certify the
+    decorrelation rewrite itself.
 
     Complements text.py's SQL ``LATERAL <udtf>`` front door: that cell
     is UDTF expansion, this one is the correlated-subquery join the

@@ -292,6 +292,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """q87's docstring claims Catalyst decorrelates the correlated
+    ORDER BY ... LIMIT lateral into a rank-filter Window + one
+    BroadcastHashJoin — machine-assert it: the executed plan must
+    carry a Window and must NOT fall back to a per-outer-row nested
+    loop (BroadcastNestedLoopJoin / CartesianProduct), which is the
+    plan shape that would NOT survive a growing driving table."""
+    from pim_orc_spark.operators.relational import (
+        q87_lateral_topk_per_group,
+    )
+
+    plan = (
+        q87_lateral_topk_per_group(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
 def test_event_funnel_single_fact_shuffle(spark, sf_dir):
     """q43's scale claim pinned to the plan: all three funnel-step
     window MINs share ONE user_id exchange (plus the final single-row
