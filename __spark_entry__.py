@@ -122,6 +122,13 @@ PYTEST_ONLY = {
     #                     text_sentences LATERAL front door; the
     #                     correlated lateralJoin is oracle-checked in
     #                     pytest (row_number window twin SQL)
+    "q88_bitmap_distinct_rollup",  # q59 exact COUNT DISTINCT + q81's
+    #                     mergeable-sketch contract (bitmaps are the
+    #                     exact sibling); COUNT DISTINCT oracle +
+    #                     OR-merge boolean in pytest
+    "q89_count_min_frequency",  # q81's boolean sketch contract
+    #                     (frequency member); exact-count oracle +
+    #                     CMS guarantee booleans in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

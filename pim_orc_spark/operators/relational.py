@@ -3273,6 +3273,122 @@ def q87_lateral_topk_per_group(
     )
 
 
+def q88_bitmap_distinct_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT mergeable distinct counts via the bitmap aggregate family
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``) —
+    the deterministic sibling of q81's HLL sketches: integer keys
+    partition into 32k-bit buckets, per-(group, bucket) bitmaps OR
+    together losslessly, and summing popcounts over buckets is the
+    EXACT distinct count. This is the reaggregatable-distinct pattern
+    a 100 TB warehouse materializes: COUNT DISTINCT cannot roll up
+    from a materialized view, but bucket bitmaps can — finer
+    aggregates re-merge to coarser ones with no rescan and no
+    approximation error.
+
+    Both paths are computed and must agree: the direct per-group
+    build, and a merge path that splits events into halves, builds
+    per-half bitmaps, and ORs them back together —
+    ``merge_consistent`` hashes as TRUE only if the OR-merge is
+    lossless. The oracle is the exact COUNT DISTINCT."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    direct = (
+        keyed.groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+    )
+    merged = (
+        keyed.groupBy("event_type", "half", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_merged"))
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            (F.col("n_merged") == F.col("n_users")).alias(
+                "merge_consistent"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+CMS_EPS = 0.001  # over-count bound: est <= exact + eps*N w.p. >= conf
+CMS_CONF = 0.99
+CMS_SEED = 42  # fixed seed => deterministic sketch per dataset
+
+
+def q89_count_min_frequency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation (``F.count_min_sketch``)
+    — the third member of the mergeable-sketch family (q81 HLL ≈
+    distinct, q88 bitmaps = exact distinct, CMS ≈ frequency): a
+    fixed-size matrix of hashed counters whose partials merge by
+    cellwise addition, so heavy-hitter frequency queries run over
+    100 TB with bounded memory and ONE pass. The sketch is built
+    DISTRIBUTED (partial sketches merge inside the aggregate); the
+    1-row binary result is deserialized driver-side through Spark's
+    own ``org.apache.spark.util.sketch.CountMinSketch`` and probed
+    for each group key (bounded: |alphabet| probes).
+
+    CMS guarantees est ≥ exact always, and est ≤ exact + ε·N with
+    probability ≥ confidence; with a fixed seed the realized sketch
+    is deterministic, so both bounds are exported as booleans that
+    must hash TRUE (the q81 contract shape — the estimate itself is
+    not portable arithmetic, the GUARANTEES are). The oracle is the
+    exact per-group count."""
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count_min_sketch(
+            "event_type",
+            F.lit(CMS_EPS),
+            F.lit(CMS_CONF),
+            F.lit(CMS_SEED),
+        ).alias("cms")
+    ).collect()[0]  # 1-row collect: the serialized sketch
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
+    )
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # |alphabet| rows
+    }
+    total = sum(exact.values())
+    slack = int(CMS_EPS * total) + 1
+    out = [
+        (
+            et,
+            n,
+            bool(cms.estimateCount(et) >= n),
+            bool(cms.estimateCount(et) <= n + slack),
+        )
+        for et, n in sorted(exact.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_exact bigint, "
+        "est_at_least_exact boolean, est_within_eps boolean",
+    )
+
+
 # int64 half-max: doubling it overflows, so try_multiply exercises its
 # NULL path on exactly the groups the CASE doubles
 _I64_HALF = 4_800_000_000_000_000_000
@@ -4288,6 +4404,8 @@ QUERIES = {
     "q85_try_safe_arithmetic": q85_try_safe_arithmetic,
     "q86_parameterized_identifier": q86_parameterized_identifier,
     "q87_lateral_topk_per_group": q87_lateral_topk_per_group,
+    "q88_bitmap_distinct_rollup": q88_bitmap_distinct_rollup,
+    "q89_count_min_frequency": q89_count_min_frequency,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4491,6 +4609,27 @@ ORACLES = {
       FROM lineitem
     ) WHERE rn <= 2
     ORDER BY flag, price_cents DESC, l_orderkey, l_linenumber
+    """,
+    # bitmaps are exact, so the oracle is the plain COUNT DISTINCT;
+    # the OR-merge losslessness is the boolean that must hash TRUE
+    "q88_bitmap_distinct_rollup": """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS merge_consistent
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    # the estimate itself is sketch-internal; the exported contract is
+    # the exact counts plus CMS's two guarantees as booleans
+    "q89_count_min_frequency": """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS est_at_least_exact,
+           TRUE AS est_within_eps
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
     """,
     # the variable's scalar-subquery derivation becomes a CTE; the
     # parameter slot becomes its inlined value
