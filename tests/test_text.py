@@ -26,6 +26,66 @@ def test_text_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_polymorphic_udtf_analyze_schema(spark, sf_dir):
+    """The last UDTF sub-feature: a POLYMORPHIC UDTF whose output
+    schema is computed by ``analyze()`` from a constant argument
+    (Spark 4) — the shape config-driven wide-table expansions take
+    (k feature columns decided per call site, not hardcoded in the
+    return type). Asserts the schema really is argument-dependent and
+    the LATERAL expansion's values are exactly the expected padded
+    token tuples on a controlled fixture."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok{i}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text, n):
+            toks = (text or "").split()
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "solo"), (3, "")],
+        "doc_id int, text string",
+    ).createOrReplaceTempView("docs_for_udtf")
+    for k, expected in (
+        (1, {(1, "alpha"), (2, "solo"), (3, None)}),
+        (
+            3,
+            {
+                (1, "alpha", "beta", "gamma"),
+                (2, "solo", None, None),
+                (3, None, None, None),
+            },
+        ),
+    ):
+        got = spark.sql(
+            f"""
+            SELECT d.doc_id, t.* FROM docs_for_udtf d,
+                   LATERAL first_tokens(d.text, {k}) t
+            """
+        )
+        assert got.columns == ["doc_id"] + [f"tok{i}" for i in range(k)]
+        rows = {tuple(r) for r in got.collect()}
+        assert rows == expected, f"k={k}: {rows}"
+
+
 def test_text_sentences_matches_reference(spark, sf_dir):
     """The UDTF output must equal the shared pure-Python splitter
     row-for-row on the fixture corpus (no SQL oracle: the abbreviation
