@@ -546,6 +546,82 @@ def test_state_reader_change_feed_tracks_batch_deltas(spark, tmp_path):
     assert final == last_updates == {(k, 30) for k in range(5)}
 
 
+def test_state_reader_exposes_both_join_sides(spark, tmp_path):
+    """The statestore source's ``joinSide`` option: a stream-stream
+    join buffers BOTH inputs in state until the watermark proves no
+    future match can arrive — the memory bill a 100 TB join pays —
+    and the state reader audits exactly what is buffered per side
+    without replaying the stream. Two left rows and one right row
+    inside the horizon must be visible, verbatim, in their sides'
+    stores after the run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    l_src, r_src = tmp_path / "jl", tmp_path / "jr"
+    ckpt = str(tmp_path / "jckpt")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")],
+        "k int, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts").coalesce(
+        1
+    ).write.parquet(str(l_src))
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30")], "k int, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts").coalesce(
+        1
+    ).write.parquet(str(r_src))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ls = (
+            spark.readStream.schema("k int, ts timestamp")
+            .parquet(str(l_src))
+            .withWatermark("ts", "10 minutes")
+        )
+        rs = (
+            spark.readStream.schema("k int, ts timestamp")
+            .parquet(str(r_src))
+            .withWatermark("ts", "10 minutes")
+        )
+        j = ls.alias("l").join(
+            rs.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & F.col("r.ts").between(
+                F.col("l.ts"),
+                F.col("l.ts") + F.expr("INTERVAL 5 MINUTES"),
+            ),
+        )
+        q = (
+            j.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    def side_rows(side):
+        st = (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .load(ckpt)
+        )
+        return {
+            (r.k, str(r.ts))
+            for r in st.select("value.k", "value.ts").collect()
+        }
+
+    assert side_rows("left") == {
+        (1, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:01:00"),
+    }
+    assert side_rows("right") == {(1, "2024-01-01 00:00:30")}
+
+
 def test_rocksdb_state_store_matches_default_and_restarts(spark, tmp_path):
     """STATE-SCALE PATH: at 100 TB the streaming state outgrows
     executor heaps, and Spark's RocksDB state store provider is the
