@@ -117,7 +117,7 @@ def calibration(spark) -> tuple[float, dict]:
     a = (np.arange(1024 * 1024, dtype=np.float64) % 1013.0).reshape(
         1024, 1024
     ) / 1013.0
-    np_ts, spark_ts = [], []
+    np_ts, spark_ts, par_ts = [], [], []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(12):
@@ -128,12 +128,26 @@ def calibration(spark) -> tuple[float, dict]:
             "sum(id % 997) AS s"
         ).collect()
         spark_ts.append(time.perf_counter() - t0)
+        # RECORD-ONLY whole-host probe (not part of the calibration
+        # unit — adding it would redefine queries_min_per_cal and
+        # break the r12+ cross-round series): the same work fanned
+        # across every core. Co-tenancy that steals parallel
+        # throughput but not single-core burst shows up as
+        # spark_parallel_sec moving while the unit holds — the
+        # signature behind cal_shift_median, now measured directly.
+        t0 = time.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).selectExpr(
+            "sum(id % 997) AS s"
+        ).collect()
+        par_ts.append(time.perf_counter() - t0)
     cal = round(min(np_ts) + min(spark_ts), 4)
     return cal, {
         "numpy_matmul_sec": round(min(np_ts), 4),
         "spark_1part_sec": round(min(spark_ts), 4),
+        "spark_parallel_sec": round(min(par_ts), 4),
         "numpy_samples": [round(t, 4) for t in np_ts],
         "spark_samples": [round(t, 4) for t in spark_ts],
+        "parallel_samples": [round(t, 4) for t in par_ts],
     }
 
 
