@@ -122,6 +122,10 @@ PYTEST_ONLY = {
     #                     text_sentences LATERAL front door; the
     #                     correlated lateralJoin is oracle-checked in
     #                     pytest (row_number window twin SQL)
+    "dedup_containment_prefix",  # dedup_containment (exported) is the
+    #                     all-pairs twin with the SAME shared oracle;
+    #                     pair-set equality + candidate pruning are
+    #                     pytest-asserted
     "q88_bitmap_distinct_rollup",  # q59 exact COUNT DISTINCT + q81's
     #                     mergeable-sketch contract (bitmaps are the
     #                     exact sibling); COUNT DISTINCT oracle +

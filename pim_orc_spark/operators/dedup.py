@@ -861,8 +861,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     A sparse 100 TB corpus flips to candidate generation first — but
     note banding over MinHash misses asymmetric pairs by construction
     (J is tiny exactly when containment is interesting), so the scale
-    path is a doc-frequency-capped posting-list join or prefix
-    filtering, not the Jaccard-tuned LSH."""
+    path is prefix filtering, not the Jaccard-tuned LSH — implemented
+    as ``containment_pairs_prefix`` (lossless; pair-set equality with
+    this engine is pytest-asserted)."""
     return containment_pairs(spark, load_table(spark, sf_dir, "documents"))
 
 
@@ -909,6 +910,142 @@ def containment_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
             "doc_inner",
             F.col("doc_b").alias("doc_outer"),
             containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+def dedup_containment_prefix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_containment``'s documented SCALE PATH made real:
+    PPJoin-style PREFIX FILTERING (Xiao et al., WWW'08) instead of the
+    all-pairs bitset sweep. Must produce the IDENTICAL pair set —
+    same oracle, and a pytest asserts row-for-row equality with the
+    all-pairs engine."""
+    return containment_pairs_prefix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+
+
+def _containment_prefix_candidates(
+    spark: SparkSession, g: DataFrame
+) -> DataFrame:
+    """The prefix-filter candidate stage of
+    ``containment_pairs_prefix`` over a ``_grams_of`` frame: returns
+    (doc_inner, doc_b, sza) ordered pairs that survive the pigeonhole
+    prefix join and the asymmetric size gate — a SUPERSET of the true
+    pairs by construction (the pruning pytest counts this frame)."""
+    per_gram = g.select(
+        "doc_id", explode_nonempty("grams").alias("gram")
+    )
+    df_t = per_gram.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    sz = g.select("doc_id", F.size("grams").alias("sz"))
+    fr = _gate_fraction(CONTAIN_T)
+    num, den = fr.numerator, fr.denominator
+    rank_w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        per_gram.join(df_t, "gram")
+        .select(
+            "doc_id", "gram", F.row_number().over(rank_w).alias("rnk")
+        )
+        .join(sz, "doc_id")
+        .where(f"sz >= {CONTAIN_MIN_GRAMS}")
+        # p = sz - ceil(t*sz) + 1, exact integer math (t = num/den)
+        .where(
+            f"rnk <= sz - ((({num}L * sz) + {den} - 1) div {den}) + 1"
+        )
+    )
+    return (
+        prefix.select(
+            F.col("doc_id").alias("doc_inner"),
+            "gram",
+            F.col("sz").alias("sza"),
+        )
+        .join(
+            per_gram.select(F.col("doc_id").alias("doc_b"), "gram"),
+            "gram",
+        )
+        .where("doc_inner <> doc_b")
+        .select("doc_inner", "doc_b", "sza")
+        .distinct()
+        .join(
+            sz.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sz").alias("szb"),
+            ),
+            "doc_b",
+        )
+        .where(f"szb * {den} >= sza * {num}")
+        .select("doc_inner", "doc_b", "sza")
+    )
+
+
+def containment_pairs_prefix(
+    spark: SparkSession, docs: DataFrame
+) -> DataFrame:
+    """LOSSLESS prefix-filter candidate generation for directional
+    containment, then exact bitset verification — the linear-regime
+    engine for sparse corpora where ``containment_pairs``' all-pairs
+    sweep is quadratic.
+
+    The filter: if C(A→B) ≥ t then |A \\ B| ≤ |A| − ceil(t·|A|), so
+    among ANY fixed p = |A| − ceil(t·|A|) + 1 grams of A at least one
+    is in B (pigeonhole) — no ordering assumption needed for
+    correctness. The prefix is taken in GLOBAL RARE-FIRST order
+    (ascending document frequency, gram as tiebreak) because that
+    minimizes the posting-list fanout of the candidate join: prefix
+    grams are the rarest, so Σ_g prefix_count(g)·df(g) stays near
+    linear on corpora with a light df tail. Candidates then pass the
+    same asymmetric integer size gate and the same AND+popcount
+    verification as the all-pairs engine — only the CANDIDATE SET
+    shrinks, never the answer (equality pytest-asserted on both the
+    fixture corpus and a sparse synthetic one).
+
+    Scale: three shuffles (df count by gram, per-doc rank by doc_id,
+    candidate join by gram) each linear in corpus grams; the
+    quadratic all-pairs crossJoin is gone. On the dense fixture
+    corpus the df tail is heavy and candidates ≈ all pairs — the
+    honest regime boundary the all-pairs docstring records; on
+    sparse corpora (the 100 TB case) the prefix join is the plan."""
+    g = _grams_of(spark, docs)
+    enc, nb = _bitset_encode(spark, g)
+    if nb == 0:
+        return spark.createDataFrame(
+            [], "doc_inner long, doc_outer long, containment double"
+        )
+    cand = _containment_prefix_candidates(spark, g)
+    inter = _tree_sum(
+        [
+            F.bit_count(
+                F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w))
+            )
+            for w in range(nb)
+        ]
+    )
+    return (
+        cand.join(
+            enc.select(
+                F.col("doc_id").alias("doc_inner"),
+                F.col("mask").alias("ma"),
+            ),
+            "doc_inner",
+        )
+        .join(
+            enc.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("mask").alias("mb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_inner",
+            F.col("doc_b").alias("doc_outer"),
+            F.round(inter.cast("double") / F.col("sza"), 6).alias(
+                "containment"
+            ),
         )
         .filter(F.col("containment") >= CONTAIN_T)
     )
@@ -1368,6 +1505,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_incremental": dedup_incremental,
     "dedup_containment": dedup_containment,
+    "dedup_containment_prefix": dedup_containment_prefix,
     "dedup_exact_collated": dedup_exact_collated,
 }
 
@@ -1523,6 +1661,10 @@ WHERE len(a.grams) >= {CONTAIN_MIN_GRAMS}
   AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / len(a.grams), 6) >= {CONTAIN_T}
 """
+
+# the prefix-filter engine must produce the IDENTICAL pair set — the
+# filter is lossless by the pigeonhole bound, so the oracle is shared
+ORACLES["dedup_containment_prefix"] = ORACLES["dedup_containment"]
 
 ORACLES["dedup_exact_collated"] = """
 WITH v AS (
