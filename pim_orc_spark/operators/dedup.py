@@ -1051,6 +1051,53 @@ def containment_pairs_prefix(
     )
 
 
+def containment_pairs_prefix_words(
+    spark: SparkSession, docs: DataFrame
+) -> DataFrame:
+    """``containment_pairs_prefix`` over WORD shingles instead of
+    char-3-grams — the df-LIGHT regime the char-gram analysis points
+    to: a word dictionary is ~unbounded (vs the 19.7k char-3-gram
+    ceiling), so document frequencies stay near 1 on diverse corpora
+    and the prefix join's admission rate stays FLAT as the corpus
+    grows (pytest counts it at two scales). Same candidate stage
+    (``_containment_prefix_candidates`` is shingle-agnostic), exact
+    ``array_intersect`` verification instead of bitsets — the word
+    dictionary is too wide to encode as fixed-width masks (the same
+    regime flip the MinHash wide-dictionary path documents), and the
+    pruned candidate set is small enough that exact set intersection
+    per pair is the cheap step."""
+    g = spread(spark, docs).select(
+        "doc_id", F.array_distinct(tokens("text")).alias("grams")
+    )
+    cand = _containment_prefix_candidates(spark, g)
+    return (
+        cand.join(
+            g.select(
+                F.col("doc_id").alias("doc_inner"),
+                F.col("grams").alias("ga"),
+            ),
+            "doc_inner",
+        )
+        .join(
+            g.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("grams").alias("gb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_inner",
+            F.col("doc_b").alias("doc_outer"),
+            F.round(
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.col("sza"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
 def dedup_exact_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive exact dedup via Spark 4 string COLLATION
     (``UTF8_LCASE``): the groupBy compares strings under the collation

@@ -160,6 +160,79 @@ def test_containment_prefix_equals_allpairs_and_prunes(spark, sf_dir):
         assert {(10000 + i, i) for i in range(5 * scale)} <= got
 
 
+def test_word_prefix_containment_flat_rate_and_bruteforce(spark):
+    """The df-light regime, counted: over WORD shingles the universe
+    is ~unbounded, so the prefix join's admission rate must stay FLAT
+    from 65 to 650 docs (unlike char-3-grams, whose 19.7k ceiling
+    saturates); and the engine must equal a pure-Python brute force
+    of the word-set containment definition at the small scale."""
+    from pim_orc_spark.operators.dedup import (
+        CONTAIN_MIN_GRAMS,
+        CONTAIN_T,
+        _containment_prefix_candidates,
+        containment_pairs_prefix_words,
+    )
+    from pyspark.sql import functions as F
+
+    def words(seed, n):
+        out = []
+        x = seed
+        for _ in range(n):
+            x = (x * 48271) % 2147483647
+            w, y = [], x
+            for _ in range(4):
+                w.append(chr(ord("a") + y % 26))
+                y //= 26
+            out.append("".join(w))
+        return out
+
+    rates = {}
+    for scale in (1, 10):
+        n = 60 * scale
+        rows = [(i, " ".join(words(i + 1, 40))) for i in range(n)]
+        rows += [
+            (10000 + i, " ".join(words(i + 1, 40)[:24]))
+            for i in range(5 * scale)
+        ]
+        corpus = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        )
+        tot = n + 5 * scale
+        gramframe = corpus.select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower("text"), r"\s+")
+            ).alias("grams"),
+        )
+        n_cand = _containment_prefix_candidates(
+            spark, gramframe
+        ).count()
+        rates[scale] = n_cand / (tot * (tot - 1))
+        got = {
+            (r.doc_inner, r.doc_outer): r.containment
+            for r in containment_pairs_prefix_words(
+                spark, corpus
+            ).collect()
+        }
+        assert {
+            (10000 + i, i) for i in range(5 * scale)
+        } <= set(got), f"scale {scale}: planted pairs missing"
+        if scale == 1:
+            sets = {i: set(t.split()) for i, t in rows}
+            want = {}
+            for a in sets:
+                for b in sets:
+                    if a == b or len(sets[a]) < CONTAIN_MIN_GRAMS:
+                        continue
+                    c = round(
+                        len(sets[a] & sets[b]) / len(sets[a]), 6
+                    )
+                    if c >= CONTAIN_T:
+                        want[(a, b)] = c
+            assert got == want, (got, want)
+    assert rates[10] <= 3 * rates[1] and rates[10] <= 0.01, rates
+
+
 def test_fixture_corpus_band_admission_is_adversarial(spark, sf_dir):
     """Measure (not cite) the claim underpinning the scale-slope
     corpus choice: on the fixture documents table banding admits MOST
