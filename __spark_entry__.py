@@ -122,6 +122,9 @@ PYTEST_ONLY = {
     #                     text_sentences LATERAL front door; the
     #                     correlated lateralJoin is oracle-checked in
     #                     pytest (row_number window twin SQL)
+    "ann_ivf_add_batch",  # ann_ivf_topk (exported + benched) is the
+    #                     same quantizer artifact + _ivf_search stage;
+    #                     the clone-contract oracle runs in pytest
     "dedup_containment_prefix",  # dedup_containment (exported) is the
     #                     all-pairs twin with the SAME shared oracle;
     #                     pair-set equality + candidate pruning are

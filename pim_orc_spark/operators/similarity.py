@@ -347,6 +347,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    return _ivf_search(v, c_ids, Cn, q_ids, Qn)
+
+
+def _ivf_search(v, c_ids, Cn, q_ids, Qn):
+    """The IVF probe/scan stage over any (vec_id, v) corpus frame with
+    a SHIPPED quantizer (c_ids, Cn) and collected queries — shared by
+    ``ann_ivf_topk`` (full build) and ``ann_ivf_add_batch``
+    (incremental maintenance: same artifact, grown corpus)."""
+    import numpy as np
+    import pandas as pd
 
     # Multi-probe routing table: centroid id -> query indices probing it.
     # argsort columns are c_ids-ascending, so lexsort's tie-break matches
@@ -408,6 +418,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sim"), 4).alias("cos_sim"),
         )
     )
+
+
+INCR_ID_SHIFT = 1_000_000  # new-batch ids = query id + this shift
+
+
+def ann_ivf_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INDEX MAINTENANCE without a rebuild — the operation a
+    production vector store performs on every ingest: NEW vectors are
+    assigned to the EXISTING shipped quantizer's inverted lists (the
+    quantizer artifact is immutable between retrains; only postings
+    grow), and queries immediately see them. Rebuilding the quantizer
+    per batch would be a full corpus pass per ingest — the non-scale
+    path this operator exists to avoid.
+
+    The delta here is a deterministic clone of each query vector under
+    ``vec_id + INCR_ID_SHIFT``, which makes the maintenance contract
+    SHARP and assertable: after the add, every query's rank-1 neighbor
+    must be its own clone at cos_sim 1.0 (pytest), and the tail of the
+    list must be the original index's neighbors shifted one rank down.
+    Same ``_ivf_search`` stage, same cached ``ivf_quantizer`` artifact
+    as ``ann_ivf_topk`` — only the corpus frame differs (a UNION, no
+    artifact rebuild, no second quantizer collect)."""
+    import numpy as np
+
+    from pim_orc_spark.artifacts import cached_artifact
+
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+
+    def _build_ivf():
+        stride = _ivf_stride(v.count())
+        crows = (
+            v.filter(F.col("vec_id") % stride == 0)
+            .orderBy("vec_id")
+            .collect()
+        )
+        c_ids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+        C = np.stack(
+            [np.asarray(r["v"], dtype=np.float64) for r in crows]
+        )
+        return stride, c_ids, C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    stride, c_ids, Cn = cached_artifact(
+        "ivf_quantizer", spark, sf_dir, _build_ivf
+    )
+
+    qrows = (
+        v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    delta = v.filter(F.col("vec_id") < N_QUERIES).select(
+        (F.col("vec_id") + F.lit(INCR_ID_SHIFT)).alias("vec_id"), "v"
+    )
+    return _ivf_search(v.unionByName(delta), c_ids, Cn, q_ids, Qn)
 
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1358,6 +1425,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_add_batch": ann_ivf_add_batch,
     "ann_sq_topk": ann_sq_topk,
     "ann_recall": ann_recall,
 }
@@ -1771,6 +1839,23 @@ ORACLES = {
     # the vectorized plan must reproduce the exact baseline's output
     "ann_cosine_topk_vectorized": _ANN_EXACT_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    # the incremental-add contract in SQL: each query's clone (exact
+    # copy under id+SHIFT, landing in the query's own argmax list)
+    # takes rank 1 at sim 1.0 and every original neighbor shifts one
+    # rank down, truncated at k — derivable from the ORIGINAL index's
+    # oracle, which is the point: maintenance must not change the
+    # quantizer or any existing posting
+    "ann_ivf_add_batch": f"""
+        WITH orig AS ({_ANN_IVF_SQL})
+        SELECT query_id,
+               CAST(query_id + {INCR_ID_SHIFT} AS BIGINT) AS neighbor_id,
+               CAST(1 AS BIGINT) AS rank,
+               CAST(1.0 AS DOUBLE) AS cos_sim
+        FROM (SELECT DISTINCT query_id FROM orig)
+        UNION ALL
+        SELECT query_id, neighbor_id, rank + 1 AS rank, cos_sim
+        FROM orig WHERE rank + 1 <= {TOP_K}
+    """,
     "ann_lsh_bucketed": _ANN_LSH_SQL,
     "ann_recall": _ANN_RECALL_SQL,
 }
