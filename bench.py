@@ -335,10 +335,14 @@ def main() -> None:
         # probe-profile artifact, not 17 simultaneous regressions). The
         # median is that global factor; a real regression is a slot
         # that moved relative to its peers.
-        if cal_vs_prev:
+        # Median normalization needs enough overlapping slots for the
+        # median to BE the global factor (with 2-3 slots one real
+        # regression drags the median and hides itself); below the
+        # floor, fall back to absolute flagging.
+        if cal_vs_prev and len(cal_vs_prev) >= 5:
             cal_shift_median = round(
                 statistics.median(cal_vs_prev.values()), 3
-            )
+            ) or 1.0  # degenerate all-zero ratios: don't divide by 0
             for name, r in cal_vs_prev.items():
                 rel = round(r / cal_shift_median, 3)
                 if rel > 1.25 or rel < 0.8:
@@ -346,10 +350,30 @@ def main() -> None:
                         "vs_prev": r,
                         "vs_median_shift": rel,
                     }
+            # a uniform shift is NOT exonerated — it is either probe-
+            # profile drift (co-tenancy stealing parallel throughput;
+            # check spark_parallel_sec) or a real engine-wide
+            # regression; surface it for the round report either way
+            if cal_shift_median > 1.25 or cal_shift_median < 0.8:
+                print(
+                    f"bench: GLOBAL normalized shift vs {prev_round}: "
+                    f"{cal_shift_median}x on all slots — compare "
+                    "spark_parallel_sec to separate host-profile "
+                    "drift from an engine-wide regression",
+                    file=sys.stderr,
+                )
+        elif cal_vs_prev:
+            for name, r in cal_vs_prev.items():
+                if r > 1.25 or r < 0.8:
+                    cal_movers[name] = {
+                        "vs_prev": r,
+                        "vs_median_shift": r,
+                    }
         if cal_movers:
             print(
                 f"bench: calibration-normalized movers vs {prev_round} "
-                f"(>1.25x vs the {cal_shift_median}x median shift): "
+                f"(>1.25x vs the {cal_shift_median or 'absolute'} "
+                "median shift): "
                 + ", ".join(
                     f"{k}={v['vs_median_shift']}x"
                     for k, v in cal_movers.items()

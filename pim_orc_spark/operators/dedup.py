@@ -928,16 +928,20 @@ def dedup_containment_prefix(
     )
 
 
-def _containment_prefix_candidates(
-    spark: SparkSession, g: DataFrame
-) -> DataFrame:
+def _containment_prefix_candidates(g: DataFrame) -> DataFrame:
     """The prefix-filter candidate stage of
-    ``containment_pairs_prefix`` over a ``_grams_of`` frame: returns
+    ``containment_pairs_prefix`` over a (doc_id, grams) frame: returns
     (doc_inner, doc_b, sza) ordered pairs that survive the pigeonhole
     prefix join and the asymmetric size gate — a SUPERSET of the true
-    pairs by construction (the pruning pytest counts this frame)."""
+    pairs by construction (the pruning pytest counts this frame).
+    Callers must pass a MATERIALIZED frame (localCheckpoint): this
+    stage explodes it three ways (prefix side, posting side, sizes),
+    and plain ``explode`` is used because the word-shingle path can
+    produce EMPTY gram arrays (token-free text) — explode drops them;
+    the InferFiltersFromGenerate hazard explode_nonempty exists for
+    does not apply to a materialized column."""
     per_gram = g.select(
-        "doc_id", explode_nonempty("grams").alias("gram")
+        "doc_id", F.explode("grams").alias("gram")
     )
     df_t = per_gram.groupBy("gram").agg(
         F.count(F.lit(1)).alias("df")
@@ -1010,13 +1014,16 @@ def containment_pairs_prefix(
     corpus the df tail is heavy and candidates ≈ all pairs — the
     honest regime boundary the all-pairs docstring records; on
     sparse corpora (the 100 TB case) the prefix join is the plan."""
-    g = _grams_of(spark, docs)
+    # materialize the shingle frame ONCE (~100× a scan per byte,
+    # dedup.py:89): the dictionary pass, the encode pass, and the
+    # candidate stage's three explodes all re-consume it
+    g = _grams_of(spark, docs).localCheckpoint()
     enc, nb = _bitset_encode(spark, g)
     if nb == 0:
         return spark.createDataFrame(
             [], "doc_inner long, doc_outer long, containment double"
         )
-    cand = _containment_prefix_candidates(spark, g)
+    cand = _containment_prefix_candidates(g)
     inter = _tree_sum(
         [
             F.bit_count(
@@ -1066,10 +1073,14 @@ def containment_pairs_prefix_words(
     regime flip the MinHash wide-dictionary path documents), and the
     pruned candidate set is small enough that exact set intersection
     per pair is the cheap step."""
-    g = spread(spark, docs).select(
-        "doc_id", F.array_distinct(tokens("text")).alias("grams")
+    g = (
+        spread(spark, docs)
+        .select(
+            "doc_id", F.array_distinct(tokens("text")).alias("grams")
+        )
+        .localCheckpoint()  # candidate stage + two verify joins reuse it
     )
-    cand = _containment_prefix_candidates(spark, g)
+    cand = _containment_prefix_candidates(g)
     return (
         cand.join(
             g.select(

@@ -315,19 +315,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall < 1 by design (unprobed lists are never scored); ties in
     assignment break to the smaller centroid id in both engines.
     """
-    import numpy as np
-    import pandas as pd
-
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+    c_ids, Cn, q_ids, Qn = _ivf_quantizer_and_queries(spark, sf_dir, v)
+    return _ivf_search(v, c_ids, Cn, q_ids, Qn)
 
-    # QUANTIZER ARTIFACT REUSE: the docstring's contract is that the
-    # coarse quantizer is trained offline and SHIPPED — it only changes
-    # when the corpus does. The (stride, ids, normalized centroids)
-    # artifact is cached per (application, table directory) via the
-    # shared artifact store (immutable within a process) so repeat
-    # queries skip the count + centroid-collect jobs, the same
-    # resident-artifact trade the dedup signature index makes.
+
+def _ivf_quantizer_and_queries(spark, sf_dir, v):
+    """The shipped-quantizer artifact plus the collected query block,
+    shared by ``ann_ivf_topk`` and ``ann_ivf_add_batch`` — ONE
+    definition of the stride/centroid derivation, because both write
+    the same ``ivf_quantizer`` cache key and a drifting copy would
+    make results invocation-order-dependent.
+
+    QUANTIZER ARTIFACT REUSE: the contract is that the coarse
+    quantizer is trained offline and SHIPPED — it only changes when
+    the corpus does. The (stride, ids, normalized centroids) artifact
+    is cached per (application, table directory) via the shared
+    artifact store (immutable within a process) so repeat queries
+    skip the count + centroid-collect jobs, the same resident-artifact
+    trade the dedup signature index makes."""
+    import numpy as np
+
     from pim_orc_spark.artifacts import cached_artifact
 
     def _build_ivf():
@@ -341,13 +350,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
         return stride, c_ids, C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    stride, c_ids, Cn = cached_artifact("ivf_quantizer", spark, sf_dir, _build_ivf)
-
+    stride, c_ids, Cn = cached_artifact(
+        "ivf_quantizer", spark, sf_dir, _build_ivf
+    )
     qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    return _ivf_search(v, c_ids, Cn, q_ids, Qn)
+    return c_ids, Cn, q_ids, Qn
 
 
 def _ivf_search(v, c_ids, Cn, q_ids, Qn):
@@ -438,39 +448,24 @@ def ann_ivf_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be its own clone at cos_sim 1.0 (pytest), and the tail of the
     list must be the original index's neighbors shifted one rank down.
     Same ``_ivf_search`` stage, same cached ``ivf_quantizer`` artifact
-    as ``ann_ivf_topk`` — only the corpus frame differs (a UNION, no
-    artifact rebuild, no second quantizer collect)."""
-    import numpy as np
+    as ``ann_ivf_topk`` (one shared derivation,
+    ``_ivf_quantizer_and_queries``) — only the corpus frame differs
+    (a UNION, no artifact rebuild, no second quantizer collect).
 
-    from pim_orc_spark.artifacts import cached_artifact
-
+    PRECONDITION (guarded): corpus vec_ids must stay below
+    ``INCR_ID_SHIFT``, or clone ids would collide with real vectors
+    and the contract silently corrupts — a corpus with ≥1M vectors
+    needs the shift raised above ``max(vec_id)``."""
     e = spread(spark, load_table(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
-
-    def _build_ivf():
-        stride = _ivf_stride(v.count())
-        crows = (
-            v.filter(F.col("vec_id") % stride == 0)
-            .orderBy("vec_id")
-            .collect()
+    max_id = v.agg(F.max("vec_id")).collect()[0][0]  # 1-row collect
+    if max_id is not None and max_id >= INCR_ID_SHIFT:
+        raise ValueError(
+            f"ann_ivf_add_batch: corpus max vec_id {max_id} >= "
+            f"INCR_ID_SHIFT {INCR_ID_SHIFT}; clone ids would collide "
+            "with real vectors — raise the shift above max(vec_id)"
         )
-        c_ids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
-        C = np.stack(
-            [np.asarray(r["v"], dtype=np.float64) for r in crows]
-        )
-        return stride, c_ids, C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    stride, c_ids, Cn = cached_artifact(
-        "ivf_quantizer", spark, sf_dir, _build_ivf
-    )
-
-    qrows = (
-        v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-
+    c_ids, Cn, q_ids, Qn = _ivf_quantizer_and_queries(spark, sf_dir, v)
     delta = v.filter(F.col("vec_id") < N_QUERIES).select(
         (F.col("vec_id") + F.lit(INCR_ID_SHIFT)).alias("vec_id"), "v"
     )
@@ -1839,22 +1834,47 @@ ORACLES = {
     # the vectorized plan must reproduce the exact baseline's output
     "ann_cosine_topk_vectorized": _ANN_EXACT_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
-    # the incremental-add contract in SQL: each query's clone (exact
-    # copy under id+SHIFT, landing in the query's own argmax list)
-    # takes rank 1 at sim 1.0 and every original neighbor shifts one
-    # rank down, truncated at k — derivable from the ORIGINAL index's
-    # oracle, which is the point: maintenance must not change the
-    # quantizer or any existing posting
+    # the incremental-add contract in SQL, derived from the ORIGINAL
+    # index's oracle (the point: maintenance changes no existing
+    # posting). The delta clones EVERY query vector, so three row
+    # classes exist per query j: j's own clone at rank 1 / sim 1.0;
+    # original neighbors, pushed down by 1 (own clone) plus one for
+    # each clone of an EARLIER-ranked query-vector neighbor; and the
+    # clone of any query-vector neighbor k (identical unrounded sim,
+    # id tiebreak k < k+SHIFT puts it immediately AFTER its source).
+    # Modeled by rank arithmetic over orig — never by re-sorting the
+    # ROUNDED sims, which could disagree with Spark's unrounded order.
     "ann_ivf_add_batch": f"""
-        WITH orig AS ({_ANN_IVF_SQL})
-        SELECT query_id,
-               CAST(query_id + {INCR_ID_SHIFT} AS BIGINT) AS neighbor_id,
-               CAST(1 AS BIGINT) AS rank,
-               CAST(1.0 AS DOUBLE) AS cos_sim
-        FROM (SELECT DISTINCT query_id FROM orig)
-        UNION ALL
-        SELECT query_id, neighbor_id, rank + 1 AS rank, cos_sim
-        FROM orig WHERE rank + 1 <= {TOP_K}
+        WITH orig AS ({_ANN_IVF_SQL}),
+        base AS (
+          SELECT query_id, neighbor_id, cos_sim, rank,
+                 CASE WHEN neighbor_id < {N_QUERIES} THEN 1 ELSE 0 END
+                   AS isq,
+                 SUM(CASE WHEN neighbor_id < {N_QUERIES} THEN 1
+                          ELSE 0 END)
+                   OVER (PARTITION BY query_id ORDER BY rank) AS cum_q
+          FROM orig
+        ),
+        aug AS (
+          SELECT query_id,
+                 CAST(query_id + {INCR_ID_SHIFT} AS BIGINT)
+                   AS neighbor_id,
+                 CAST(1 AS BIGINT) AS rank,
+                 CAST(1.0 AS DOUBLE) AS cos_sim
+          FROM (SELECT DISTINCT query_id FROM orig)
+          UNION ALL
+          SELECT query_id, neighbor_id,
+                 CAST(1 + rank + (cum_q - isq) AS BIGINT) AS rank,
+                 cos_sim
+          FROM base
+          UNION ALL
+          SELECT query_id,
+                 CAST(neighbor_id + {INCR_ID_SHIFT} AS BIGINT),
+                 CAST(1 + rank + cum_q AS BIGINT) AS rank, cos_sim
+          FROM base WHERE isq = 1
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM aug WHERE rank <= {TOP_K}
     """,
     "ann_lsh_bucketed": _ANN_LSH_SQL,
     "ann_recall": _ANN_RECALL_SQL,

@@ -148,7 +148,7 @@ def test_containment_prefix_equals_allpairs_and_prunes(spark, sf_dir):
         )
         tot = n + 5 * scale
         n_cand = _containment_prefix_candidates(
-            spark, _grams_of(spark, corpus)
+            _grams_of(spark, corpus)
         ).count()
         assert n_cand <= tot * (tot - 1) * cap, (
             f"scale {scale}: admitted {n_cand} of {tot * (tot - 1)}"
@@ -204,9 +204,7 @@ def test_word_prefix_containment_flat_rate_and_bruteforce(spark):
                 F.split(F.lower("text"), r"\s+")
             ).alias("grams"),
         )
-        n_cand = _containment_prefix_candidates(
-            spark, gramframe
-        ).count()
+        n_cand = _containment_prefix_candidates(gramframe).count()
         rates[scale] = n_cand / (tot * (tot - 1))
         got = {
             (r.doc_inner, r.doc_outer): r.containment
