@@ -136,6 +136,9 @@ PYTEST_ONLY = {
     "q89_count_min_frequency",  # q81's boolean sketch contract
     #                     (frequency member); exact-count oracle +
     #                     CMS guarantee booleans in pytest
+    "q90_width_bucket_histogram",  # q04 single-scan grouped agg +
+    #                     q25's percentile/binning family; ANSI
+    #                     width_bucket arithmetic oracle in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

@@ -3327,6 +3327,45 @@ def q88_bitmap_distinct_rollup(
     )
 
 
+HIST_LO, HIST_HI, HIST_N = 0.0, 100.0, 10  # equi-width bin config
+
+
+def q90_width_bucket_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EQUI-WIDTH BINNING via ``width_bucket`` (ANSI SQL:2016) — the
+    feature-bucketing primitive a training pipeline applies before
+    histogram features, stratified sampling by value band, or outlier
+    triage: each value maps to ``1 + floor((x-lo)/(hi-lo)·n)`` with
+    underflow → 0 and overflow → n+1 (both overflow bands carried
+    explicitly here — the fixture's heavy ≥100 tail lands in bucket
+    11 and is ASSERTED by the oracle, not dropped). One map-side
+    expression + one grouped aggregate over a single scan; the bin
+    config is a literal so the whole thing stays in codegen. The
+    oracle recomputes the bucket arithmetic from first principles —
+    matching hashes certify Spark's width_bucket against the ANSI
+    definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.width_bucket(
+                "value",
+                F.lit(HIST_LO),
+                F.lit(HIST_HI),
+                F.lit(HIST_N),
+            ).alias("bucket"),
+            cents("value").alias("val_cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val_cents").alias("sum_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 CMS_EPS = 0.001  # over-count bound: est <= exact + eps*N w.p. >= conf
 CMS_CONF = 0.99
 CMS_SEED = 42  # fixed seed => deterministic sketch per dataset
@@ -4406,6 +4445,7 @@ QUERIES = {
     "q87_lateral_topk_per_group": q87_lateral_topk_per_group,
     "q88_bitmap_distinct_rollup": q88_bitmap_distinct_rollup,
     "q89_count_min_frequency": q89_count_min_frequency,
+    "q90_width_bucket_histogram": q90_width_bucket_histogram,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4630,6 +4670,21 @@ ORACLES = {
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """,
+    # the ANSI width_bucket definition from first principles: 1 +
+    # floor((x-lo)/(hi-lo)*n), clamped to the 0 / n+1 overflow bands
+    "q90_width_bucket_histogram": f"""
+    SELECT event_type,
+           CASE WHEN value < {HIST_LO} THEN 0
+                WHEN value >= {HIST_HI} THEN {HIST_N} + 1
+                ELSE CAST(floor((value - {HIST_LO})
+                          / (({HIST_HI} - {HIST_LO}) / {HIST_N}))
+                     AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
     """,
     # the variable's scalar-subquery derivation becomes a CTE; the
     # parameter slot becomes its inlined value
