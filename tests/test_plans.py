@@ -314,6 +314,24 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:1500]
 
 
+def test_width_bucket_histogram_is_single_scan_no_python(spark, sf_dir):
+    """q90's docstring claims one map-side expression + one grouped
+    aggregate over a single scan, all in codegen — machine-assert it:
+    exactly one file scan, no Python eval in the plan."""
+    from pim_orc_spark.operators.relational import (
+        q90_width_bucket_histogram,
+    )
+
+    plan = (
+        q90_width_bucket_histogram(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert "Python" not in plan, plan[:1500]
+
+
 def test_event_funnel_single_fact_shuffle(spark, sf_dir):
     """q43's scale claim pinned to the plan: all three funnel-step
     window MINs share ONE user_id exchange (plus the final single-row
