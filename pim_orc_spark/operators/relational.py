@@ -2996,8 +2996,9 @@ def q79_sql_udf_front_door(
     return spark.sql(_Q79_QUERY)
 
 
-# the EXECUTE IMMEDIATE body: no string literals, so it embeds in the
-# outer statement's single quotes verbatim
+# the EXECUTE IMMEDIATE body; reaches the session as a STRING variable
+# bound through a parameter marker (never string-interpolated — the
+# operator exists to showcase the non-interpolated front door)
 _Q80_REPORT = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
@@ -3019,8 +3020,10 @@ def q80_sql_variables_front_door(
     invites injection and defeats plan caching). ``DECLARE OR REPLACE
     VARIABLE`` creates a session-scoped threshold; ``SET VARIABLE``
     computes it FROM the data (a scalar subquery — the median
-    quantity); the report then runs through ``EXECUTE IMMEDIATE ...
-    USING`` with the variable bound to the ``?`` parameter. The oracle
+    quantity); the report text itself travels as a second STRING
+    variable (bound with a ``?`` parameter marker, no interpolation
+    anywhere) and runs through ``EXECUTE IMMEDIATE <var> USING`` with
+    the threshold bound to the report's ``?`` parameter. The oracle
     derives the identical cut as a CTE and inlines it — values must
     match exactly, proving the variable binding and parameter pass
     never touch the data path.
@@ -3039,9 +3042,9 @@ def q80_sql_variables_front_door(
         "SET VARIABLE pim_qty_cut = "
         "(SELECT percentile(l_quantity, 0.5) FROM lineitem)"
     )
-    return spark.sql(
-        f"EXECUTE IMMEDIATE '{_Q80_REPORT}' USING pim_qty_cut"
-    )
+    spark.sql("DECLARE OR REPLACE VARIABLE pim_q80_report STRING")
+    spark.sql("SET VARIABLE pim_q80_report = ?", args=[_Q80_REPORT])
+    return spark.sql("EXECUTE IMMEDIATE pim_q80_report USING pim_qty_cut")
 
 
 HLL_LGK = 14  # datasketches lgConfigK: ~0.8% relative standard error
@@ -3381,9 +3384,12 @@ def q89_count_min_frequency(
     cellwise addition, so heavy-hitter frequency queries run over
     100 TB with bounded memory and ONE pass. The sketch is built
     DISTRIBUTED (partial sketches merge inside the aggregate); the
-    1-row binary result is deserialized driver-side through Spark's
-    own ``org.apache.spark.util.sketch.CountMinSketch`` and probed
-    for each group key (bounded: |alphabet| probes).
+    1-row binary result is parsed driver-side by the pure-Python
+    reader of Spark's public V1 serialization
+    (``functions/pycms.py``, estimate-for-estimate cross-validated
+    against the JVM class in pytest — no py4j/`_jvm` dependency, so
+    the probe also works under Spark Connect) and probed for each
+    group key (bounded: |alphabet| probes).
 
     CMS guarantees est ≥ exact always, and est ≤ exact + ε·N with
     probability ≥ confidence; with a fixed seed the realized sketch
@@ -3400,10 +3406,9 @@ def q89_count_min_frequency(
             F.lit(CMS_SEED),
         ).alias("cms")
     ).collect()[0]  # 1-row collect: the serialized sketch
-    jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
-    )
+    from pim_orc_spark.functions.pycms import CountMinSketchReader
+
+    cms = CountMinSketchReader.from_bytes(bytes(row["cms"]))
     exact = {
         r.event_type: r.n
         for r in ev.groupBy("event_type")
@@ -3416,8 +3421,8 @@ def q89_count_min_frequency(
         (
             et,
             n,
-            bool(cms.estimateCount(et) >= n),
-            bool(cms.estimateCount(et) <= n + slack),
+            bool(cms.estimate_binary(et.encode("utf-8")) >= n),
+            bool(cms.estimate_binary(et.encode("utf-8")) <= n + slack),
         )
         for et, n in sorted(exact.items())
     ]

@@ -116,3 +116,88 @@ def test_pagerank_is_a_probability_vector(spark, sf_dir):
     assert abs(total - 1.0) < 1e-6, total
     floor = (1 - relational.PR_DAMP) / n
     assert all(r["rank"] >= floor - 1e-9 for r in out)
+
+
+def test_pycms_cross_validates_against_jvm_sketch(spark):
+    """The pure-Python CountMinSketch reader (functions/pycms.py) is
+    validated against the independent JVM implementation whose output
+    it parses: a sketch built by ``F.count_min_sketch`` must yield the
+    SAME estimate from the Python reader and from Spark's own
+    ``CountMinSketch.readFrom`` — for string keys (present, absent,
+    multi-byte UTF-8 with 1/2/3-byte tails exercising murmur3's
+    byte-at-a-time tail path) and for long keys (the hashA path,
+    including negatives and 63-bit magnitudes). The q89 operator
+    consumes only the Python reader; this test is what keeps it honest
+    (the pysnappy/snappy-java discipline)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.functions.pycms import CountMinSketchReader
+
+    rnd = random.Random(20260816)
+    alphabet = ["alpha", "beta", "γ-gamma", "δδ", "ключ", "x" * 7, "y"]
+    rows = [(rnd.choice(alphabet),) for _ in range(400)]
+    blob = bytes(
+        spark.createDataFrame(rows, "s string")
+        .agg(
+            F.count_min_sketch(
+                "s", F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("cms")
+        )
+        .collect()[0]["cms"]
+    )
+    py = CountMinSketchReader.from_bytes(blob)
+    jvm = spark._jvm
+    jv = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(blob)
+    )
+    assert py.total_count == jv.totalCount()
+    for key in [*alphabet, "absent", "ab", "abc", "абвгд"]:
+        assert py.estimate_binary(key.encode("utf-8")) == jv.estimateCount(
+            key
+        ), key
+
+    lrows = [(rnd.randint(-(2**62), 2**62),) for _ in range(200)]
+    lrows += [(424242,)] * 13
+    lblob = bytes(
+        spark.createDataFrame(lrows, "v long")
+        .agg(
+            F.count_min_sketch(
+                "v", F.lit(0.01), F.lit(0.9), F.lit(7)
+            ).alias("cms")
+        )
+        .collect()[0]["cms"]
+    )
+    lpy = CountMinSketchReader.from_bytes(lblob)
+    ljv = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(lblob)
+    )
+    probes = [424242, 0, -1, 2**62, -(2**62), lrows[0][0]]
+    for v in probes:
+        assert lpy.estimate_long(v) == ljv.estimateCount(
+            jvm.java.lang.Long(v)
+        ), v
+
+
+def test_pycms_rejects_malformed_payloads():
+    """Version and length are validated before any probe — a truncated
+    or foreign blob fails loudly, never with a wrong estimate."""
+    import struct
+
+    import pytest as _pytest
+
+    from pim_orc_spark.functions.pycms import CountMinSketchReader
+
+    depth, width = 2, 3
+    good = struct.pack(">iqii", 1, 0, depth, width)
+    good += struct.pack(f">{depth}q", 11, 13)
+    good += struct.pack(f">{depth * width}q", *range(depth * width))
+    r = CountMinSketchReader.from_bytes(good)
+    assert r.depth == depth and r.width == width
+    with _pytest.raises(ValueError, match="version"):
+        CountMinSketchReader.from_bytes(
+            struct.pack(">iqii", 9, 0, depth, width) + good[20:]
+        )
+    with _pytest.raises(ValueError, match="bytes"):
+        CountMinSketchReader.from_bytes(good[:-8])
