@@ -71,74 +71,84 @@ def _modules():
 # records the comparison, not whether it runs). Format: name, # twin.
 # Rotation history and full rationale: ROTATIONS.md.
 PYTEST_ONLY = {
+    # --- round-14 rotation: ALL 20 never-driver-attested round-13
+    # newborns promote in one pass (VERDICT r13 #1), plus newborn
+    # q91_quantile_sketch_rollup (the sketch family's quantile member,
+    # promoted same-round under the restored queue policy). 21
+    # r13-green slots rotate out — see ROTATIONS.md ---
+    "dedup_containment",  # the all-pairs dense-regime kernel; the
+    #                     promoted dedup_containment_prefix shares its
+    #                     oracle EXACTLY (lossless filter) and the
+    #                     pair-set-equality pytest diffs the two
+    "q59_tpch_q16_supplier_count",  # exact COUNT DISTINCT attested by
+    #                     promoted q88's bitmap rollup; NOT-IN anti
+    #                     join family by q61 (stays exported)
+    "q79_sql_udf_front_door",  # SQL front door attested by q77 +
+    #                     promoted q80/q86; the no-Python plan assert
+    #                     stays in test_plans (the stronger check)
+    "q74_grouping_sets_front_door",  # Expand/reshape family attested
+    #                     by promoted q82 (unpivot) + q83 (transpose);
+    #                     GROUPING SETS oracle re-runs in pytest
+    "stream_click_abandonment",  # promoted stream_full_outer_reconcile
+    #                     is the strict superset (same join, same
+    #                     eviction cutoffs, both sides emitted)
+    "stream_windowed_counts",  # windowed-agg state machinery attested
+    #                     by stream_session_windows; stays BENCHED via
+    #                     all_queries
+    "text_nfc_normalize",  # text_quality's all-JVM Catalyst signal
+    #                     family; NFC oracle re-runs in pytest
+    "q69_trade_reach",  # iterative edge⋈frontier family attested by
+    #                     q73's triangle join; BFS oracle in pytest
+    "dedup_semantic_pairs",  # candidates-then-verify attested by
+    #                     dedup_minhash_lsh; cosine kernels by
+    #                     ann_recall's CTE stack
+    "stream_cdc_apply",  # CDC MERGE semantics attested by q44 (batch
+    #                     full-outer MERGE, exported + benched);
+    #                     stateful apply by stream_stateful_user_stats
+    "pipeline_split",  # pipeline_split_leakage (stays exported)
+    #                     consumes the SAME funnel + splitter and adds
+    #                     the span-fp cross-split check
+    "sink_python_datasource",  # the connector's other two halves stay
+    #                     exported (source_python_datasource +
+    #                     source_stream_availablenow); the two-phase
+    #                     commit crash-recovery pytest is the stronger
+    #                     sink check
+    "cogroup_balance_align",  # promoted cogroup_arrow_align has the
+    #                     IDENTICAL oracle and a row-for-row equality
+    #                     pytest against this entry
+    "q75_observed_metrics",  # the stage-bin profiling asserts in
+    #                     pytest are the stronger S8 check; observe()
+    #                     oracle re-runs in pytest
+    "q76_cbo_join_reorder",  # the machine-checked CBO plan assertion
+    #                     in pytest is the stronger §4.1 check; join
+    #                     trees attested by q31
+    "q72_locf_interpolate",  # window taxonomy attested by q71's
+    #                     time-RANGE frames; ignore-nulls LOCF oracle
+    #                     re-runs in pytest (q70 precedent)
+    "text_tfidf_topk",  # corpus-signal family attested by
+    #                     text_quality; the tfidf oracle (whose idf
+    #                     CTE also carries text_idf) re-runs in pytest
+    "q48_tpch_q19_disjunctive_revenue",  # conditional-CASE aggregation
+    #                     attested by promoted q85 (CASE-modeled try_*
+    #                     sums) + q04's grouped exact sums
+    "q32_tpch_q5_local_supplier",  # broadcast join trees attested by
+    #                     q31 (stays exported + benched); q32 stays
+    #                     BENCHED via all_queries
+    "multimodal_features_arrow",  # mapInArrow kernel row-for-row
+    #                     diffed against the pandas twin in pytest;
+    #                     Arrow UDx surface attested by
+    #                     grouped_arrow_stats + cogroup_arrow_align
+    "stream_dedup_within_watermark",  # stateful watermark machinery
+    #                     attested by stream_session_windows; batch
+    #                     dedup contract by dedup_clusters
     # --- round-13 rotation (cogroup cells close the §2.8 matrix;
     # newborns promote same-round — see ROTATIONS.md) ---
-    "cogroup_arrow_align",  # identical oracle to the exported
-    #                     cogroup_balance_align; bit-equality pytest
-    "q70_window_distribution",  # q71 time-RANGE + q72 ignore-nulls
-    #                     carry the window taxonomy attestation
+    "q70_window_distribution",  # q71 time-RANGE carries the window
+    #                     taxonomy attestation
     "text_url_filter",  # text_quality's all-JVM filter family
     "q67_snapshot_diff",  # q44 full-outer MERGE family +
     #                     dedup_clusters set-op machinery (funds the
     #                     dedup_containment promotion)
-    "dedup_exact_collated",  # dedup_clusters' exact-fingerprint
-    #                     grouping; the collation comparator is
-    #                     oracle-checked in pytest from birth
-    "q80_sql_variables_front_door",  # q77/q79 front-door family;
-    #                     variable binding oracle-checked in pytest
-    "xml_roundtrip_sum",  # orc_roundtrip_sum roundtrip shape (the
-    #                     csv/json precedent)
-    "stream_full_outer_reconcile",  # stream_click_abandonment's
-    #                     eviction machinery (left-outer superset of
-    #                     the same join; both-sides cutoffs in pytest)
-    "multimodal_phash_dedup",  # decode via the exported codec family
-    #                     (png/features_arrow); candidates-then-verify
-    #                     via dedup_minhash_lsh; full oracle in pytest
-    "q81_hll_mergeable_distinct",  # q59's exact COUNT DISTINCT +
-    #                     q24's approx twin; sketch accuracy and
-    #                     mergeability booleans oracle-checked in pytest
-    "q82_unpivot_long_form",  # pivot/grouping-sets family via q74;
-    #                     q04's exact sums; Expand plan assert in pytest
-    "snappy_block_decode",  # codec family via multimodal_png_decode;
-    #                     cross-validated vs snappy-java in pytest
-    "stream_state_reader",  # stream_grouped_totals (exported) attests
-    #                     the same agg/state machinery whose checkpoint
-    #                     the statestore read exposes; full oracle +
-    #                     state-metadata asserts in pytest
-    "q83_transpose_report",  # q74 pivot/grouping family (the same
-    #                     reshaping axis as q82's unpivot); full
-    #                     conditional-aggregation oracle in pytest
-    "q84_listagg_within_group",  # q04 grouped-agg + q59 exact
-    #                     COUNT DISTINCT machinery; ordered string_agg
-    #                     oracle in pytest
-    "q85_try_safe_arithmetic",  # q04 single-scan grouped agg; the
-    #                     try_* NULL-path CASEs are oracle-checked in
-    #                     pytest (q78's try_parse_json is the exported
-    #                     error-safe twin)
-    "q86_parameterized_identifier",  # q77/q79/q74 front-door family;
-    #                     IDENTIFIER + named-param binding is
-    #                     oracle-checked in pytest (inlined twin SQL)
-    "q87_lateral_topk_per_group",  # q10/q31 top-k family + the
-    #                     text_sentences LATERAL front door; the
-    #                     correlated lateralJoin is oracle-checked in
-    #                     pytest (row_number window twin SQL)
-    "ann_ivf_add_batch",  # ann_ivf_topk (exported + benched) is the
-    #                     same quantizer artifact + _ivf_search stage;
-    #                     the clone-contract oracle runs in pytest
-    "dedup_containment_prefix",  # dedup_containment (exported) is the
-    #                     all-pairs twin with the SAME shared oracle;
-    #                     pair-set equality + candidate pruning are
-    #                     pytest-asserted
-    "q88_bitmap_distinct_rollup",  # q59 exact COUNT DISTINCT + q81's
-    #                     mergeable-sketch contract (bitmaps are the
-    #                     exact sibling); COUNT DISTINCT oracle +
-    #                     OR-merge boolean in pytest
-    "q89_count_min_frequency",  # q81's boolean sketch contract
-    #                     (frequency member); exact-count oracle +
-    #                     CMS guarantee booleans in pytest
-    "q90_width_bucket_histogram",  # q04 single-scan grouped agg +
-    #                     q25's percentile/binning family; ANSI
-    #                     width_bucket arithmetic oracle in pytest
     # --- round-12 SECOND rotation (newborns promote same-round; the
     # sweep runs at round end — see ROTATIONS.md) ---
     "multimodal_wav_decode",  # png (exported + benched) carries the

@@ -3369,6 +3369,246 @@ def q90_width_bucket_histogram(
     )
 
 
+QSK_SEGMENTS = 8  # per-group segment count — the "per-day/per-file"
+#                   unit whose sketches a warehouse retains and merges
+QSK_INV_EPS = 100  # keep every (n div 100 + 1)-th sorted value: the
+#                    per-segment rank error is ≤ n/100 + 1, INTEGER
+#                    math on both build and verify sides
+
+
+def _qsk_segment_sketch(pdf):
+    """Per-(group, segment) quantile summary: sort, keep every s-th
+    value (s = n div QSK_INV_EPS + 1) plus the max, each kept point
+    weighted by the span of sorted values it closes. Cumulative weight
+    at a point = the exact count of segment values ≤ it, so merged
+    summaries answer rank queries within Σ_seg s_seg — the classic
+    deterministic ε-spaced summary (mergeable by concatenation, no
+    randomness, hard bound)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = np.sort(pdf["val"].to_numpy())
+    n = len(vals)
+    s = n // QSK_INV_EPS + 1
+    idx = np.arange(s - 1, n, s)
+    if len(idx) == 0 or idx[-1] != n - 1:
+        idx = np.append(idx, n - 1)  # always close the segment at max
+    w = np.diff(np.concatenate(([0], idx + 1)))  # spans; sum(w) == n
+    return pd.DataFrame(
+        {
+            "g": pdf["g"].iloc[0],
+            "seg": pdf["seg"].iloc[0],
+            "val": vals[idx],
+            "w": w,
+        }
+    )
+
+
+def _qsk_rank_targets(n_col):
+    """k for p50/p99 under discrete-quantile semantics: the
+    (floor((n-1)·q) + 1)-th order statistic, pure integer math."""
+    return (
+        F.expr(f"({n_col}-1)*50 div 100 + 1"),
+        F.expr(f"({n_col}-1)*99 div 100 + 1"),
+    )
+
+
+def q91_quantile_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGEABLE QUANTILE sketch — the fourth member of the sketch
+    family (q81 HLL ≈ distinct, q88 bitmap = exact distinct, q89 CMS ≈
+    frequency, this ≈ quantiles): per-segment fixed-size summaries
+    whose union answers p50/p99 rollups WITHOUT re-scanning raw data —
+    what a 100 TB deployment keeps beside its per-day aggregates for
+    latency/price percentile dashboards. Spark's own percentile
+    partials are not user-mergeable artifacts; this builds the
+    retained-artifact form.
+
+    Sketch = the deterministic ε-spaced rank sample: per (group,
+    segment) sort and keep every (n div 100 + 1)-th value, weighted by
+    its span (one Arrow-batched ``applyInPandas`` kernel — the ONLY
+    Python stage, per-segment imperative sort/sample that DataFrame
+    ops can't express). Everything downstream is JVM Catalyst over the
+    ~points-sized table: merge = window cumsum over val order; the
+    quantile estimate = min val whose cumulative weight reaches the
+    rank target; the per-group AND all-groups rollups both query the
+    same concatenated points (mergeability is the point — the global
+    answer never touches raw rows again).
+
+    The estimate is sketch-specific, so the exported contract is the
+    q81 shape: per-group EXACT p50/p99 (discrete order statistics in
+    integer cents — ANSI-SQL-derivable by the oracle) plus booleans
+    that must hash TRUE: each estimate's exact rank interval
+    [count(<est)+1, count(≤est)] intersects [k − slack, k + slack]
+    where slack = Σ_seg (n_seg div 100 + 1) — the summary's hard
+    deterministic envelope in pure integer math (ties handled by the
+    interval form; no float tolerance anywhere). ``rollup_within_eps``
+    asserts the same for the merged-across-groups sketch against
+    global targets — the property the family exists for.
+
+    Scale: segments shard the build shuffle (at 100 TB, seg = the
+    ingest partition so sketches build near-map-side); each sketch is
+    ≤ ~100 points regardless of segment size; merge/query cost is
+    O(points), not O(rows). The exact-percentile window and the
+    verification rank-count scan exist only to CERTIFY the sketch in
+    this contract — production retains the points table alone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        cents("l_extendedprice").alias("val"),
+        (F.col("l_orderkey") % QSK_SEGMENTS).alias("seg"),
+    )
+    points = v.groupBy("g", "seg").applyInPandas(
+        _qsk_segment_sketch, "g string, seg bigint, val bigint, w bigint"
+    )
+    points = points.localCheckpoint()  # one build; merged + rollup reuse
+
+    # hard slack envelope, integer math identical to the kernel's s
+    slack_g = (
+        v.groupBy("g", "seg")
+        .agg(F.count(F.lit(1)).alias("n_seg"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("n_seg div 100 + 1")).alias("slack"))
+    )
+
+    def _query(pts, part_cols):
+        wcum = (
+            Window.partitionBy(*part_cols)
+            .orderBy("val", "g", "seg")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        totals = pts.groupBy(*part_cols).agg(F.sum("w").alias("n_rows"))
+        cw = pts.withColumn("cw", F.sum("w").over(wcum)).join(
+            F.broadcast(totals), list(part_cols)
+        )
+        k50, k99 = _qsk_rank_targets("n_rows")
+        return (
+            cw.withColumn("k50", k50)
+            .withColumn("k99", k99)
+            .groupBy(*part_cols)
+            .agg(
+                F.first("n_rows").alias("n_rows"),
+                F.first("k50").alias("k50"),
+                F.first("k99").alias("k99"),
+                F.min(
+                    F.when(F.col("cw") >= F.col("k50"), F.col("val"))
+                ).alias("p50_est"),
+                F.min(
+                    F.when(F.col("cw") >= F.col("k99"), F.col("val"))
+                ).alias("p99_est"),
+            )
+        )
+
+    est_g = _query(points, ("g",))
+    est_all = _query(points.withColumn("gg", F.lit("ALL")), ("gg",))
+
+    # exact discrete percentiles per group (certification path only)
+    wv = Window.partitionBy("g").orderBy("val")
+    k50, k99 = _qsk_rank_targets("n_rows")
+    exact_g = (
+        v.join(F.broadcast(est_g.select("g", "n_rows")), "g")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("k50", k50)
+        .withColumn("k99", k99)
+        .filter(
+            (F.col("rn") == F.col("k50")) | (F.col("rn") == F.col("k99"))
+        )
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("k50"), F.col("val"))
+            ).alias("p50_exact_cents"),
+            F.min(
+                F.when(F.col("rn") == F.col("k99"), F.col("val"))
+            ).alias("p99_exact_cents"),
+        )
+    )
+
+    # exact rank intervals of the estimates: one conditional-agg scan
+    one_all = F.broadcast(
+        est_all.select(
+            F.col("p50_est").alias("a50"),
+            F.col("p99_est").alias("a99"),
+        )
+    )
+    chk = (
+        v.join(F.broadcast(est_g), "g")
+        .crossJoin(one_all)
+        .groupBy("g")
+        .agg(
+            *[
+                F.sum(
+                    F.when(cond, F.lit(1)).otherwise(F.lit(0))
+                ).alias(alias)
+                for alias, cond in (
+                    ("le50", F.col("val") <= F.col("p50_est")),
+                    ("lt50", F.col("val") < F.col("p50_est")),
+                    ("le99", F.col("val") <= F.col("p99_est")),
+                    ("lt99", F.col("val") < F.col("p99_est")),
+                    ("ale50", F.col("val") <= F.col("a50")),
+                    ("alt50", F.col("val") < F.col("a50")),
+                    ("ale99", F.col("val") <= F.col("a99")),
+                    ("alt99", F.col("val") < F.col("a99")),
+                )
+            ]
+        )
+    )
+
+    def _within(le, lt, k, slack):
+        # exact rank interval [lt+1, le] intersects [k-slack, k+slack]
+        return (F.col(le) >= F.col(k) - slack) & (
+            F.col(lt) + 1 <= F.col(k) + slack
+        )
+
+    slack_all = F.broadcast(
+        slack_g.agg(F.sum("slack").alias("slack_total"))
+    )
+    glob = (
+        chk.groupBy()
+        .agg(
+            F.sum("ale50").alias("ale50"),
+            F.sum("alt50").alias("alt50"),
+            F.sum("ale99").alias("ale99"),
+            F.sum("alt99").alias("alt99"),
+        )
+        .crossJoin(slack_all)
+        .crossJoin(
+            F.broadcast(
+                est_all.select(
+                    F.col("k50").alias("gk50"), F.col("k99").alias("gk99")
+                )
+            )
+        )
+        .select(
+            (
+                _within("ale50", "alt50", "gk50", F.col("slack_total"))
+                & _within("ale99", "alt99", "gk99", F.col("slack_total"))
+            ).alias("rollup_within_eps")
+        )
+    )
+    return (
+        est_g.join(F.broadcast(exact_g), "g")
+        .join(F.broadcast(chk.select("g", "le50", "lt50", "le99", "lt99")), "g")
+        .join(F.broadcast(slack_g), "g")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "g",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "p50_exact_cents",
+            "p99_exact_cents",
+            _within("le50", "lt50", "k50", F.col("slack")).alias(
+                "p50_within_eps"
+            ),
+            _within("le99", "lt99", "k99", F.col("slack")).alias(
+                "p99_within_eps"
+            ),
+            "rollup_within_eps",
+        )
+        .orderBy("g")
+    )
+
+
 CMS_EPS = 0.001  # over-count bound: est <= exact + eps*N w.p. >= conf
 CMS_CONF = 0.99
 CMS_SEED = 42  # fixed seed => deterministic sketch per dataset
@@ -4451,6 +4691,7 @@ QUERIES = {
     "q88_bitmap_distinct_rollup": q88_bitmap_distinct_rollup,
     "q89_count_min_frequency": q89_count_min_frequency,
     "q90_width_bucket_histogram": q90_width_bucket_histogram,
+    "q91_quantile_sketch_rollup": q91_quantile_sketch_rollup,
     "q68_scd2_history": q68_scd2_history,
     "q36_tpch_q18_large_orders": q36_tpch_q18_large_orders,
     "q51_numeric_profile": q51_numeric_profile,
@@ -4690,6 +4931,34 @@ ORACLES = {
     FROM events
     GROUP BY event_type, bucket
     ORDER BY event_type, bucket
+    """,
+    # exact discrete percentiles from first principles: the
+    # (floor((n-1)q)+1)-th order statistic via ROW_NUMBER, all integer
+    # math; the sketch-accuracy and rollup booleans must be TRUE
+    "q91_quantile_sketch_rollup": f"""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             {cents_sql('l_extendedprice')} AS val
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g, val,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY val) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM v
+    )
+    SELECT g,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rn = ((n-1)*50) // 100 + 1 THEN val END)
+             AS p50_exact_cents,
+           MAX(CASE WHEN rn = ((n-1)*99) // 100 + 1 THEN val END)
+             AS p99_exact_cents,
+           TRUE AS p50_within_eps,
+           TRUE AS p99_within_eps,
+           TRUE AS rollup_within_eps
+    FROM r
+    GROUP BY g
+    ORDER BY g
     """,
     # the variable's scalar-subquery derivation becomes a CTE; the
     # parameter slot becomes its inlined value

@@ -201,3 +201,72 @@ def test_pycms_rejects_malformed_payloads():
         )
     with _pytest.raises(ValueError, match="bytes"):
         CountMinSketchReader.from_bytes(good[:-8])
+
+
+def test_qsk_segment_sketch_invariants_and_merged_error_bound():
+    """The q91 quantile summary's deterministic contract, checked off-
+    Spark on adversarial corpora (heavy ties, zipf-ish skew, tiny and
+    unbalanced segments): per segment, kept values are sorted, weights
+    sum to n, and each point's cumulative weight equals the exact count
+    of segment values ≤ it (the property the merge relies on); after
+    concatenating segments, the estimate chosen the way the operator
+    chooses it (min val whose cumweight reaches k) has an exact rank
+    interval within the HARD slack Σ_seg (n_seg div 100 + 1) of the
+    target — for every q in {1, 25, 50, 75, 99} and every corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from pim_orc_spark.operators.relational import _qsk_segment_sketch
+
+    rng = np.random.default_rng(20260816)
+    corpora = {
+        "ties": np.repeat([5, 5, 7, 7, 7, 9], 200),
+        "zipf": (1000.0 / (1 + rng.integers(0, 50, 3000))).astype(int),
+        "tiny_segments": rng.integers(0, 10**6, 23),
+        "one": np.array([42]),
+        "unbalanced": np.concatenate(
+            [rng.integers(0, 100, 2500), rng.integers(10**6, 10**7, 3)]
+        ),
+    }
+    for name, vals in corpora.items():
+        n_segs = 4 if len(vals) > 8 else 1
+        segs = np.arange(len(vals)) % n_segs
+        points, slack = [], 0
+        for s in range(n_segs):
+            seg_vals = vals[segs == s]
+            if not len(seg_vals):
+                continue
+            pdf = pd.DataFrame(
+                {"g": "x", "seg": s, "val": seg_vals}
+            )
+            out = _qsk_segment_sketch(pdf)
+            w = out["w"].to_numpy()
+            kept = out["val"].to_numpy()
+            assert w.sum() == len(seg_vals), name
+            assert (np.diff(kept) >= 0).all(), name
+            sv = np.sort(seg_vals)
+            spacing = len(seg_vals) // 100 + 1
+            assert (w <= spacing).all(), name
+            for cw, kv in zip(np.cumsum(w), kept):
+                # cumweight == exact # of segment values at sorted
+                # positions ≤ the point's own slot; ties above the
+                # point are the interval form's job, not the build's
+                assert sv[cw - 1] == kv, name
+            points.append(out)
+            slack += spacing
+        merged = pd.concat(points).sort_values(["val", "seg"])
+        cw = merged["w"].cumsum().to_numpy()
+        mv = merged["val"].to_numpy()
+        n = len(vals)
+        assert cw[-1] == n, name
+        for q in (1, 25, 50, 75, 99):
+            k = (n - 1) * q // 100 + 1
+            est = mv[int(np.searchsorted(cw, k))]
+            lt = int((vals < est).sum())
+            le = int((vals <= est).sum())
+            assert le >= k - slack and lt + 1 <= k + slack, (
+                name,
+                q,
+                (lt + 1, le),
+                (k - slack, k + slack),
+            )
