@@ -92,6 +92,13 @@ HEADLINE = [
     # Python worker per partition, Arrow-batched back into the JVM);
     # measuring it beside the JVM scans prices that overhead per round
     "source_python_datasource",
+    # ADDITIVE round-14 slot (r13 verdict #4: at most one new slot, and
+    # this is its pick): the prefix-filter containment join — the
+    # round-13-born linear-regime plan shape (rare-first global gram
+    # order, pigeonhole prefix candidate join, bitset AND+popcount
+    # verify: three linear shuffles instead of all-pairs); pricing it
+    # per round guards the regime boundary the docstrings argue
+    "dedup_containment_prefix",
 ]
 
 
@@ -363,11 +370,14 @@ def main() -> None:
                     file=sys.stderr,
                 )
         elif cal_vs_prev:
+            # too few overlapping slots for a median: flag on the RAW
+            # vs-prev ratio under its own key (cal_shift_median stays
+            # None, so consumers can tell absolute from normalized)
             for name, r in cal_vs_prev.items():
                 if r > 1.25 or r < 0.8:
                     cal_movers[name] = {
                         "vs_prev": r,
-                        "vs_median_shift": r,
+                        "vs_prev_absolute": r,
                     }
         if cal_movers:
             print(
@@ -375,7 +385,8 @@ def main() -> None:
                 f"(>1.25x vs the {cal_shift_median or 'absolute'} "
                 "median shift): "
                 + ", ".join(
-                    f"{k}={v['vs_median_shift']}x"
+                    f"{k}="
+                    f"{v.get('vs_median_shift', v['vs_prev_absolute'])}x"
                     for k, v in cal_movers.items()
                 ),
                 file=sys.stderr,

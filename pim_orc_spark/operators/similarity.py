@@ -1844,6 +1844,13 @@ ORACLES = {
     # id tiebreak k < k+SHIFT puts it immediately AFTER its source).
     # Modeled by rank arithmetic over orig — never by re-sorting the
     # ROUNDED sims, which could disagree with Spark's unrounded order.
+    # PRECONDITION (fixture-verified, like the INCR_ID_SHIFT guard):
+    # no two distinct embeddings are exactly equal, so a clone's only
+    # exact-sim tie is its own source — an exact tie with a THIRD
+    # vector whose id falls between k and k+SHIFT would interleave and
+    # break the "immediately after" rank arithmetic. Clone rows come
+    # from the same vec_id < N_QUERIES predicate the engine uses, so a
+    # query with zero original IVF neighbors still gets its own clone.
     "ann_ivf_add_batch": f"""
         WITH orig AS ({_ANN_IVF_SQL}),
         base AS (
@@ -1861,7 +1868,8 @@ ORACLES = {
                    AS neighbor_id,
                  CAST(1 AS BIGINT) AS rank,
                  CAST(1.0 AS DOUBLE) AS cos_sim
-          FROM (SELECT DISTINCT query_id FROM orig)
+          FROM (SELECT vec_id AS query_id FROM embeddings
+                WHERE vec_id < {N_QUERIES})
           UNION ALL
           SELECT query_id, neighbor_id,
                  CAST(1 + rank + (cum_q - isq) AS BIGINT) AS rank,

@@ -148,7 +148,8 @@ def test_containment_prefix_equals_allpairs_and_prunes(spark, sf_dir):
         )
         tot = n + 5 * scale
         n_cand = _containment_prefix_candidates(
-            _grams_of(spark, corpus)
+            # the helper's contract: callers pass a MATERIALIZED frame
+            _grams_of(spark, corpus).localCheckpoint()
         ).count()
         assert n_cand <= tot * (tot - 1) * cap, (
             f"scale {scale}: admitted {n_cand} of {tot * (tot - 1)}"
