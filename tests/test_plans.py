@@ -854,3 +854,33 @@ def test_rolling_window_single_shuffle_no_self_join(spark, sf_dir):
     # the scan reads only the four needed columns
     m = re.search(r"ReadSchema: struct<([^>]*)>", s)
     assert m and len(m.group(1).split(",")) == 4, s[:1500]
+
+
+def test_quantile_sketch_one_python_kernel_jvm_merge(spark, sf_dir):
+    """q91's scale claim pinned to the plan: the ONLY Python stage is
+    the per-(group, segment) segment-sketch kernel — one
+    FlatMapGroupsInPandas (materialized once via localCheckpoint and
+    reused by the per-group and global rollups) — while merge, the
+    window-cumsum quantile query, the exact-percentile certification
+    and the rank-count verification are all JVM nodes. A second Python
+    node would mean the merge/query path regressed off Catalyst."""
+    import re
+
+    from pim_orc_spark.operators.relational import (
+        q91_quantile_sketch_rollup,
+    )
+
+    plan = (
+        q91_quantile_sketch_rollup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the kernel ran under localCheckpoint, so the final plan reads the
+    # checkpointed RDD and may show zero FlatMapGroupsInPandas; what
+    # must NOT appear is any OTHER Python evaluation node
+    others = re.findall(
+        r"ArrowEvalPython|BatchEvalPython|MapInPandas|PythonUDF", plan
+    )
+    assert not others, (others, plan[:1500])
+    assert plan.count("FlatMapGroupsInPandas") <= 1, plan[:1500]

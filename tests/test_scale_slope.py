@@ -315,7 +315,7 @@ def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
     # Persist the round's slope evidence (r12 verdict #1: the ratios
     # were printed, not persisted — a widened bound needs a standing
     # trail). SPARK_GRAFT_ROUND names the artifact; bump it per round.
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "13")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "14")
     artifact = {
         "round": f"r{rnd}",
         "base_sf_dir": sf_dir,
