@@ -162,25 +162,27 @@ PYTEST_ONLY = {
     "q63_tpch_q21_sql_front_door",  # q77 front door + q61 business answer
     "q64_incremental_mv_maintenance",  # q44 MERGE + q67 snapshot diff
     "text_pii_redact",  # text_url_filter + zero-exchange plan assert
-    "q55_tpch_q8_market_share",  # q31/q32 join trees + q48 CASE ratio
+    "q55_tpch_q8_market_share",  # q31 join trees; q32/q48 oracles in pytest
     # --- round-11 rotation ---
-    "q54_tpch_q7_nation_volume",  # q55-family join tree via q32
-    "q56_tpch_q9_product_profit",  # q32's 6-table tree
+    "q54_tpch_q7_nation_volume",  # q55-family join tree via q31
+    "q56_tpch_q9_product_profit",  # q31 join-tree family (q32 in pytest)
     "q57_tpch_q2_min_cost_supplier",  # q58's decorrelated scalar subquery
-    "q60_tpch_q20_excess_suppliers",  # q61 semi/anti stack + q59 NOT-IN
+    "q60_tpch_q20_excess_suppliers",  # q61 semi/anti + NOT-IN stack
     "q62_tpch_q22_dormant_customers",  # q61 NOT-EXISTS family
-    "q41_tpch_q12_late_lines_by_status",  # q48 CASE sums; SMJ via lsh pins
-    "q27_rollup_cascade",  # q74 GROUPING SETS superset
+    "q41_tpch_q12_late_lines_by_status",  # q85 CASE sums; SMJ via lsh pins
+    "q27_rollup_cascade",  # q82/q83 Expand/reshape family; q74 in pytest
     "q68_scd2_history",  # q70/q71 window shuffle; q67/q44 versioning
-    "q65_nation_pagerank",  # q69 BFS + q73 triangles; stays benched
+    "q65_nation_pagerank",  # q73 triangles; q69 BFS in pytest; stays benched
     "q53_key_skew_report",  # q04 grouped agg; salt invariance pytest
-    "stream_incremental_admit",  # stream_dedup_within_watermark superset
+    "stream_incremental_admit",  # dedup_clusters left-anti +
+    #                     stream_session_windows state machinery
     "dedup_exact",  # dedup_clusters' fingerprint machinery
     "dedup_span_report",  # pipeline_split_leakage's span-fp windows
     "ann_cosine_topk_vectorized",  # ann_recall ground-truth CTE; benched
     "ann_kmeans_clusters",  # medoids/purity trio on the same _km_state
     "multimodal_ppm_decode",  # wav/png codec family; P6 tests in pytest
-    "pipeline_pack",  # pipeline_split consumes the funnel; text_pack packs
+    "pipeline_pack",  # pipeline_split_leakage consumes the funnel;
+    #                     text_pack packs
     "maintenance_zorder_sum",  # orc_roundtrip + footer-envelope pytest
     # --- round-9 rotation ---
     "q40_tpch_q4_order_priority",  # q61 EXISTS semi joins
@@ -191,7 +193,7 @@ PYTEST_ONLY = {
     # --- round-8 rotation ---
     "q36_tpch_q18_large_orders",  # q58 HAVING + q31 top-k
     "q37_tpch_q10_returned_items",  # q31 fact-join-group-topk
-    "q42_tpch_q14_promo_revenue",  # q48 CASE-ratio family
+    "q42_tpch_q14_promo_revenue",  # q85 CASE family + q04 exact sums
     "q46_tpch_q6_forecast_revenue",  # q01/q04 + PushedFilters assert
     "q50_tpch_q15_top_supplier",  # q57/q58 scalar-subquery family
     "maintenance_compact_sum",  # zorder rewrite contract superset
@@ -200,19 +202,19 @@ PYTEST_ONLY = {
     "q43_event_funnel",  # q61 sequences + text_pack windows
     "q39_skew_salted_join",  # salt-invariance hypothesis test
     "q22_asof_join",  # kernel hypothesis-tested; q23_range_join exported
-    "q24_approx_distinct",  # tolerance pytest; q59 exact COUNT DISTINCT
+    "q24_approx_distinct",  # tolerance pytest; q88 exact mergeable distinct
     "q35_map_functions",  # scalar-decomposition meta-test
     "q28_bag_set_ops",  # join-free plan assert; dedup_clusters set ops
     "q29_array_functions",  # ann_* oracles + text_pack posexplode
     "q51_numeric_profile",  # q04 exact decimal aggregates
-    "q52_referential_audit",  # dedup_clusters left_anti + q59/q62
+    "q52_referential_audit",  # dedup_clusters left_anti + q61 anti stack
     "maintenance_clustered_sum",  # parquet-footer envelope pytest
     "stream_foreach_batch_sink",  # crash-recovery pytest is stronger
-    "stream_click_attribution",  # stream_click_abandonment LEFT OUTER superset
+    "stream_click_attribution",  # stream_full_outer_reconcile join superset
     "text_langid",  # text_quality Catalyst signal family
     "text_zscore",  # text_median_len grouped-agg pandas UDF
     "text_source_mix",  # pipeline_pack budget sampling
-    "text_lm_score",  # text_tfidf_topk corpus-model family
+    "text_lm_score",  # text_quality signals; tfidf oracle in pytest
     "q05_metadata_count",  # PushedAggregation plan assert; bench probe
     "dedup_overlap_matrix",  # same pair set as dedup_minhash_lsh
     "multimodal_integrity_audit",  # multimodal decode plumbing
@@ -222,12 +224,12 @@ PYTEST_ONLY = {
     "q33_outer_joins",  # q44 full-outer MERGE superset
     "q34_sql_scalar_subquery",  # q49/q77 front door; LeftSemi via dedup
     "q03_pushdown_range_filter",  # PushedFilters plan assert
-    "q08_fact_join_agg",  # q31/q32; stays benched
+    "q08_fact_join_agg",  # q31; stays benched
     "q10_topk",  # q31 TakeOrderedAndProject; stays benched
     "q18_sessionization",  # stream_session_windows; stays benched
-    "q26_pivot",  # q27/q74 grouping-sets codepath
+    "q26_pivot",  # q82/q83 Expand/reshape family
     "q30_lag_lead_ntile",  # q43/text_pack Sort+Window family
-    "stream_sliding_counts",  # stream_windowed_counts state machinery
+    "stream_sliding_counts",  # stream_session_windows state machinery
     "text_idf",  # CTE inside text_tfidf_topk's oracle
     "text_repetition",  # text_quality signals + shingle oracles
     "dedup_incremental",  # stream_incremental_admit + dedup_clusters
@@ -238,12 +240,13 @@ PYTEST_ONLY = {
     # --- round-5 rotation ---
     "q02_null_skip_sum",  # q01's null-skip semantics
     "q06_projection_pruning",  # ReadSchema plan assert
-    "q07_broadcast_star_join",  # q31/q32 BHJ shapes
+    "q07_broadcast_star_join",  # q31 BHJ shapes
     "q13_window_running_sum",  # q30/text_pack running frames
-    "q14_rollup",  # q26/q27/q74 grouping sets
+    "q14_rollup",  # q82/q83 Expand/reshape family
     "q21_correlated_exists",  # q34 decorrelated LeftSemi
     "q25_percentiles",  # text_median_len exact percentiles
-    "stream_dedup_keys",  # stream_dedup_within_watermark superset
+    "stream_dedup_keys",  # stream_session_windows state machinery
+    #                     (dedup_within_watermark superset in pytest)
     "stream_enriched_totals",  # stream_incremental_admit join shape
     "text_fingerprint",  # minhash oracles' rolling poly-hash
     "text_ngram_topk",  # text_tfidf_topk skeleton
@@ -256,7 +259,7 @@ PYTEST_ONLY = {
     "orc_metadata_rowcount",  # q05 + PushedAggregation plan assert
     # --- round-4 rotation and earlier ---
     "q11_set_ops",  # dedup_clusters union/distinct/exceptAll
-    "q15_distinct_agg",  # q24/q59 distinct-agg family
+    "q15_distinct_agg",  # q88 exact mergeable distinct family
     "q16_scalar_functions",  # scalar surface in every oracle
     "q17_date_buckets",  # q27 date_trunc cascade
     "text_tokens",  # text_pack + text_quality tokenizer
@@ -265,7 +268,7 @@ PYTEST_ONLY = {
     "orc_pushdown_filter",  # q03 SARGs + plan asserts
     "q09_semi_anti_join",  # q34 LeftSemi + dedup_clusters left_anti
     "partition_pruned_sum",  # PartitionFilters plan assert
-    "stream_grouped_totals",  # stream_windowed_counts complete-mode agg
+    "stream_grouped_totals",  # stream_session_windows state machinery
     "q20_cube",  # q26/q27 grouping sets
     "q12_window_latest_order",  # ann_* ranking windows
     "ann_cosine_topk",  # oracle identical to vectorized variant
