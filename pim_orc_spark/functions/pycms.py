@@ -23,7 +23,7 @@ Probing an item must reproduce the writer's bucket derivation exactly:
   hash &= (1<<31)-1; bucket_i = (int)hash % width`` in 64-bit wrap
   arithmetic.
 
-This removes the operator surface's only py4j/`_jvm` dependency
+This removes the operator surface's only py4j JVM-handle dependency
 (q89 previously round-tripped the bytes through
 ``CountMinSketch.readFrom`` driver-side — a private-API touch that
 Spark Connect cannot serve). tests/test_relational.py cross-validates

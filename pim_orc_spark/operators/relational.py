@@ -3627,7 +3627,7 @@ def q89_count_min_frequency(
     1-row binary result is parsed driver-side by the pure-Python
     reader of Spark's public V1 serialization
     (``functions/pycms.py``, estimate-for-estimate cross-validated
-    against the JVM class in pytest — no py4j/`_jvm` dependency, so
+    against the JVM class in pytest — no py4j JVM-handle dependency, so
     the probe also works under Spark Connect) and probed for each
     group key (bounded: |alphabet| probes).
 

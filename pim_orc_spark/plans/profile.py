@@ -20,15 +20,19 @@ def explain_profile(df: DataFrame, execute: bool = True) -> str:
     (default) the query runs first (noop sink — full execution, nothing
     collected) so the explain shows the final AQE-re-planned form with
     runtime statistics attached.
-    """
+
+    Uses the public ``DataFrame.explain`` API (stdout-captured — it
+    prints the same explainString the JVM builds for this DataFrame's
+    queryExecution), so no py4j JVM-handle class lookup is needed."""
+    import contextlib
+    import io
+
     if execute:
         df.write.format("noop").mode("overwrite").save()
-    jdf = df._jdf
-    jvm = df.sparkSession._jvm
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    return jdf.queryExecution().explainString(mode)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 # Stage bins mirroring the reference's stackcollapse breakdown

@@ -14,7 +14,8 @@ Snappy-compressed in 32 KB blocks, row-indexed every 10,000 rows":
 
 ``orc_metadata`` mirrors the reference's planning loop (reader.cc:104-107:
 ``getNumberOfStripes()`` / ``getStripe(s)->getNumberOfRows()``): it reads
-ONLY file footers — no row data — through the ORC library Spark bundles.
+ONLY file footers — no row data — via the pure-Python ORC footer parser
+in ``orc_footer.py`` (JVM-cross-validated in pytest).
 
 At 100 TB: ORC directories are written per-partition by executors (the
 ``df.write`` path below is already distributed); footers are a few KB per
@@ -76,44 +77,27 @@ def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
     per file: stripe count, rows per stripe, total rows, compression
     kind, compression block size, row-index stride.
 
-    Reads footers through the ORC library bundled with Spark; row data
-    is never touched, so this is O(files), not O(rows).
-    """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(conf)
-    files = []
-    if fs.getFileStatus(hpath).isDirectory():
-        it = fs.listStatus(hpath)
-        files = [
-            s.getPath()
-            for s in it
-            if s.getPath().getName().endswith(".orc")
-        ]
+    Footers are parsed by the repo's pure-Python reader of the public
+    ORC format (``sources/orc_footer.py`` — postscript + protobuf wire
+    decode; Snappy-framed footer streams inflate through
+    ``functions/pysnappy.py``, so the D1/D2 codec decompresses REAL
+    ORC streams here, not only synthetic payloads). No py4j JVM-handle
+    dependency — the JVM reader cross-validates it in pytest. Row data
+    is never touched, so this is O(files), not O(rows). The ``spark``
+    parameter is kept for API stability; paths are local-filesystem
+    (this engine's ORC materializations are local caches — a remote-FS
+    deployment would list through its own client the same way)."""
+    from pim_orc_spark.sources.orc_footer import read_orc_footer_facts
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".orc")
+        )
     else:
-        files = [hpath]
-    out: list[dict] = []
-    for f in files:
-        reader = jvm.org.apache.orc.OrcFile.createReader(
-            f, jvm.org.apache.orc.OrcFile.readerOptions(conf)
-        )
-        stripes = reader.getStripes()
-        out.append(
-            {
-                "file": f.getName(),
-                "num_stripes": stripes.size(),
-                "stripe_rows": [
-                    stripes.get(i).getNumberOfRows()
-                    for i in range(stripes.size())
-                ],
-                "num_rows": reader.getNumberOfRows(),
-                "compression": reader.getCompressionKind().toString(),
-                "compression_block_size": reader.getCompressionSize(),
-                "row_index_stride": reader.getRowIndexStride(),
-            }
-        )
-    return out
+        files = [path]
+    return [read_orc_footer_facts(f) for f in files]
 
 
 def text_format_table(

@@ -844,3 +844,65 @@ def test_python_stream_sink_commits_batches_idempotently(
     assert [
         f for f in _os.listdir(b0) if f.startswith("part-")
     ] == ["part-replayed.jsonl"]
+
+
+def test_orc_footer_reader_cross_validates_against_jvm(spark, sf_dir, tmp_path):
+    """The pure-Python ORC footer parser (sources/orc_footer.py) is
+    validated against the independent implementation whose output it
+    replaced: for the SAME files — the snappy-framed engine cache, the
+    reference's own checked-in fixture, and fresh NONE- and
+    ZLIB-compressed writes — every planning fact (stripe count,
+    per-stripe rows, total rows, codec, block size, stride) must equal
+    what the JVM ORC reader returns (the pycms/pysnappy discipline).
+    The snappy cases also prove functions/pysnappy.py decodes REAL ORC
+    footer streams, not only synthetic payloads."""
+    import glob
+
+    from pim_orc_spark.sources.orc_footer import read_orc_footer_facts
+
+    orc_io.orc_table(spark, sf_dir, "lineitem")  # ensure materialized
+    files = sorted(
+        glob.glob(
+            os.path.join(
+                versioned_cache_dir(
+                    orc_io._ORC_CACHE_ROOT, sf_dir, "lineitem"
+                ),
+                "*.orc",
+            )
+        )
+    )[:2]
+    if os.path.exists(REF_FIXTURE):
+        files.append(REF_FIXTURE)
+    for codec in ("none", "zlib"):
+        out = str(tmp_path / f"orc_{codec}")
+        (
+            spark.range(0, 25000)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .orc(out)
+        )
+        files.extend(glob.glob(os.path.join(out, "*.orc")))
+    assert len(files) >= 4
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for f in files:
+        got = read_orc_footer_facts(f)
+        reader = jvm.org.apache.orc.OrcFile.createReader(
+            jvm.org.apache.hadoop.fs.Path(f),
+            jvm.org.apache.orc.OrcFile.readerOptions(conf),
+        )
+        stripes = reader.getStripes()
+        assert got["num_stripes"] == stripes.size(), f
+        assert got["stripe_rows"] == [
+            stripes.get(i).getNumberOfRows()
+            for i in range(stripes.size())
+        ], f
+        assert got["num_rows"] == reader.getNumberOfRows(), f
+        assert got["compression"] == reader.getCompressionKind().toString(), f
+        assert (
+            got["compression_block_size"] == reader.getCompressionSize()
+            or got["compression"] == "NONE"  # block size is moot uncompressed
+        ), f
+        assert got["row_index_stride"] == reader.getRowIndexStride(), f
