@@ -97,7 +97,14 @@ HEADLINE = [
     # round-13-born linear-regime plan shape (rare-first global gram
     # order, pigeonhole prefix candidate join, bitset AND+popcount
     # verify: three linear shuffles instead of all-pairs); pricing it
-    # per round guards the regime boundary the docstrings argue
+    # per round guards the regime boundary the docstrings argue.
+    # Measured boundary at sf0.1 (r14): the fixture's saturated
+    # char-3-gram universe admits 12.96M of ~25M ordered pairs (52%)
+    # into the candidate distinct — the DENSE regime where this slot
+    # is expected to cost ~3× the LSH slot; the sparse-corpus pytest
+    # counts 0.12%→0.012% admission on the same engine. A collapse of
+    # this slot's time would mean the filter got tighter; an explosion
+    # would mean the rare-first order or the pigeonhole bound broke.
     "dedup_containment_prefix",
 ]
 
