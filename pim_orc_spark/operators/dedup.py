@@ -962,28 +962,34 @@ def _containment_prefix_candidates(g: DataFrame) -> DataFrame:
             f"rnk <= sz - ((({num}L * sz) + {den} - 1) div {den}) + 1"
         )
     )
+    # posting side carries szb (broadcast dim join, map-side) so the
+    # asymmetric size gate prunes BEFORE the candidate distinct — on
+    # the dense fixture that halves the distinct's shuffle input; the
+    # candidate SET is identical either way (the gate is a per-pair
+    # predicate), so the pair-set-equality and pruning-count pytests
+    # hold unchanged
+    posting = per_gram.select(
+        F.col("doc_id").alias("doc_b"), "gram"
+    ).join(
+        F.broadcast(
+            sz.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sz").alias("szb"),
+            )
+        ),
+        "doc_b",
+    )
     return (
         prefix.select(
             F.col("doc_id").alias("doc_inner"),
             "gram",
             F.col("sz").alias("sza"),
         )
-        .join(
-            per_gram.select(F.col("doc_id").alias("doc_b"), "gram"),
-            "gram",
-        )
+        .join(posting, "gram")
         .where("doc_inner <> doc_b")
-        .select("doc_inner", "doc_b", "sza")
-        .distinct()
-        .join(
-            sz.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("sz").alias("szb"),
-            ),
-            "doc_b",
-        )
         .where(f"szb * {den} >= sza * {num}")
         .select("doc_inner", "doc_b", "sza")
+        .distinct()
     )
 
 
