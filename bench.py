@@ -392,8 +392,13 @@ def main() -> None:
                 f"(>1.25x vs the {cal_shift_median or 'absolute'} "
                 "median shift): "
                 + ", ".join(
+                    # dict.get's default evaluates EAGERLY — guard with
+                    # membership, not a default expression (a KeyError
+                    # here once crashed the bench after measurement but
+                    # before the detail file was written)
                     f"{k}="
-                    f"{v.get('vs_median_shift', v['vs_prev_absolute'])}x"
+                    f"""{v['vs_median_shift'] if 'vs_median_shift' in v
+                         else v['vs_prev_absolute']}x"""
                     for k, v in cal_movers.items()
                 ),
                 file=sys.stderr,
