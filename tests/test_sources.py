@@ -906,3 +906,50 @@ def test_orc_footer_reader_cross_validates_against_jvm(spark, sf_dir, tmp_path):
             or got["compression"] == "NONE"  # block size is moot uncompressed
         ), f
         assert got["row_index_stride"] == reader.getRowIndexStride(), f
+
+
+def test_orc_footer_reader_rejects_malformed_tails():
+    """The footer parser fails loudly on non-ORC bytes — wrong
+    postscript magic and unimplemented codecs raise with the cause
+    named, never a silently-wrong stripe inventory."""
+    import struct
+
+    from pim_orc_spark.sources.orc_footer import (
+        COMPRESSION_KINDS,
+        _decode_stream,
+        read_orc_footer_facts,
+    )
+
+    # a postscript with wrong magic: field 8000 (wire type 2) = "XXX"
+    def ps(magic: bytes, extra: bytes = b"") -> bytes:
+        key = (8000 << 3) | 2
+        out = extra
+        # field 1 footerLength = 0 varint
+        out += bytes([(1 << 3) | 0, 0])
+        kb = []
+        k = key
+        while True:
+            b = k & 0x7F
+            k >>= 7
+            kb.append(b | (0x80 if k else 0))
+            if not k:
+                break
+        out += bytes(kb) + bytes([len(magic)]) + magic
+        return out
+
+    import tempfile
+
+    bad = ps(b"XXX")
+    with tempfile.NamedTemporaryFile(suffix=".orc", delete=False) as fh:
+        fh.write(b"\x00" * 16 + bad + bytes([len(bad)]))
+        path = fh.name
+    with pytest.raises(ValueError, match="magic"):
+        read_orc_footer_facts(path)
+
+    # unimplemented codec in the stream framing
+    assert COMPRESSION_KINDS[5] == "ZSTD"
+    with pytest.raises(NotImplementedError, match="ZSTD"):
+        _decode_stream(b"\x02\x00\x00X", "ZSTD")
+    # stored-original chunk passes through untouched
+    assert _decode_stream(b"\x09\x00\x00ABCD", "SNAPPY") == b"ABCD"
+    assert struct is not None
