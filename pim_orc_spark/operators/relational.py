@@ -3469,7 +3469,9 @@ def q91_quantile_sketch_rollup(
         v.groupBy("g", "seg")
         .agg(F.count(F.lit(1)).alias("n_seg"))
         .groupBy("g")
-        .agg(F.sum(F.expr("n_seg div 100 + 1")).alias("slack"))
+        .agg(
+            F.sum(F.expr(f"n_seg div {QSK_INV_EPS} + 1")).alias("slack")
+        )
     )
 
     def _query(pts, part_cols):

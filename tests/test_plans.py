@@ -884,3 +884,22 @@ def test_quantile_sketch_one_python_kernel_jvm_merge(spark, sf_dir):
     )
     assert not others, (others, plan[:1500])
     assert plan.count("FlatMapGroupsInPandas") <= 1, plan[:1500]
+
+
+def test_containment_prefix_plan_has_no_cartesian(spark, sf_dir):
+    """The exported containment entry's linear-regime claim pinned to
+    the plan: the prefix engine must contain NO cartesian/broadcast
+    nested-loop node — candidates come from an equi-join on gram. The
+    all-pairs twin (containment_pairs) is BUILT on a crossJoin; a
+    regression that routed the export back through it would surface
+    here before it surfaced as a 100× bench number."""
+    from pim_orc_spark.operators.dedup import dedup_containment_prefix
+
+    plan = (
+        dedup_containment_prefix(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
