@@ -110,6 +110,12 @@ class CountMinSketchReader:
         version, total, depth, width = struct.unpack_from(">iqii", data, 0)
         if version != 1:
             raise ValueError(f"unsupported CountMinSketch version {version}")
+        if depth < 1 or width < 1:
+            # a degenerate header would make the probes fail obscurely
+            # (empty min()) or silently (None) instead of loudly here
+            raise ValueError(
+                f"degenerate CountMinSketch: depth={depth} width={width}"
+            )
         expected = 20 + 8 * depth + 8 * depth * width
         if len(data) != expected:
             raise ValueError(

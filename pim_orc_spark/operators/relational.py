@@ -3659,13 +3659,11 @@ def q89_count_min_frequency(
     }
     total = sum(exact.values())
     slack = int(CMS_EPS * total) + 1
+    est = {
+        et: cms.estimate_binary(et.encode("utf-8")) for et in exact
+    }
     out = [
-        (
-            et,
-            n,
-            bool(cms.estimate_binary(et.encode("utf-8")) >= n),
-            bool(cms.estimate_binary(et.encode("utf-8")) <= n + slack),
-        )
+        (et, n, bool(est[et] >= n), bool(est[et] <= n + slack))
         for et, n in sorted(exact.items())
     ]
     return spark.createDataFrame(

@@ -70,6 +70,12 @@ def _fields(buf: bytes):
             i += 8
         elif wire == 2:  # length-delimited
             ln, i = _read_varint(buf, i)
+            if i + ln > n:  # torn/corrupt length: fail loudly, never
+                #             return a silently short stripe inventory
+                raise ValueError(
+                    f"protobuf field {field} declares {ln} bytes with "
+                    f"only {n - i} remaining"
+                )
             val = buf[i : i + ln]
             i += ln
         elif wire == 5:  # fixed32

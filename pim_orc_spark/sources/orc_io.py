@@ -89,6 +89,16 @@ def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
     deployment would list through its own client the same way)."""
     from pim_orc_spark.sources.orc_footer import read_orc_footer_facts
 
+    # the py4j predecessor accepted Hadoop-FS URIs; keep file: working
+    # and reject remote schemes loudly instead of a confusing ENOENT
+    if path.startswith("file:"):
+        path = path[len("file:") :]
+    elif "://" in path:
+        raise ValueError(
+            f"orc_metadata reads local paths only (got {path!r}); a "
+            "remote-FS deployment lists and fetches footers through "
+            "its own client"
+        )
     if os.path.isdir(path):
         files = sorted(
             os.path.join(path, f)

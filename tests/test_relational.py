@@ -270,3 +270,16 @@ def test_qsk_segment_sketch_invariants_and_merged_error_bound():
                 (lt + 1, le),
                 (k - slack, k + slack),
             )
+
+
+def test_pycms_rejects_degenerate_geometry():
+    """depth/width < 1 must fail at parse time, not as an obscure
+    empty-min() or a silent None during a probe."""
+    import struct
+
+    import pytest as _pytest
+
+    from pim_orc_spark.functions.pycms import CountMinSketchReader
+
+    with _pytest.raises(ValueError, match="degenerate"):
+        CountMinSketchReader.from_bytes(struct.pack(">iqii", 1, 0, 0, 5))

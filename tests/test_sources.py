@@ -953,3 +953,17 @@ def test_orc_footer_reader_rejects_malformed_tails():
     # stored-original chunk passes through untouched
     assert _decode_stream(b"\x09\x00\x00ABCD", "SNAPPY") == b"ABCD"
     assert struct is not None
+
+
+def test_orc_metadata_path_scheme_guards():
+    """file: URIs keep working (the py4j predecessor accepted Hadoop
+    paths); remote schemes fail loudly instead of a confusing ENOENT;
+    a truncated length-delimited protobuf field raises rather than
+    returning a silently short stripe inventory."""
+    from pim_orc_spark.sources.orc_footer import _fields
+    from pim_orc_spark.sources.orc_io import orc_metadata
+
+    with pytest.raises(ValueError, match="local paths only"):
+        orc_metadata(None, "hdfs://nn/table")
+    with pytest.raises(ValueError, match="declares"):
+        list(_fields(bytes([(1 << 3) | 2, 200]) + b"xy"))
