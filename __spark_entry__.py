@@ -71,6 +71,20 @@ def _modules():
 # records the comparison, not whether it runs). Format: name, # twin.
 # Rotation history and full rationale: ROTATIONS.md.
 PYTEST_ONLY = {
+    # --- round-15 rotation: two newborns promote same-round (driver-
+    # sim-verified at sf0.01 before the sweep) — dedup_containment_
+    # prefix_words (the containment family's wide-dictionary regime,
+    # VERDICT r14 next-step #7) and orc_stats_skipping (engine-side ORC
+    # column-statistics SARG introspection, VERDICT r14 missing #4).
+    # Two r14-green slots fund them — see ROTATIONS.md ---
+    "xml_roundtrip_sum",  # roundtrip shape attested by
+    #                     orc_roundtrip_sum (exported + benched) — the
+    #                     same twin csv/json roundtrips carry; the XML
+    #                     framing oracle re-runs in pytest
+    "dedup_exact_collated",  # exact-fingerprint grouping attested by
+    #                     dedup_clusters; the UTF8_LCASE collation
+    #                     comparator's GROUP BY lower() oracle re-runs
+    #                     in pytest (its r13 twin argument, reversed)
     # --- round-14 rotation: ALL 20 never-driver-attested round-13
     # newborns promote in one pass (VERDICT r13 #1), plus newborn
     # q91_quantile_sketch_rollup (the sketch family's quantile member,

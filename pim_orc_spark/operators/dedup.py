@@ -1159,6 +1159,24 @@ def containment_pairs_prefix_words(
     )
 
 
+def dedup_containment_prefix_words(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-facing entry for ``containment_pairs_prefix_words`` on
+    the documents table — the prefix containment engine's df-LIGHT
+    WIDE-DICTIONARY regime (word shingles + exact ``array_intersect``
+    verify), exported beside the char-gram ``dedup_containment_prefix``
+    so BOTH regimes of the containment family hold driver attestations
+    (the MinHash family's narrow/wide precedent). On the fixture corpus
+    the ~30-word vocabulary makes word dfs HEAVY (the engine's honest
+    dense case, like the char-gram fixture boundary); the flat-rate
+    wide-dictionary evidence lives in the sparse-corpus pytest and the
+    slope harness. Exact-SQL oracle over the same distinct-word sets."""
+    return containment_pairs_prefix_words(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+
+
 def dedup_exact_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive exact dedup via Spark 4 string COLLATION
     (``UTF8_LCASE``): the groupBy compares strings under the collation
@@ -1614,6 +1632,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_containment": dedup_containment,
     "dedup_containment_prefix": dedup_containment_prefix,
+    "dedup_containment_prefix_words": dedup_containment_prefix_words,
     "dedup_exact_collated": dedup_exact_collated,
 }
 
@@ -1773,6 +1792,22 @@ WHERE len(a.grams) >= {CONTAIN_MIN_GRAMS}
 # the prefix-filter engine must produce the IDENTICAL pair set — the
 # filter is lossless by the pigeonhole bound, so the oracle is shared
 ORACLES["dedup_containment_prefix"] = ORACLES["dedup_containment"]
+
+# word-shingle regime: same directional-containment contract over
+# DISTINCT word sets (the Spark side's array_distinct(tokens))
+ORACLES["dedup_containment_prefix_words"] = f"""
+WITH g AS (
+  SELECT doc_id, list_distinct({tokens_sql("text")}) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(a.grams), 6) AS containment
+FROM g a JOIN g b ON a.doc_id <> b.doc_id
+WHERE len(a.grams) >= {CONTAIN_MIN_GRAMS}
+  AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(a.grams), 6) >= {CONTAIN_T}
+"""
 
 ORACLES["dedup_exact_collated"] = """
 WITH v AS (

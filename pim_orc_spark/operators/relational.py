@@ -3450,9 +3450,9 @@ def q91_quantile_sketch_rollup(
     Scale: segments shard the build shuffle (at 100 TB, seg = the
     ingest partition so sketches build near-map-side); each sketch is
     ≤ ~100 points regardless of segment size; merge/query cost is
-    O(points), not O(rows). The exact-percentile window and the
-    verification rank-count scan exist only to CERTIFY the sketch in
-    this contract — production retains the points table alone."""
+    O(points), not O(rows). The exact-percentile histogram cumsum and
+    the verification rank-count scan exist only to CERTIFY the sketch
+    in this contract — production retains the points table alone."""
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
         F.col("l_returnflag").alias("g"),
@@ -3505,24 +3505,34 @@ def q91_quantile_sketch_rollup(
     est_g = _query(points, ("g",))
     est_all = _query(points.withColumn("gg", F.lit("ALL")), ("gg",))
 
-    # exact discrete percentiles per group (certification path only)
-    wv = Window.partitionBy("g").orderBy("val")
+    # exact discrete percentiles per group (certification path only) —
+    # the q53 VALUE-HISTOGRAM rank technique, not a per-group global
+    # sort: the k-th order statistic is the least val whose cumulative
+    # count reaches k, recoverable from groupBy(g, val) counts with a
+    # running sum over the HISTOGRAM (distinct values per group, far
+    # below row count on this integer-cents domain; the Window's input
+    # is post-aggregate, so no full-group row sort ever executes —
+    # r14 verdict #5; plan-asserted row_number-free in test_plans)
     k50, k99 = _qsk_rank_targets("n_rows")
+    w_hist = (
+        Window.partitionBy("g")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     exact_g = (
-        v.join(F.broadcast(est_g.select("g", "n_rows")), "g")
-        .withColumn("rn", F.row_number().over(wv))
+        v.groupBy("g", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(w_hist))
+        .join(F.broadcast(est_g.select("g", "n_rows")), "g")
         .withColumn("k50", k50)
         .withColumn("k99", k99)
-        .filter(
-            (F.col("rn") == F.col("k50")) | (F.col("rn") == F.col("k99"))
-        )
         .groupBy("g")
         .agg(
             F.min(
-                F.when(F.col("rn") == F.col("k50"), F.col("val"))
+                F.when(F.col("cum") >= F.col("k50"), F.col("val"))
             ).alias("p50_exact_cents"),
             F.min(
-                F.when(F.col("rn") == F.col("k99"), F.col("val"))
+                F.when(F.col("cum") >= F.col("k99"), F.col("val"))
             ).alias("p99_exact_cents"),
         )
     )

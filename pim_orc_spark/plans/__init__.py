@@ -12,6 +12,27 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def require_query_execution(df: DataFrame):
+    """The executed-plan metrics helpers below are the package's ONE
+    documented py4j exception: Spark exposes no public API for
+    post-execution per-operator metrics, so they walk
+    ``df._jdf.queryExecution()`` (an object handle on this DataFrame,
+    never a JVM class lookup). Spark Connect DataFrames carry no such
+    handle — fail with the capability named instead of an
+    AttributeError, so the operator surface (which IS Connect-clean;
+    lint meta-test in tests/test_entry_contract.py) degrades loudly
+    only here."""
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:
+        raise RuntimeError(
+            "executed-plan metrics need a classic (JVM-local) "
+            "SparkSession: Spark Connect DataFrames expose no "
+            "queryExecution handle. Use DataFrame.explain()/observe() "
+            "under Connect."
+        )
+    return jdf
+
+
 def explode_nonempty(col: Column | str) -> Column:
     """``explode`` for arrays the caller guarantees are non-empty.
 
@@ -109,5 +130,5 @@ def executed_scan_metrics(df: DataFrame) -> list[dict]:
         for i in range(ch.size()):
             walk(ch.apply(i))
 
-    walk(df._jdf.queryExecution().executedPlan())
+    walk(require_query_execution(df).queryExecution().executedPlan())
     return out

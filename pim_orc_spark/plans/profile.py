@@ -96,8 +96,10 @@ def stage_profile(df: DataFrame) -> dict:
     equals the sum over bins by construction."""
     import time
 
+    from pim_orc_spark.plans import require_query_execution
+
     t0 = time.perf_counter()
-    jqe = df._jdf.queryExecution()
+    jqe = require_query_execution(df).queryExecution()
     jqe.toRdd().count()
     wall = time.perf_counter() - t0
 

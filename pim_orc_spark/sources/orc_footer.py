@@ -46,7 +46,12 @@ _TAIL_GUESS = 256 * 1024
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     shift = val = 0
+    n = len(buf)
     while True:
+        if i >= n:  # truncated tail: name the cause, never IndexError
+            raise ValueError(
+                f"truncated protobuf varint at offset {i} of {n} bytes"
+            )
         b = buf[i]
         i += 1
         val |= (b & 0x7F) << shift
@@ -94,9 +99,19 @@ def _decode_stream(data: bytes, kind: str) -> bytes:
     out = []
     i = 0
     while i < len(data):
+        if i + 3 > len(data):  # torn chunk header: fail loudly
+            raise ValueError(
+                f"truncated ORC stream chunk header at offset {i} of "
+                f"{len(data)} bytes"
+            )
         h = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
         i += 3
         original, ln = h & 1, h >> 1
+        if i + ln > len(data):
+            raise ValueError(
+                f"ORC stream chunk declares {ln} bytes with only "
+                f"{len(data) - i} remaining"
+            )
         chunk = data[i : i + ln]
         i += ln
         if original:
@@ -115,10 +130,12 @@ def _decode_stream(data: bytes, kind: str) -> bytes:
     return b"".join(out)
 
 
-def read_orc_footer_facts(path: str) -> dict:
-    """Planning facts of one ORC file, footer-only (O(footer bytes),
-    no row data touched): stripe count, rows per stripe, total rows,
-    compression kind, compression block size, row-index stride."""
+def _read_tail(path: str) -> tuple[dict, str, bytes, bytes]:
+    """Read and split the ORC file tail: returns (postscript fields,
+    compression kind, raw footer stream, raw metadata stream). One
+    seek-and-read of ``_TAIL_GUESS`` bytes covers the common case; a
+    footer + metadata section larger than the guess (wide schemas)
+    triggers exactly one re-read of the true tail length."""
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
         fh.seek(max(0, size - _TAIL_GUESS))
@@ -130,13 +147,26 @@ def read_orc_footer_facts(path: str) -> dict:
         magic = ps.get(8000, b"")
         if magic != b"ORC":
             raise ValueError(f"{path}: postscript magic {magic!r} != b'ORC'")
-        footer_len = ps[1]
+        footer_len = ps.get(1)
+        if footer_len is None:
+            raise ValueError(f"{path}: postscript carries no footerLength")
+        meta_len = ps.get(5, 0)
         kind = COMPRESSION_KINDS[ps.get(2, 0)]
-        if footer_len + ps_len + 1 > len(tail):  # rare: huge footer
-            fh.seek(size - 1 - ps_len - footer_len)
-            footer_raw = fh.read(footer_len)
-        else:
-            footer_raw = tail[-1 - ps_len - footer_len : -1 - ps_len]
+        need = meta_len + footer_len + ps_len + 1
+        if need > len(tail):  # rare: huge footer/metadata (wide schema)
+            fh.seek(size - need)
+            tail = fh.read(need)
+    footer_end = len(tail) - 1 - ps_len
+    footer_raw = tail[footer_end - footer_len : footer_end]
+    meta_raw = tail[footer_end - footer_len - meta_len : footer_end - footer_len]
+    return ps, kind, footer_raw, meta_raw
+
+
+def read_orc_footer_facts(path: str) -> dict:
+    """Planning facts of one ORC file, footer-only (O(footer bytes),
+    no row data touched): stripe count, rows per stripe, total rows,
+    compression kind, compression block size, row-index stride."""
+    ps, kind, footer_raw, _ = _read_tail(path)
     footer = _decode_stream(footer_raw, kind)
     stripe_rows: list[int] = []
     num_rows = row_index_stride = 0
@@ -158,3 +188,221 @@ def read_orc_footer_facts(path: str) -> dict:
         "compression_block_size": ps.get(3, 0),
         "row_index_stride": row_index_stride,
     }
+
+
+# ------------------------------------------------- column statistics
+# The reference links the ORC Statistics API for SARG-driven stripe
+# skipping (orc-parser/Makefile:37 builds against the ORC lib whose
+# reader.cc:3 includes Statistics.hh); Spark's own filterPushdown
+# supplies that behavior at scan time. This section completes the
+# ENGINE-side introspection parity (the parquet row-group envelope
+# analogue in sources/maintenance.py): file- and stripe-level min/max
+# from the public orc_proto.proto messages, so a "which stripes can
+# predicate X skip" report needs no JVM and no row data.
+
+# Footer.types[].kind enum (orc_proto.proto Type.Kind), index = value
+TYPE_KINDS = (
+    "BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT", "DOUBLE",
+    "STRING", "BINARY", "TIMESTAMP", "LIST", "MAP", "STRUCT", "UNION",
+    "DECIMAL", "DATE", "VARCHAR", "CHAR", "TIMESTAMP_INSTANT",
+)
+
+
+def _zigzag(v: int) -> int:
+    """Decode protobuf sint (IntegerStatistics min/max/sum are sint64)."""
+    return (v >> 1) ^ -(v & 1)
+
+
+def _packed_varints(val) -> list[int]:
+    """A repeated varint field arrives packed (wire 2, one bytes blob)
+    or unpacked (wire 0, one int per occurrence) — handle both."""
+    if isinstance(val, int):
+        return [val]
+    out, i = [], 0
+    while i < len(val):
+        v, i = _read_varint(val, i)
+        out.append(v)
+    return out
+
+
+def _parse_column_stats(buf: bytes) -> dict:
+    """One ColumnStatistics message → {kind, n_values, has_null, min,
+    max, sum}. Typed sub-messages per orc_proto.proto: field 2
+    IntegerStatistics (sint64), 3 DoubleStatistics (fixed64 doubles),
+    4 StringStatistics (bytes min/max, sint64 sum of lengths), 6
+    DecimalStatistics (decimal strings), 7 DateStatistics (sint32 days),
+    9 TimestampStatistics (sint64 millis; fields 3/4 are the UTC pair)."""
+    out = {
+        "kind": None,
+        "n_values": 0,
+        "has_null": False,
+        "min": None,
+        "max": None,
+        "sum": None,
+    }
+    for field, val in _fields(buf):
+        if field == 1:
+            out["n_values"] = val
+        elif field == 10:
+            out["has_null"] = bool(val)
+        elif field == 2:  # IntegerStatistics
+            out["kind"] = "int"
+            for sf, sv in _fields(val):
+                if sf == 1:
+                    out["min"] = _zigzag(sv)
+                elif sf == 2:
+                    out["max"] = _zigzag(sv)
+                elif sf == 3:
+                    out["sum"] = _zigzag(sv)
+        elif field == 3:  # DoubleStatistics (fixed64 bit patterns)
+            out["kind"] = "double"
+            for sf, sv in _fields(val):
+                (d,) = struct.unpack("<d", struct.pack("<Q", sv))
+                if sf == 1:
+                    out["min"] = d
+                elif sf == 2:
+                    out["max"] = d
+                elif sf == 3:
+                    out["sum"] = d
+        elif field == 4:  # StringStatistics
+            out["kind"] = "string"
+            for sf, sv in _fields(val):
+                if sf == 1:
+                    out["min"] = sv.decode("utf-8")
+                elif sf == 2:
+                    out["max"] = sv.decode("utf-8")
+                elif sf == 3:
+                    out["sum"] = _zigzag(sv)
+        elif field == 6:  # DecimalStatistics (decimal strings)
+            out["kind"] = "decimal"
+            for sf, sv in _fields(val):
+                if sf == 1:
+                    out["min"] = sv.decode("ascii")
+                elif sf == 2:
+                    out["max"] = sv.decode("ascii")
+                elif sf == 3:
+                    out["sum"] = sv.decode("ascii")
+        elif field == 7:  # DateStatistics (sint32 epoch days)
+            out["kind"] = "date"
+            for sf, sv in _fields(val):
+                if sf == 1:
+                    out["min"] = _zigzag(sv)
+                elif sf == 2:
+                    out["max"] = _zigzag(sv)
+        elif field == 9:  # TimestampStatistics (millis; prefer the UTC pair)
+            out["kind"] = "timestamp"
+            for sf, sv in _fields(val):
+                if sf in (1, 3) and (sf == 3 or out["min"] is None):
+                    out["min"] = _zigzag(sv)
+                elif sf in (2, 4) and (sf == 4 or out["max"] is None):
+                    out["max"] = _zigzag(sv)
+    return out
+
+
+def _column_names(footer: bytes) -> list[str]:
+    """Flattened column-id → name map from Footer.types (field 4):
+    entry 0 is the root STRUCT whose (subtypes[i], fieldNames[i]) pairs
+    name the top-level columns; nested children keep their flattened id
+    as ``colN`` (the fixture schemas are flat)."""
+    types = [v for f, v in _fields(footer) if f == 4]
+    names = [f"col{i}" for i in range(len(types))]
+    if not types:
+        return names
+    names[0] = "<root>"
+    subtypes: list[int] = []
+    field_names: list[str] = []
+    for f, v in _fields(types[0]):
+        if f == 2:
+            subtypes.extend(_packed_varints(v))
+        elif f == 3:
+            field_names.append(v.decode("utf-8"))
+    for cid, nm in zip(subtypes, field_names):
+        if 0 < cid < len(names):
+            names[cid] = nm
+    return names
+
+
+def read_orc_column_stats(path: str) -> dict:
+    """File- AND stripe-level column statistics of one ORC file,
+    tail-only: Footer.statistics (field 7) and the Metadata section's
+    StripeStatistics (postscript field 5 locates it), each a
+    ColumnStatistics list indexed by flattened column id. Returns::
+
+        {"file": ..., "columns": [top-level names],
+         "file_stats": {name: stats}, "stripe_stats": [{name: stats}]}
+
+    Cross-validated in pytest against the JVM reader's
+    ``getStatistics()`` / ``getStripeStatistics()`` on the same files."""
+    ps, kind, footer_raw, meta_raw = _read_tail(path)
+    footer = _decode_stream(footer_raw, kind)
+    names = _column_names(footer)
+    file_raw = [v for f, v in _fields(footer) if f == 7]
+    file_stats = {
+        names[i] if i < len(names) else f"col{i}": _parse_column_stats(b)
+        for i, b in enumerate(file_raw)
+    }
+    stripe_stats: list[dict] = []
+    if meta_raw:
+        meta = _decode_stream(meta_raw, kind)
+        for f, v in _fields(meta):
+            if f != 1:  # Metadata.stripeStats
+                continue
+            cols = [sv for sf, sv in _fields(v) if sf == 1]
+            stripe_stats.append(
+                {
+                    names[i] if i < len(names) else f"col{i}":
+                        _parse_column_stats(b)
+                    for i, b in enumerate(cols)
+                }
+            )
+    return {
+        "file": os.path.basename(path),
+        "columns": names[1:],
+        "file_stats": file_stats,
+        "stripe_stats": stripe_stats,
+    }
+
+
+def skippable_stripes(
+    path: str, column: str, lower=None, upper=None
+) -> list[dict]:
+    """Per-stripe SARG skip report for ``lower <= column <= upper``
+    (either bound may be None): a stripe is skippable when its
+    [min, max] envelope PROVES no row can match — min > upper or
+    max < lower — the engine-side analogue of what the reference gets
+    from the linked ORC Statistics API. Decimal stats compare as
+    ``decimal.Decimal`` (the spec stores them as strings). A stripe
+    with no envelope (e.g. all-null) is conservatively NOT skippable."""
+    from decimal import Decimal
+
+    facts = read_orc_footer_facts(path)
+    stats = read_orc_column_stats(path)
+    out = []
+    for i, ss in enumerate(stats["stripe_stats"]):
+        cs = ss.get(column)
+        if cs is None:
+            raise ValueError(
+                f"{path}: no statistics for column {column!r}; "
+                f"have {sorted(stats['columns'])}"
+            )
+        lo, hi = cs["min"], cs["max"]
+        if cs["kind"] == "decimal":
+            lo = Decimal(lo) if lo is not None else None
+            hi = Decimal(hi) if hi is not None else None
+        skip = False
+        if lo is not None and upper is not None and lo > upper:
+            skip = True
+        if hi is not None and lower is not None and hi < lower:
+            skip = True
+        out.append(
+            {
+                "stripe": i,
+                "rows": facts["stripe_rows"][i]
+                if i < len(facts["stripe_rows"])
+                else None,
+                "min": cs["min"],
+                "max": cs["max"],
+                "skippable": skip,
+            }
+        )
+    return out

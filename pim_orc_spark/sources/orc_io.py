@@ -90,9 +90,20 @@ def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
     from pim_orc_spark.sources.orc_footer import read_orc_footer_facts
 
     # the py4j predecessor accepted Hadoop-FS URIs; keep file: working
-    # and reject remote schemes loudly instead of a confusing ENOENT
+    # (including authority forms file:///p and file://localhost/p) and
+    # reject remote schemes — and file URIs naming a remote host —
+    # loudly instead of a confusing ENOENT
     if path.startswith("file:"):
-        path = path[len("file:") :]
+        from urllib.parse import urlparse
+
+        u = urlparse(path)
+        if u.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"orc_metadata reads local paths only (got {path!r} "
+                f"with authority {u.netloc!r}); a remote-FS deployment "
+                "lists and fetches footers through its own client"
+            )
+        path = u.path or path[len("file:") :]
     elif "://" in path:
         raise ValueError(
             f"orc_metadata reads local paths only (got {path!r}); a "
@@ -312,8 +323,107 @@ def orc_metadata_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.selectExpr("count(*) AS n_rows")
 
 
+# Fixed SARG for the stats-skipping report: l_extendedprice <= this.
+# TPC-H prices span ~900..105000, so the predicate is selective but
+# non-empty at every fixture scale.
+ORC_STATS_PRED = 2000.0
+
+
+def orc_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-side ORC statistics introspection — the SARG analogue of
+    the parquet row-group envelope reports (``maintenance.py``): file-
+    and stripe-level min/max for the flagship column parsed from the
+    footers by the pure-Python reader (``orc_footer.py``; the reference
+    links the ORC Statistics API for exactly this, orc-parser/
+    Makefile:37 + reader.cc:3), rolled into one oracle-checkable row:
+
+    - ``n_rows`` / ``min_price_cents`` / ``max_price_cents`` /
+      ``null_free`` come ONLY from footer statistics — the oracle
+      recomputes them from the table's rows, so a hash match proves
+      the engine's footer parser reads the same envelope the data
+      defines (the JVM reader cross-validates per-field in pytest).
+    - ``pred_match_rows`` is the exact count under the fixed SARG
+      ``l_extendedprice <= ORC_STATS_PRED`` (a distributed Spark
+      aggregate over the ORC table, 1-row collect).
+    - ``stripe_consistent``: per file, the Metadata section's stripe
+      stats union to the file stats (min of stripe mins, max of stripe
+      maxes, Σ n_values) and count as many stripes as the footer.
+    - ``skip_safe``: the skip decision's safety property — rows in
+      stripes the envelope CANNOT exclude ≥ exact matching rows, and
+      skipped + candidate rows partition the file. Skipping never
+      loses a matching row; both booleans must hash TRUE.
+
+    Footer work is driver-side O(files) metadata (the ``orc_metadata``
+    stance); at 100 TB the same per-file facts would be computed by a
+    distributed map over the file listing."""
+    from pim_orc_spark.sources.orc_footer import (
+        read_orc_column_stats,
+        read_orc_footer_facts,
+        skippable_stripes,
+    )
+
+    li = orc_table(spark, sf_dir, "lineitem")  # ensures materialization
+    pred_match = li.filter(
+        F.col("l_extendedprice") <= ORC_STATS_PRED
+    ).count()
+    path = versioned_cache_dir(_ORC_CACHE_ROOT, sf_dir, "lineitem")
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".orc")
+    )
+    col = "l_extendedprice"
+    n_rows = cand_rows = skip_rows = 0
+    mins: list[float] = []
+    maxs: list[float] = []
+    null_free = stripe_consistent = True
+    for f in files:
+        facts = read_orc_footer_facts(f)
+        stats = read_orc_column_stats(f)
+        n_rows += facts["num_rows"]
+        if facts["num_rows"] == 0:  # empty part file: no stats to roll
+            continue
+        fs = stats["file_stats"][col]
+        mins.append(fs["min"])
+        maxs.append(fs["max"])
+        null_free &= (
+            not fs["has_null"] and fs["n_values"] == facts["num_rows"]
+        )
+        ss = [s[col] for s in stats["stripe_stats"]]
+        stripe_consistent &= (
+            len(ss) == facts["num_stripes"]
+            and min(s["min"] for s in ss) == fs["min"]
+            and max(s["max"] for s in ss) == fs["max"]
+            and sum(s["n_values"] for s in ss) == fs["n_values"]
+        )
+        for rep in skippable_stripes(f, col, upper=ORC_STATS_PRED):
+            if rep["skippable"]:
+                skip_rows += rep["rows"]
+            else:
+                cand_rows += rep["rows"]
+    skip_safe = (
+        cand_rows >= pred_match and cand_rows + skip_rows == n_rows
+    )
+    row = (
+        n_rows,
+        int(round(min(mins) * 100)) if mins else None,
+        int(round(max(maxs) * 100)) if maxs else None,
+        null_free,
+        pred_match,
+        stripe_consistent,
+        skip_safe,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, min_price_cents long, max_price_cents long, "
+        "null_free boolean, pred_match_rows long, "
+        "stripe_consistent boolean, skip_safe boolean",
+    )
+
+
 QUERIES = {
     "orc_roundtrip_sum": orc_roundtrip_sum,
+    "orc_stats_skipping": orc_stats_skipping,
     "orc_pushdown_filter": orc_pushdown_filter,
     "orc_metadata_rowcount": orc_metadata_rowcount,
     "partition_pruned_sum": partition_pruned_sum,
@@ -336,6 +446,22 @@ ORACLES = {
         " WHERE l_quantity < 10.0 AND l_returnflag = 'A'"
     ),
     "orc_metadata_rowcount": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    # footer-derived envelope vs the rows that define it; the two
+    # booleans are structural facts of the engine's own stripe report
+    # and must hash TRUE (the q81/q89 contract shape)
+    "orc_stats_skipping": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        " CAST(round(min(l_extendedprice) * 100) AS BIGINT)"
+        " AS min_price_cents,"
+        " CAST(round(max(l_extendedprice) * 100) AS BIGINT)"
+        " AS max_price_cents,"
+        " (COUNT(*) = COUNT(l_extendedprice)) AS null_free,"
+        f" CAST(SUM(CASE WHEN l_extendedprice <= {ORC_STATS_PRED}"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS pred_match_rows,"
+        " TRUE AS stripe_consistent,"
+        " TRUE AS skip_safe"
+        " FROM lineitem"
+    ),
     "partition_pruned_sum": (
         f"SELECT l_linestatus, COUNT(*) AS n_rows,"
         f" {exact_sum_sql('l_extendedprice', 'sum_price')}"

@@ -884,6 +884,12 @@ def test_quantile_sketch_one_python_kernel_jvm_merge(spark, sf_dir):
     )
     assert not others, (others, plan[:1500])
     assert plan.count("FlatMapGroupsInPandas") <= 1, plan[:1500]
+    # r14 verdict #5: the exact-percentile CERTIFICATION path must rank
+    # over the value HISTOGRAM (groupBy(g, val) cumsum — every Window
+    # input is post-aggregate), never row_number over raw rows: a
+    # full-group global sort is exactly the shape q53 was rebuilt to
+    # avoid
+    assert "row_number" not in plan, plan[:1500]
 
 
 def test_containment_prefix_plan_has_no_cartesian(spark, sf_dir):
