@@ -3450,9 +3450,12 @@ def q91_quantile_sketch_rollup(
     Scale: segments shard the build shuffle (at 100 TB, seg = the
     ingest partition so sketches build near-map-side); each sketch is
     ≤ ~100 points regardless of segment size; merge/query cost is
-    O(points), not O(rows). The exact-percentile histogram cumsum and
-    the verification rank-count scan exist only to CERTIFY the sketch
-    in this contract — production retains the points table alone."""
+    O(points), not O(rows). The exact-percentile certification runs
+    the 100 TB exact-order-statistic pattern — sketch-bracketed
+    two-pass refinement (see the inline comment) — and the rank-count
+    verification is one conditional-aggregate scan; both exist only to
+    CERTIFY the sketch in this contract — production retains the
+    points table alone."""
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
         F.col("l_returnflag").alias("g"),
@@ -3505,34 +3508,125 @@ def q91_quantile_sketch_rollup(
     est_g = _query(points, ("g",))
     est_all = _query(points.withColumn("gg", F.lit("ALL")), ("gg",))
 
-    # exact discrete percentiles per group (certification path only) —
-    # the q53 VALUE-HISTOGRAM rank technique, not a per-group global
-    # sort: the k-th order statistic is the least val whose cumulative
-    # count reaches k, recoverable from groupBy(g, val) counts with a
-    # running sum over the HISTOGRAM (distinct values per group, far
-    # below row count on this integer-cents domain; the Window's input
-    # is post-aggregate, so no full-group row sort ever executes —
-    # r14 verdict #5; plan-asserted row_number-free in test_plans)
+    # exact discrete percentiles per group — CERTIFICATION path, and
+    # the 100 TB pattern for exact order statistics: the SKETCH ITSELF
+    # brackets the answer, then ONE targeted pass resolves it exactly
+    # (r14 verdict #5: no full-group sort; a flat value histogram
+    # would not do — the fixture measures ~198k distinct cents per
+    # ~200k-row group, so its cumsum window is still group-sized).
+    # From the merged points table, define CW(v) = total weight of
+    # points with val ≤ v — computed as the per-VALUE max of the
+    # running cumsum, NOT a per-point cw: in a cross-segment tie run a
+    # point's own cw misses same-valued points merged after it, and a
+    # bracket read off it can land ON x_k and exclude it (caught by
+    # the off-Spark property test on the heavy-ties corpus). CW(v)
+    # lower-bounds the true rank (every counted weight is values ≤ v)
+    # and count(≤ v) ≤ CW(v) + slack − n_segs, so
+    #   hi = min val with CW(v) >= k             ⇒ hi ≥ x_k
+    #   lo = max val with CW(v) <= k - slack - 1 ⇒ lo < x_k
+    # and the k-th order statistic x_k lies in (lo, hi]. The second
+    # pass counts rows ≤ lo (exact below-rank) and builds the value
+    # histogram of (lo, hi] ONLY — O(slack + tie spans) rows per
+    # group — whose post-aggregate cumsum yields x_k = min val with
+    # below + cum ≥ k. Every Window input here is points- or
+    # bracket-sized, never rows (plan-asserted row_number-free in
+    # test_plans).
     k50, k99 = _qsk_rank_targets("n_rows")
-    w_hist = (
+    w_pts = (
+        Window.partitionBy("g")
+        .orderBy("val", "seg")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pc = (
+        points.withColumn("cw", F.sum("w").over(w_pts))
+        # per-VALUE cumweight: collapse tie points to their last
+        # (largest) running cw — see the bracket comment above
+        .groupBy("g", "val")
+        .agg(F.max("cw").alias("cw"))
+        .join(F.broadcast(est_g.select("g", "n_rows")), "g")
+        .join(F.broadcast(slack_g), "g")
+        .withColumn("kk50", k50)
+        .withColumn("kk99", k99)
+    )
+    _NO_LO = -(1 << 62)  # "no lower bracket point": every val is above
+
+    def _bracket(k_col, tag):
+        return [
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("cw")
+                        <= F.col(k_col) - F.col("slack") - 1,
+                        F.col("val"),
+                    )
+                ),
+                F.lit(_NO_LO),
+            ).alias(f"lo{tag}"),
+            # the last point carries cw = n ≥ k, so hi always exists
+            F.min(
+                F.when(F.col("cw") >= F.col(k_col), F.col("val"))
+            ).alias(f"hi{tag}"),
+        ]
+
+    brk = pc.groupBy("g").agg(
+        *_bracket("kk50", "50"),
+        *_bracket("kk99", "99"),
+        F.first("kk50").alias("kk50"),
+        F.first("kk99").alias("kk99"),
+    )
+    tv = v.join(F.broadcast(brk), "g")
+    below = tv.groupBy("g").agg(
+        F.sum(
+            F.when(F.col("val") <= F.col("lo50"), 1).otherwise(0)
+        ).alias("below50"),
+        F.sum(
+            F.when(F.col("val") <= F.col("lo99"), 1).otherwise(0)
+        ).alias("below99"),
+    )
+    mid = (
+        tv.select(
+            "g",
+            "val",
+            (
+                (F.col("val") > F.col("lo50"))
+                & (F.col("val") <= F.col("hi50"))
+            )
+            .cast("long")
+            .alias("in50"),
+            (
+                (F.col("val") > F.col("lo99"))
+                & (F.col("val") <= F.col("hi99"))
+            )
+            .cast("long")
+            .alias("in99"),
+        )
+        .filter((F.col("in50") == 1) | (F.col("in99") == 1))
+        .groupBy("g", "val")
+        .agg(F.sum("in50").alias("c50"), F.sum("in99").alias("c99"))
+    )
+    w_mid = (
         Window.partitionBy("g")
         .orderBy("val")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     exact_g = (
-        v.groupBy("g", "val")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("cum", F.sum("cnt").over(w_hist))
-        .join(F.broadcast(est_g.select("g", "n_rows")), "g")
-        .withColumn("k50", k50)
-        .withColumn("k99", k99)
+        mid.withColumn("cum50", F.sum("c50").over(w_mid))
+        .withColumn("cum99", F.sum("c99").over(w_mid))
+        .join(F.broadcast(below), "g")
+        .join(F.broadcast(brk.select("g", "kk50", "kk99")), "g")
         .groupBy("g")
         .agg(
             F.min(
-                F.when(F.col("cum") >= F.col("k50"), F.col("val"))
+                F.when(
+                    F.col("below50") + F.col("cum50") >= F.col("kk50"),
+                    F.col("val"),
+                )
             ).alias("p50_exact_cents"),
             F.min(
-                F.when(F.col("cum") >= F.col("k99"), F.col("val"))
+                F.when(
+                    F.col("below99") + F.col("cum99") >= F.col("kk99"),
+                    F.col("val"),
+                )
             ).alias("p99_exact_cents"),
         )
     )

@@ -130,43 +130,52 @@ def _decode_stream(data: bytes, kind: str) -> bytes:
     return b"".join(out)
 
 
-def _read_tail(path: str) -> tuple[dict, str, bytes, bytes]:
-    """Read and split the ORC file tail: returns (postscript fields,
-    compression kind, raw footer stream, raw metadata stream). One
-    seek-and-read of ``_TAIL_GUESS`` bytes covers the common case; a
-    footer + metadata section larger than the guess (wide schemas)
-    triggers exactly one re-read of the true tail length."""
-    size = os.path.getsize(path)
-    with open(path, "rb") as fh:
-        fh.seek(max(0, size - _TAIL_GUESS))
-        tail = fh.read()
-        ps_len = tail[-1]
-        ps = dict()
-        for field, val in _fields(tail[-1 - ps_len : -1]):
-            ps.setdefault(field, val)
-        magic = ps.get(8000, b"")
-        if magic != b"ORC":
-            raise ValueError(f"{path}: postscript magic {magic!r} != b'ORC'")
-        footer_len = ps.get(1)
-        if footer_len is None:
-            raise ValueError(f"{path}: postscript carries no footerLength")
-        meta_len = ps.get(5, 0)
-        kind = COMPRESSION_KINDS[ps.get(2, 0)]
-        need = meta_len + footer_len + ps_len + 1
-        if need > len(tail):  # rare: huge footer/metadata (wide schema)
-            fh.seek(size - need)
-            tail = fh.read(need)
+def _read_tail_fileobj(
+    fh, size: int, name: str
+) -> tuple[dict, str, bytes, bytes]:
+    """Read and split the ORC tail from any seekable binary file-like
+    object of ``size`` bytes: returns (postscript fields, compression
+    kind, raw footer stream, raw metadata stream). One seek-and-read
+    of ``_TAIL_GUESS`` bytes covers the common case; a footer +
+    metadata section larger than the guess (wide schemas) triggers
+    exactly one re-read of the true tail length.
+
+    This is the remote-deployment entry point the local-path guard in
+    ``orc_io.orc_metadata`` points at: an object-storage client hands
+    its open blob handle straight to the parser — the parser consumes
+    bytes, never paths."""
+    fh.seek(max(0, size - _TAIL_GUESS))
+    tail = fh.read()
+    ps_len = tail[-1]
+    ps = dict()
+    for field, val in _fields(tail[-1 - ps_len : -1]):
+        ps.setdefault(field, val)
+    magic = ps.get(8000, b"")
+    if magic != b"ORC":
+        raise ValueError(f"{name}: postscript magic {magic!r} != b'ORC'")
+    footer_len = ps.get(1)
+    if footer_len is None:
+        raise ValueError(f"{name}: postscript carries no footerLength")
+    meta_len = ps.get(5, 0)
+    kind = COMPRESSION_KINDS[ps.get(2, 0)]
+    need = meta_len + footer_len + ps_len + 1
+    if need > len(tail):  # rare: huge footer/metadata (wide schema)
+        fh.seek(size - need)
+        tail = fh.read(need)
     footer_end = len(tail) - 1 - ps_len
     footer_raw = tail[footer_end - footer_len : footer_end]
     meta_raw = tail[footer_end - footer_len - meta_len : footer_end - footer_len]
     return ps, kind, footer_raw, meta_raw
 
 
-def read_orc_footer_facts(path: str) -> dict:
-    """Planning facts of one ORC file, footer-only (O(footer bytes),
-    no row data touched): stripe count, rows per stripe, total rows,
-    compression kind, compression block size, row-index stride."""
-    ps, kind, footer_raw, _ = _read_tail(path)
+def _read_tail(path: str) -> tuple[dict, str, bytes, bytes]:
+    """Local-filesystem wrapper over ``_read_tail_fileobj``."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        return _read_tail_fileobj(fh, size, path)
+
+
+def _footer_facts(ps: dict, kind: str, footer_raw: bytes, name: str) -> dict:
     footer = _decode_stream(footer_raw, kind)
     stripe_rows: list[int] = []
     num_rows = row_index_stride = 0
@@ -180,7 +189,7 @@ def read_orc_footer_facts(path: str) -> dict:
         elif field == 8:
             row_index_stride = val
     return {
-        "file": os.path.basename(path),
+        "file": name,
         "num_stripes": len(stripe_rows),
         "stripe_rows": stripe_rows,
         "num_rows": num_rows,
@@ -188,6 +197,26 @@ def read_orc_footer_facts(path: str) -> dict:
         "compression_block_size": ps.get(3, 0),
         "row_index_stride": row_index_stride,
     }
+
+
+def read_orc_footer_facts(path: str) -> dict:
+    """Planning facts of one ORC file, footer-only (O(footer bytes),
+    no row data touched): stripe count, rows per stripe, total rows,
+    compression kind, compression block size, row-index stride."""
+    ps, kind, footer_raw, _ = _read_tail(path)
+    return _footer_facts(ps, kind, footer_raw, os.path.basename(path))
+
+
+def read_orc_footer_facts_fileobj(fh, size: int, name: str = "<stream>") -> dict:
+    """``read_orc_footer_facts`` over any seekable binary stream of
+    ``size`` bytes — the remote-deployment path: an object-storage
+    client passes its open blob handle (or a BytesIO of fetched bytes
+    with ``size = len(bytes)``) and gets the identical planning facts
+    with zero filesystem assumptions. Offsets are interpreted from the
+    stream's start, so a partial fetch must be the object's full tail
+    presented as its own stream."""
+    ps, kind, footer_raw, _ = _read_tail_fileobj(fh, size, name)
+    return _footer_facts(ps, kind, footer_raw, name)
 
 
 # ------------------------------------------------- column statistics

@@ -85,8 +85,10 @@ def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
     dependency — the JVM reader cross-validates it in pytest. Row data
     is never touched, so this is O(files), not O(rows). The ``spark``
     parameter is kept for API stability; paths are local-filesystem
-    (this engine's ORC materializations are local caches — a remote-FS
-    deployment would list through its own client the same way)."""
+    (this engine's ORC materializations are local caches). A remote-FS
+    deployment lists through its own client and feeds each object's
+    open handle to ``orc_footer.read_orc_footer_facts_fileobj`` — the
+    parser consumes bytes, never paths."""
     from pim_orc_spark.sources.orc_footer import read_orc_footer_facts
 
     # the py4j predecessor accepted Hadoop-FS URIs; keep file: working

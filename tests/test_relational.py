@@ -270,6 +270,38 @@ def test_qsk_segment_sketch_invariants_and_merged_error_bound():
                 (lt + 1, le),
                 (k - slack, k + slack),
             )
+            # r15: the sketch-guided exact-refinement brackets the
+            # operator's certification path relies on. Brackets read
+            # off the per-VALUE cumweight CW(v) = max running cw among
+            # a value's tie points (a per-point cw misses same-valued
+            # points merged after it — this exact test, on the ties
+            # corpus, caught that bug in the first implementation):
+            #   hi = min val with CW ≥ k            ⇒ hi ≥ x_k
+            #   lo = max val with CW ≤ k−slack−1    ⇒ lo < x_k
+            # and the two-pass reconstruction (count ≤ lo, then the
+            # value-histogram cumsum of (lo, hi]) returns x_k exactly
+            x_k = int(np.sort(vals)[k - 1])
+            uvals = np.unique(mv)
+            cwv = np.array(
+                [int(cw[(mv == u).nonzero()[0][-1]]) for u in uvals]
+            )
+            hi = int(uvals[int(np.searchsorted(cwv, k))])
+            lo_mask = cwv <= k - slack - 1
+            lo = (
+                int(uvals[lo_mask.nonzero()[0][-1]])
+                if lo_mask.any()
+                else None
+            )
+            assert hi >= x_k, (name, q)
+            if lo is not None:
+                assert lo < x_k, (name, q)
+            lo_eff = lo if lo is not None else -(1 << 62)
+            below = int((vals <= lo_eff).sum())
+            mid = np.sort(vals[(vals > lo_eff) & (vals <= hi)])
+            mvals, mcnts = np.unique(mid, return_counts=True)
+            mcum = np.cumsum(mcnts)
+            hit = mvals[np.searchsorted(below + mcum, k)]
+            assert int(hit) == x_k, (name, q, hit, x_k)
 
 
 def test_pycms_rejects_degenerate_geometry():

@@ -1151,3 +1151,113 @@ def test_orc_skippable_stripes_report(spark, tmp_path):
     # those whose envelope intersects [0, 999]
     for r in rep:
         assert r["skippable"] == (r["min"] > 999.0 or r["max"] < 0.0)
+
+
+def test_orc_column_stats_decimal_date_timestamp(spark, tmp_path):
+    """The three stats kinds the JVM loop above doesn't exercise —
+    DecimalStatistics (decimal strings), DateStatistics (zigzag epoch
+    days), TimestampStatistics (UTC epoch millis) — cross-validated
+    against the DATA that defines them (computed by Spark on the same
+    rows), plus the stripe→file union property and a decimal SARG
+    skip through skippable_stripes' Decimal comparison."""
+    import glob
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.sources.orc_footer import (
+        read_orc_column_stats,
+        skippable_stripes,
+    )
+
+    out = str(tmp_path / "orc_ddt")
+    df = spark.range(1, 20001).selectExpr(
+        "id",
+        "CAST(CAST(id AS DOUBLE) / 7 AS DECIMAL(12, 2)) AS dec",
+        "date_add(DATE '2020-01-01', CAST(id % 1000 AS INT)) AS dt",
+        "timestamp_micros(id * 1000000) AS ts",
+    )
+    df.coalesce(1).write.mode("overwrite").orc(out)
+    (f,) = glob.glob(os.path.join(out, "*.orc"))
+    got = read_orc_column_stats(f)
+
+    row = df.agg(
+        F.min("dec").alias("dec_min"),
+        F.max("dec").alias("dec_max"),
+        F.datediff(F.min("dt"), F.lit("1970-01-01")).alias("dt_min"),
+        F.datediff(F.max("dt"), F.lit("1970-01-01")).alias("dt_max"),
+        F.unix_millis(F.min("ts")).alias("ts_min"),
+        F.unix_millis(F.max("ts")).alias("ts_max"),
+    ).collect()[0]
+
+    dec = got["file_stats"]["dec"]
+    assert dec["kind"] == "decimal"
+    assert Decimal(dec["min"]) == row["dec_min"]
+    assert Decimal(dec["max"]) == row["dec_max"]
+    dt = got["file_stats"]["dt"]
+    assert dt["kind"] == "date"
+    assert dt["min"] == row["dt_min"]
+    assert dt["max"] == row["dt_max"]
+    ts = got["file_stats"]["ts"]
+    assert ts["kind"] == "timestamp"
+    assert ts["min"] == row["ts_min"]
+    assert ts["max"] == row["ts_max"]
+
+    # stripe stats union to file stats for these kinds too
+    for col, key in (("dec", Decimal), ("dt", int), ("ts", int)):
+        ss = [s[col] for s in got["stripe_stats"]]
+        assert ss, col
+        fs = got["file_stats"][col]
+        conv = (lambda x: Decimal(x)) if key is Decimal else (lambda x: x)
+        assert min(conv(s["min"]) for s in ss) == conv(fs["min"]), col
+        assert max(conv(s["max"]) for s in ss) == conv(fs["max"]), col
+        assert sum(s["n_values"] for s in ss) == fs["n_values"], col
+
+    # decimal SARG comparison goes through Decimal, not string order
+    # (string order would put "9.99" above "100.00")
+    rep = skippable_stripes(f, "dec", upper=Decimal("2.00"))
+    assert sum(r["rows"] for r in rep) == 20000
+    # the single-stripe envelope [0.14, 2857.14] intersects ≤2.00 — kept
+    assert all(not r["skippable"] for r in rep)
+    rep2 = skippable_stripes(f, "dec", lower=Decimal("999999.00"))
+    assert all(r["skippable"] for r in rep2)
+
+
+def test_orc_footer_fileobj_api_matches_path_api(spark, sf_dir):
+    """The remote-deployment escape hatch is real code, not a
+    docstring: read_orc_footer_facts_fileobj over (a) the open file
+    handle and (b) a BytesIO of the fetched bytes returns facts
+    identical to the path API — the parser consumes bytes, never
+    paths (the orc_metadata local-path guard points here)."""
+    import glob
+    import io
+
+    from pim_orc_spark.sources.orc_footer import (
+        read_orc_footer_facts,
+        read_orc_footer_facts_fileobj,
+    )
+
+    orc_io.orc_table(spark, sf_dir, "lineitem")
+    (f, *_rest) = sorted(
+        glob.glob(
+            os.path.join(
+                versioned_cache_dir(
+                    orc_io._ORC_CACHE_ROOT, sf_dir, "lineitem"
+                ),
+                "*.orc",
+            )
+        )
+    )
+    base = read_orc_footer_facts(f)
+    size = os.path.getsize(f)
+    with open(f, "rb") as fh:
+        via_handle = read_orc_footer_facts_fileobj(
+            fh, size, os.path.basename(f)
+        )
+    with open(f, "rb") as fh:
+        blob = io.BytesIO(fh.read())
+    via_bytes = read_orc_footer_facts_fileobj(
+        blob, size, os.path.basename(f)
+    )
+    assert via_handle == base
+    assert via_bytes == base
