@@ -361,7 +361,6 @@ def orc_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pim_orc_spark.sources.orc_footer import (
         read_orc_column_stats,
         read_orc_footer_facts,
-        skippable_stripes,
     )
 
     li = orc_table(spark, sf_dir, "lineitem")  # ensures materialization
@@ -398,11 +397,16 @@ def orc_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             and max(s["max"] for s in ss) == fs["max"]
             and sum(s["n_values"] for s in ss) == fs["n_values"]
         )
-        for rep in skippable_stripes(f, col, upper=ORC_STATS_PRED):
-            if rep["skippable"]:
-                skip_rows += rep["rows"]
+        # skip decision inline over the already-parsed stats (same
+        # rule as orc_footer.skippable_stripes, which re-parses the
+        # tail and stays the standalone per-file API): under
+        # val <= PRED, a stripe whose min exceeds PRED cannot match;
+        # a missing envelope is conservatively kept
+        for i, s in enumerate(ss):
+            if s["min"] is not None and s["min"] > ORC_STATS_PRED:
+                skip_rows += facts["stripe_rows"][i]
             else:
-                cand_rows += rep["rows"]
+                cand_rows += facts["stripe_rows"][i]
     skip_safe = (
         cand_rows >= pred_match and cand_rows + skip_rows == n_rows
     )
