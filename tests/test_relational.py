@@ -315,3 +315,60 @@ def test_pycms_rejects_degenerate_geometry():
 
     with _pytest.raises(ValueError, match="degenerate"):
         CountMinSketchReader.from_bytes(struct.pack(">iqii", 1, 0, 0, 5))
+
+
+def test_q91_exact_percentiles_survive_heavy_ties_end_to_end(
+    spark, tmp_path
+):
+    """The tie regime the fixture can never exercise (lineitem prices
+    are near-unique), run through the REAL operator end-to-end: a
+    synthetic lineitem whose prices form long cross-segment tie runs —
+    exactly the shape where a per-point-cumweight bracket misplaces lo
+    ON the answer (the bug the off-Spark property test caught). The
+    exact percentiles must equal numpy's order statistics and every
+    envelope boolean must hold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.relational import (
+        q91_quantile_sketch_rollup,
+    )
+
+    # 3 groups × 2000 rows; prices drawn from 7 tied levels with skew,
+    # orderkeys spread rows across all QSK_SEGMENTS segments
+    n_per = 2000
+    levels = [500, 500, 500, 999, 999, 2500, 10000]
+    rows = []
+    for gi, g in enumerate(("A", "N", "R")):
+        for i in range(n_per):
+            price_cents = levels[(i * 7 + gi) % len(levels)]
+            rows.append((i + gi, g, "O", price_cents / 100.0))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_linestatus string, "
+        "l_extendedprice double",
+    )
+    sf = str(tmp_path / "ties_sf")
+    df.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    out = {
+        r["g"]: r for r in q91_quantile_sketch_rollup(spark, sf).collect()
+    }
+    assert set(out) == {"A", "N", "R"}
+    for gi, g in enumerate(("A", "N", "R")):
+        vals = np.sort(
+            np.array(
+                [
+                    round(levels[(i * 7 + gi) % len(levels)])
+                    for i in range(n_per)
+                ]
+            )
+        )
+        r = out[g]
+        assert r["n_rows"] == n_per
+        k50 = (n_per - 1) * 50 // 100 + 1
+        k99 = (n_per - 1) * 99 // 100 + 1
+        assert r["p50_exact_cents"] == int(vals[k50 - 1]), g
+        assert r["p99_exact_cents"] == int(vals[k99 - 1]), g
+        assert r["p50_within_eps"] and r["p99_within_eps"], g
+        assert r["rollup_within_eps"], g
