@@ -37,6 +37,35 @@ SMALL_SF_DIR = os.environ.get(
 )
 SLOPE_ITERS = int(os.environ.get("SPARK_GRAFT_SLOPE_ITERS", "2"))
 
+
+def current_round_n() -> int | None:
+    """This bench run's round number, derived from the driver's own
+    record trail: the driver writes BENCH_r{N}.json at the END of round
+    N, so while round N is in progress the highest on-disk id is N-1.
+    Stamped into BENCH_DETAIL (`"round"`) so the round-start
+    bench_prev_cal.json ritual (SURVEY §8.5) is machine-checkable: a
+    mis-copied base whose `"round"` is not N-1 is REFUSED instead of
+    silently normalizing against a two-round-old quotient.
+    """
+    import glob
+    import re
+
+    ns = []
+    for p in glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            ns.append(int(m.group(1)))
+    return (max(ns) + 1) if ns else None
+
+
+def _round_n(round_id) -> int | None:
+    """Parse 'r15' / 'r05' / 15 → 15; None if unparseable."""
+    if isinstance(round_id, int):
+        return round_id
+    if isinstance(round_id, str) and round_id.lstrip("r").isdigit():
+        return int(round_id.lstrip("r"))
+    return None
+
 # Headline set: the flagship reference-parity scan-agg plus one
 # representative of each operator family (grouped agg, large join,
 # top-k, windows/sessionization, near-dedup, ANN, text scoring).
@@ -343,11 +372,29 @@ def main() -> None:
     }
     prev_round, cal_vs_prev, cal_movers = None, {}, {}
     cal_shift_median = None
+    cal_prev_stale = False
+    cur_round_n = current_round_n()
     prev_path = os.path.join(_REPO_ROOT, "bench_prev_cal.json")
     if os.path.exists(prev_path) and calibration_sec > 0:
         with open(prev_path) as fh:
             prev = json.load(fh)
         prev_round = prev.get("round")
+        # Self-checking ritual (r15 verdict #5): the base must be the
+        # immediately-previous round's quotient. A stale or unstamped
+        # base is refused — recorded as cal_prev_stale so the round
+        # report shows WHY normalization is absent, instead of quietly
+        # comparing against a two-round-old base.
+        prev_n = _round_n(prev_round)
+        if cur_round_n is not None and prev_n != cur_round_n - 1:
+            cal_prev_stale = True
+            print(
+                f"bench: bench_prev_cal.json round={prev_round!r} is "
+                f"not r{cur_round_n - 1} (this run is r{cur_round_n}) "
+                "— REFUSING cross-round normalization; re-run the "
+                "round-start ritual (SURVEY §8.5)",
+                file=sys.stderr,
+            )
+            prev = {"queries_min_per_cal": {}}
         for name, cur in queries_min_per_cal.items():
             p = prev.get("queries_min_per_cal", {}).get(name)
             if p:
@@ -428,6 +475,10 @@ def main() -> None:
     # the full diagnostics (per-query min, partition sweep, scaling
     # slope) land in BENCH_DETAIL.json next to this script.
     detail = {
+        # which round produced this file — the value the NEXT round's
+        # bench_prev_cal.json ritual copies, and the value this run's
+        # stale-base refusal checks against (r15 verdict #5)
+        "round": (f"r{cur_round_n}" if cur_round_n is not None else None),
         "queries_min": timings_min,
         # first-invocation cost per slot (codegen + resident-artifact
         # builds: the containment gram/bitset index, the LSH signature
@@ -446,6 +497,9 @@ def main() -> None:
         # signature-based drift_note: per-slot (min/cal) ratio vs the
         # previous round's recorded value (1.0 = unchanged cost)
         "cal_prev_round": prev_round,
+        # True when the base was refused for carrying the wrong round
+        # id (normalization keys below are then empty by construction)
+        "cal_prev_stale": cal_prev_stale,
         "cal_normalized_vs_prev": cal_vs_prev,
         # the global factor all slots moved by (probe-profile drift);
         # movers below are relative to THIS, not to 1.0

@@ -75,7 +75,9 @@ def cached_artifact(
     a failing or raising probe evicts and rebuilds instead of letting
     every later reuse fail unrecoverably.
     """
-    app = spark.sparkContext.applicationId
+    from pim_orc_spark.session import application_id
+
+    app = application_id(spark)
     key = (family, app, os.path.abspath(sf_dir), _dir_mtime(sf_dir))
     with _LOCK:
         stale_keys = [

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pim_orc_spark.catalog import load_table
+from pim_orc_spark.session import default_parallelism
 from pim_orc_spark.functions.hashing import (
     MOD,
     minhash_params,
@@ -812,7 +813,7 @@ def bitset_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # The pair stage is a broadcast nested-loop join; without an explicit
     # repartition, AQE coalesces the tiny encoded input to ONE partition
     # and the O(n²) loop runs on a single core (measured 149s → 6s).
-    n_parts = spark.sparkContext.defaultParallelism * 2
+    n_parts = default_parallelism(spark) * 2
     a = enc.repartition(n_parts).select(
         F.col("doc_id").alias("doc_a"),
         F.col("mask").alias("ma"),
@@ -878,7 +879,7 @@ def containment_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_inner long, doc_outer long, containment double"
         )
-    n_parts = spark.sparkContext.defaultParallelism * 2
+    n_parts = default_parallelism(spark) * 2
     a = enc.repartition(n_parts).select(
         F.col("doc_id").alias("doc_inner"),
         F.col("mask").alias("ma"),
@@ -1288,7 +1289,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition the probe side: the fixture parquet is one split, and
     # a 1×1-partition cartesian runs its O(n²) loop on a single core
     # (same trap as the bitset pair stage).
-    n_parts = spark.sparkContext.defaultParallelism * 2
+    n_parts = default_parallelism(spark) * 2
     a = v.repartition(n_parts).select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")
     )

@@ -76,7 +76,9 @@ def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
     and takes a redundant repartition; for the CPU-bound kernels this
     wraps, that shuffle is noise next to the kernel itself.
     """
-    target = spark.sparkContext.defaultParallelism * factor
+    from pim_orc_spark.session import default_parallelism
+
+    target = default_parallelism(spark) * factor
     try:
         n_inputs = len(df.inputFiles())
     except Exception:

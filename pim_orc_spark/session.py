@@ -63,6 +63,37 @@ PARITY_RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def default_parallelism(spark: SparkSession) -> int:
+    """Cluster default parallelism, transport-tolerant (r15 verdict
+    #1): a classic session reads ``sparkContext.defaultParallelism``;
+    a Spark Connect session exposes no SparkContext handle, so fall
+    back to the session's shuffle-partition conf — sized to the
+    cluster by the same deployment that sizes parallelism, and the
+    number AQE re-plans from anyway. Operators size *starting*
+    partition counts from this; exact equality between transports is
+    not required (AQE owns the final number), only a sane positive
+    cluster-shaped value."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def application_id(spark: SparkSession) -> str:
+    """Application id, transport-tolerant: classic reads the
+    SparkContext; under Spark Connect the server's ``spark.app.id``
+    runtime conf is the same value fetched over RPC. Used only as a
+    cache-scoping key (artifacts.py) — any stable-per-application
+    string works."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        try:
+            return spark.conf.get("spark.app.id")
+        except Exception:
+            return "connect-app"
+
+
 def ensure_parity_confs(spark: SparkSession) -> SparkSession:
     """Assert runtime confs on an externally-created session (the driver
     owns its own SparkSession; every ``queries()`` callable routes through

@@ -131,14 +131,20 @@ def _decode_stream(data: bytes, kind: str) -> bytes:
 
 
 def _read_tail_fileobj(
-    fh, size: int, name: str
+    fh, size: int, name: str, want_meta: bool = True
 ) -> tuple[dict, str, bytes, bytes]:
     """Read and split the ORC tail from any seekable binary file-like
     object of ``size`` bytes: returns (postscript fields, compression
     kind, raw footer stream, raw metadata stream). One seek-and-read
-    of ``_TAIL_GUESS`` bytes covers the common case; a footer +
-    metadata section larger than the guess (wide schemas) triggers
-    exactly one re-read of the true tail length.
+    of ``_TAIL_GUESS`` bytes covers the common case; a tail larger
+    than the guess triggers exactly one re-read of the true length.
+
+    ``want_meta=False`` is the footer-facts-only fast path: the
+    re-read threshold excludes the stripe-statistics Metadata section
+    (which on many-stripe files alone can exceed the guess), so such
+    callers never pay a second read for bytes they ignore; ``meta_raw``
+    is then whatever the first read happened to cover in full, else
+    ``b""`` — never a truncated slice.
 
     This is the remote-deployment entry point the local-path guard in
     ``orc_io.orc_metadata`` points at: an object-storage client hands
@@ -158,21 +164,26 @@ def _read_tail_fileobj(
         raise ValueError(f"{name}: postscript carries no footerLength")
     meta_len = ps.get(5, 0)
     kind = COMPRESSION_KINDS[ps.get(2, 0)]
-    need = meta_len + footer_len + ps_len + 1
+    need = (meta_len if want_meta else 0) + footer_len + ps_len + 1
     if need > len(tail):  # rare: huge footer/metadata (wide schema)
         fh.seek(size - need)
         tail = fh.read(need)
     footer_end = len(tail) - 1 - ps_len
     footer_raw = tail[footer_end - footer_len : footer_end]
-    meta_raw = tail[footer_end - footer_len - meta_len : footer_end - footer_len]
+    meta_start = footer_end - footer_len - meta_len
+    meta_raw = (
+        tail[meta_start : footer_end - footer_len] if meta_start >= 0 else b""
+    )
     return ps, kind, footer_raw, meta_raw
 
 
-def _read_tail(path: str) -> tuple[dict, str, bytes, bytes]:
+def _read_tail(
+    path: str, want_meta: bool = True
+) -> tuple[dict, str, bytes, bytes]:
     """Local-filesystem wrapper over ``_read_tail_fileobj``."""
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
-        return _read_tail_fileobj(fh, size, path)
+        return _read_tail_fileobj(fh, size, path, want_meta)
 
 
 def _footer_facts(ps: dict, kind: str, footer_raw: bytes, name: str) -> dict:
@@ -203,7 +214,7 @@ def read_orc_footer_facts(path: str) -> dict:
     """Planning facts of one ORC file, footer-only (O(footer bytes),
     no row data touched): stripe count, rows per stripe, total rows,
     compression kind, compression block size, row-index stride."""
-    ps, kind, footer_raw, _ = _read_tail(path)
+    ps, kind, footer_raw, _ = _read_tail(path, want_meta=False)
     return _footer_facts(ps, kind, footer_raw, os.path.basename(path))
 
 
@@ -215,7 +226,7 @@ def read_orc_footer_facts_fileobj(fh, size: int, name: str = "<stream>") -> dict
     with zero filesystem assumptions. Offsets are interpreted from the
     stream's start, so a partial fetch must be the object's full tail
     presented as its own stream."""
-    ps, kind, footer_raw, _ = _read_tail_fileobj(fh, size, name)
+    ps, kind, footer_raw, _ = _read_tail_fileobj(fh, size, name, want_meta=False)
     return _footer_facts(ps, kind, footer_raw, name)
 
 
@@ -363,6 +374,28 @@ def read_orc_column_stats(path: str) -> dict:
     Cross-validated in pytest against the JVM reader's
     ``getStatistics()`` / ``getStripeStatistics()`` on the same files."""
     ps, kind, footer_raw, meta_raw = _read_tail(path)
+    return _column_stats(kind, footer_raw, meta_raw, os.path.basename(path))
+
+
+def read_orc_stats_fileobj(
+    fh, size: int, name: str = "<stream>"
+) -> tuple[dict, dict]:
+    """ONE tail read → (footer facts, column statistics): the combined
+    per-object call a DISTRIBUTED footer map issues — an executor task
+    (or an object-storage client) opens its handle once and gets both
+    dicts, byte-identical to the path APIs' ``read_orc_footer_facts`` /
+    ``read_orc_column_stats`` pair (equality pytest-asserted). This is
+    the 100 TB form of ``orc_io.orc_stats_skipping``'s driver loop: a
+    map over the file listing, O(footer bytes) per task, no per-file
+    driver I/O."""
+    ps, kind, footer_raw, meta_raw = _read_tail_fileobj(fh, size, name)
+    return (
+        _footer_facts(ps, kind, footer_raw, name),
+        _column_stats(kind, footer_raw, meta_raw, name),
+    )
+
+
+def _column_stats(kind: str, footer_raw: bytes, meta_raw: bytes, name: str) -> dict:
     footer = _decode_stream(footer_raw, kind)
     names = _column_names(footer)
     file_raw = [v for f, v in _fields(footer) if f == 7]
@@ -385,7 +418,7 @@ def read_orc_column_stats(path: str) -> dict:
                 }
             )
     return {
-        "file": os.path.basename(path),
+        "file": name,
         "columns": names[1:],
         "file_stats": file_stats,
         "stripe_stats": stripe_stats,

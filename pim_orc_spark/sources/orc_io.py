@@ -99,7 +99,8 @@ def orc_metadata(spark: SparkSession, path: str) -> list[dict]:
         from urllib.parse import urlparse
 
         u = urlparse(path)
-        if u.netloc not in ("", "localhost"):
+        # URI hosts are case-insensitive (RFC 3986 §3.2.2)
+        if u.netloc.lower() not in ("", "localhost"):
             raise ValueError(
                 f"orc_metadata reads local paths only (got {path!r} "
                 f"with authority {u.netloc!r}); a remote-FS deployment "
@@ -330,6 +331,202 @@ def orc_metadata_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-empty at every fixture scale.
 ORC_STATS_PRED = 2000.0
 
+# above this many part files, orc_stats_skipping stops parsing footers
+# in a driver loop and runs the distributed orc_footer_stats_map — the
+# same per-file rollup computed where the tasks run (r15 verdict #3)
+_ORC_FOOTER_DRIVER_MAX = 64
+
+
+def _stat_cmp(stat_val, kind):
+    """Statistics value in its comparable form: decimal statistics
+    arrive as spec-mandated strings and compare as ``decimal.Decimal``
+    (same routing as ``orc_footer.skippable_stripes``)."""
+    from decimal import Decimal
+
+    if kind == "decimal" and stat_val is not None:
+        return Decimal(stat_val)
+    return stat_val
+
+
+def _rollup_orc_file(facts: dict, stats: dict, col: str, pred: float) -> dict:
+    """Pure per-file rollup of one ORC file's footer facts + column
+    statistics under the SARG ``col <= pred`` — the mergeable partial
+    every ``orc_stats_skipping`` path (driver loop AND distributed map)
+    accumulates: total/candidate/skipped rows, the file envelope, and
+    the null-free / stripe-consistency booleans. Defensive by
+    construction (ADVICE r15): an absent envelope (all-null column) or
+    a Metadata/Footer stripe-count mismatch degrades the skip decision
+    to "keep every row" with the relevant boolean flagged, never a
+    TypeError/IndexError."""
+    out = {
+        "file": facts["file"],
+        "n_rows": facts["num_rows"],
+        "cand_rows": 0,
+        "skip_rows": 0,
+        "fmin": None,
+        "fmax": None,
+        "null_free": True,
+        "stripe_consistent": True,
+    }
+    if facts["num_rows"] == 0:  # empty part file: no stats to roll
+        return out
+    fs = stats["file_stats"][col]
+    fmin = _stat_cmp(fs["min"], fs["kind"])
+    fmax = _stat_cmp(fs["max"], fs["kind"])
+    out["null_free"] = (
+        not fs["has_null"] and fs["n_values"] == facts["num_rows"]
+    )
+    ss = [s[col] for s in stats["stripe_stats"]]
+    if fmin is None or fmax is None:
+        # no file envelope (all-null column): nothing to roll into
+        # min/max, nothing provably skippable — keep every row and
+        # record that nulls exist; consistency still checks counts
+        out["null_free"] = False
+        out["cand_rows"] = facts["num_rows"]
+        out["stripe_consistent"] = len(ss) == facts["num_stripes"]
+        return out
+    out["fmin"], out["fmax"] = fmin, fmax
+    s_mins = [_stat_cmp(s["min"], s["kind"]) for s in ss if s["min"] is not None]
+    s_maxs = [_stat_cmp(s["max"], s["kind"]) for s in ss if s["max"] is not None]
+    out["stripe_consistent"] = (
+        len(ss) == facts["num_stripes"]
+        and bool(s_mins)
+        and min(s_mins) == fmin
+        and max(s_maxs) == fmax
+        and sum(s["n_values"] for s in ss) == fs["n_values"]
+    )
+    if len(ss) != len(facts["stripe_rows"]):
+        # Metadata/Footer stripe-count mismatch (already recorded as
+        # stripe_consistent=False above, incl. the absent-Metadata
+        # ss=[] case): never index past the shorter list; the skip
+        # decision degrades to "keep every row", so skip_safe stays an
+        # honest statement of what would actually run
+        out["cand_rows"] = facts["num_rows"]
+        return out
+    # skip decision over the already-parsed stats (same rule as
+    # orc_footer.skippable_stripes, which re-parses the tail and stays
+    # the standalone per-file API): under val <= pred, a stripe whose
+    # min exceeds pred cannot match; a missing envelope is kept
+    for i, s in enumerate(ss):
+        smin = _stat_cmp(s["min"], s["kind"])
+        if smin is not None and smin > pred:
+            out["skip_rows"] += facts["stripe_rows"][i]
+        else:
+            out["cand_rows"] += facts["stripe_rows"][i]
+    return out
+
+
+def orc_footer_stats_map(
+    spark: SparkSession, files: list[str], col: str, pred: float
+) -> DataFrame:
+    """DISTRIBUTED ORC footer-stats map (r15 verdict #3): the 100 TB
+    form of ``orc_stats_skipping``'s driver loop — a ``mapInPandas``
+    over the file LISTING in which each executor task opens its own
+    files and feeds ``orc_footer.read_orc_stats_fileobj`` (one tail
+    read per file, O(footer bytes), row data never touched), emitting
+    one typed ``_rollup_orc_file`` partial per file. The listing is
+    the only driver-side input; footer I/O happens where the tasks
+    run, so a remote-FS deployment swaps ``open`` for its object
+    client and nothing else moves. Aggregating the partials
+    (SUM/MIN/MAX/AND — all mergeable) reproduces the driver loop's
+    facts exactly; the equality is pytest-asserted per round.
+
+    Envelope columns are emitted as doubles: int/double/date/timestamp
+    envelopes are exact; a decimal column's envelope would round —
+    deployments needing exact decimal envelopes read the per-file
+    partials' source dicts via ``read_orc_stats_fileobj`` directly."""
+    import pandas as pd
+
+    schema = (
+        "file string, n_rows long, cand_rows long, skip_rows long, "
+        "fmin double, fmax double, null_free boolean, "
+        "stripe_consistent boolean"
+    )
+
+    def scan(batches):
+        from pim_orc_spark.sources.orc_footer import read_orc_stats_fileobj
+
+        cols = [c.split()[0] for c in schema.split(", ")]
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                size = os.path.getsize(p)
+                with open(p, "rb") as fh:
+                    facts, stats = read_orc_stats_fileobj(
+                        fh, size, os.path.basename(p)
+                    )
+                r = _rollup_orc_file(facts, stats, col, pred)
+                rows.append(
+                    (
+                        r["file"],
+                        r["n_rows"],
+                        r["cand_rows"],
+                        r["skip_rows"],
+                        float(r["fmin"]) if r["fmin"] is not None else None,
+                        float(r["fmax"]) if r["fmax"] is not None else None,
+                        r["null_free"],
+                        r["stripe_consistent"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(max(1, min(len(files), 32)))
+    return listing.mapInPandas(scan, schema)
+
+
+def _footer_rollup(
+    spark: SparkSession, files: list[str], col: str
+) -> tuple:
+    """Roll every file's footer facts into the skipping report's
+    scalars: (n_rows, cand_rows, skip_rows, mins, maxs, null_free,
+    stripe_consistent). Driver loop below ``_ORC_FOOTER_DRIVER_MAX``
+    files, the distributed ``orc_footer_stats_map`` past it — partials
+    are mergeable, so the distributed form is ONE aggregate row."""
+    from pim_orc_spark.sources.orc_footer import (
+        read_orc_column_stats,
+        read_orc_footer_facts,
+    )
+
+    if len(files) > _ORC_FOOTER_DRIVER_MAX:
+        agg = (
+            orc_footer_stats_map(spark, files, col, ORC_STATS_PRED)
+            .agg(
+                F.sum("n_rows").alias("n"),
+                F.sum("cand_rows").alias("c"),
+                F.sum("skip_rows").alias("s"),
+                F.min("fmin").alias("lo"),
+                F.max("fmax").alias("hi"),
+                F.bool_and("null_free").alias("nf"),
+                F.bool_and("stripe_consistent").alias("sc"),
+            )
+            .collect()[0]
+        )
+        return (
+            agg["n"],
+            agg["c"],
+            agg["s"],
+            [agg["lo"]] if agg["lo"] is not None else [],
+            [agg["hi"]] if agg["hi"] is not None else [],
+            agg["nf"],
+            agg["sc"],
+        )
+    rollups = []
+    for f in files:
+        facts = read_orc_footer_facts(f)
+        stats = read_orc_column_stats(f)
+        rollups.append(_rollup_orc_file(facts, stats, col, ORC_STATS_PRED))
+    return (
+        sum(r["n_rows"] for r in rollups),
+        sum(r["cand_rows"] for r in rollups),
+        sum(r["skip_rows"] for r in rollups),
+        [r["fmin"] for r in rollups if r["fmin"] is not None],
+        [r["fmax"] for r in rollups if r["fmax"] is not None],
+        all(r["null_free"] for r in rollups),
+        all(r["stripe_consistent"] for r in rollups),
+    )
+
 
 def orc_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE-side ORC statistics introspection — the SARG analogue of
@@ -356,13 +553,13 @@ def orc_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       loses a matching row; both booleans must hash TRUE.
 
     Footer work is driver-side O(files) metadata (the ``orc_metadata``
-    stance); at 100 TB the same per-file facts would be computed by a
-    distributed map over the file listing."""
-    from pim_orc_spark.sources.orc_footer import (
-        read_orc_column_stats,
-        read_orc_footer_facts,
-    )
-
+    stance) up to ``_ORC_FOOTER_DRIVER_MAX`` files; past that it IS the
+    distributed map (``orc_footer_stats_map`` — executor tasks open
+    their own files, the driver only aggregates mergeable partials),
+    equality of the two paths pytest-asserted per round. The rollup is
+    pure table metadata, so repeat invocations ride the artifact cache
+    (keyed on table dir + version, like the dedup gram index); the
+    pred_match count stays live every call."""
     li = orc_table(spark, sf_dir, "lineitem")  # ensures materialization
     pred_match = li.filter(
         F.col("l_extendedprice") <= ORC_STATS_PRED
@@ -374,39 +571,26 @@ def orc_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.endswith(".orc")
     )
     col = "l_extendedprice"
-    n_rows = cand_rows = skip_rows = 0
-    mins: list[float] = []
-    maxs: list[float] = []
-    null_free = stripe_consistent = True
-    for f in files:
-        facts = read_orc_footer_facts(f)
-        stats = read_orc_column_stats(f)
-        n_rows += facts["num_rows"]
-        if facts["num_rows"] == 0:  # empty part file: no stats to roll
-            continue
-        fs = stats["file_stats"][col]
-        mins.append(fs["min"])
-        maxs.append(fs["max"])
-        null_free &= (
-            not fs["has_null"] and fs["n_values"] == facts["num_rows"]
-        )
-        ss = [s[col] for s in stats["stripe_stats"]]
-        stripe_consistent &= (
-            len(ss) == facts["num_stripes"]
-            and min(s["min"] for s in ss) == fs["min"]
-            and max(s["max"] for s in ss) == fs["max"]
-            and sum(s["n_values"] for s in ss) == fs["n_values"]
-        )
-        # skip decision inline over the already-parsed stats (same
-        # rule as orc_footer.skippable_stripes, which re-parses the
-        # tail and stays the standalone per-file API): under
-        # val <= PRED, a stripe whose min exceeds PRED cannot match;
-        # a missing envelope is conservatively kept
-        for i, s in enumerate(ss):
-            if s["min"] is not None and s["min"] > ORC_STATS_PRED:
-                skip_rows += facts["stripe_rows"][i]
-            else:
-                cand_rows += facts["stripe_rows"][i]
+
+    def _build_rollup():
+        return _footer_rollup(spark, files, col)
+
+    from pim_orc_spark.artifacts import cached_artifact
+
+    # footer facts are pure table metadata — same (table dir, version)
+    # ⇒ same facts, so repeat invocations (bench warm passes, the
+    # driver sweep after pytest) ride the artifact cache like the gram
+    # index does (r15 verdict #7); pred_match stays live — the exact
+    # count over rows IS the query's distributed work
+    (
+        n_rows,
+        cand_rows,
+        skip_rows,
+        mins,
+        maxs,
+        null_free,
+        stripe_consistent,
+    ) = cached_artifact("orc_footer_rollup", spark, sf_dir, _build_rollup)
     skip_safe = (
         cand_rows >= pred_match and cand_rows + skip_rows == n_rows
     )

@@ -70,7 +70,10 @@ MAX_RATIO = 12.0
 # (min-of-N on a co-tenant host); its bound carries that noise band.
 # Known regressions it must still catch, by measurement: hauling the
 # band-key arrays through the self-join = 16.25×; any quadratic
-# candidate path = 50×+.
+# candidate path = 50×+. Since round 16 the bound applies to the
+# CALIBRATION-NORMALIZED ratio (r15 verdict #2: a raw 14.98 against
+# this bound was pure host profile — the probe-priced drift between
+# the small and big timing blocks is divided out before asserting).
 LSH_MAX_RATIO = 15.0
 TIMED_PASSES = int(os.environ.get("SPARK_GRAFT_SLOPE_PASSES", "3"))
 # Counting invariant on the candidate set (r12 verdict #1, form
@@ -209,7 +212,7 @@ def _persist_slope(update: dict) -> None:
     a wholesale write from either would drop the other's block)."""
     import json
 
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "15")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "16")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo_root, f"SLOPE_r{rnd}.json")
     data = {}
@@ -269,13 +272,36 @@ def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
     small_dirs = {name: sf_dir for name in SLOTS}
     small_dirs["dedup_minhash_lsh"] = docs_small
     big_dirs = {name: sf1 for name in SLOTS}
+    # Calibration probes bracket each timing block (r15 verdict #2:
+    # the LSH warm ratio landed at 14.98 vs bound 15.0 on pure host
+    # profile — the raw wall ratio must not be the asserted number).
+    # The bench's own fixed CPU-bound probe prices the host during the
+    # small and big blocks separately; the ASSERTED ratio divides out
+    # the drift between them: ratio_norm = (big/cal_big)/(small/cal_s).
+    # A host that slowed for the big block no longer false-fails the
+    # bound; a real superlinear slope moves data-proportionally and is
+    # untouched by the probe. Counting invariants below stay primary.
+    from bench import calibration
+
+    cal0, _ = calibration(spark)
     small, cold_small = _time_slots(qs, spark, small_dirs)
+    cal1, _ = calibration(spark)
     big, cold_big = _time_slots(qs, spark, big_dirs)
+    cal2, _ = calibration(spark)
+    cal_small, cal_big = min(cal0, cal1), min(cal1, cal2)
+    host_drift = round(cal_big / cal_small, 3) if cal_small > 0 else 1.0
     ratios = {n: round(big[n] / small[n], 2) for n in SLOTS}
+    ratios_norm = {
+        n: round(r / host_drift, 2) for n, r in ratios.items()
+    }
     cold_ratios = {
         n: round(cold_big[n] / cold_small[n], 2) for n in SLOTS
     }
-    print(f"\nscale_slope sf0.1→sf1 (warm, asserted): {ratios}")
+    print(
+        f"\nscale_slope sf0.1→sf1 warm raw: {ratios}; "
+        f"cal-normalized (asserted): {ratios_norm} "
+        f"[cal {cal_small:.3f}s→{cal_big:.3f}s, drift {host_drift}×]"
+    )
     print(f"  cold incl. artifact builds (reported): {cold_ratios}")
     print(f"  small={ {n: round(t, 3) for n, t in small.items()} }")
     print(f"  big={ {n: round(t, 3) for n, t in big.items()} }")
@@ -331,7 +357,7 @@ def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
     bounds = {n: MAX_RATIO for n in SLOTS}
     bounds["dedup_minhash_lsh"] = LSH_MAX_RATIO
     offenders = {
-        n: (r, bounds[n]) for n, r in ratios.items() if r > bounds[n]
+        n: (r, bounds[n]) for n, r in ratios_norm.items() if r > bounds[n]
     }
 
     # Persist the round's slope evidence (r12 verdict #1: the ratios
@@ -340,10 +366,17 @@ def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
     artifact = {
         "base_sf_dir": sf_dir,
         "warm_ratios": ratios,
+        # the ASSERTED numbers (r15 verdict #2): raw ratios divided by
+        # the probe-measured host drift between the two timing blocks
+        "warm_ratios_cal_normalized": ratios_norm,
+        "calibration_small_sec": round(cal_small, 4),
+        "calibration_big_sec": round(cal_big, 4),
+        "calibration_host_drift": host_drift,
         "cold_ratios": cold_ratios,
         "warm_small_sec": {n: round(t, 3) for n, t in small.items()},
         "warm_big_sec": {n: round(t, 3) for n, t in big.items()},
         "bounds": bounds,
+        "bounds_apply_to": "warm_ratios_cal_normalized",
         "lsh": {
             "pairs_small": n_pairs_small,
             "pairs_big": n_pairs_big,
@@ -362,8 +395,9 @@ def test_top_slots_scale_linearly_one_decade_up(spark, tmp_path):
     _persist_slope(artifact)
 
     assert not offenders, (
-        f"superlinear one-decade slope (ratio, bound): {offenders}; "
-        f"all ratios {ratios}"
+        f"superlinear one-decade slope (cal-normalized ratio, bound): "
+        f"{offenders}; raw {ratios}, normalized {ratios_norm}, "
+        f"host drift {host_drift}x"
     )
 
 
@@ -428,8 +462,13 @@ def test_containment_prefix_scales_one_decade_up(spark, tmp_path):
         rates[label] = cands[label] / (n * (n - 1))
 
     # wall clock: full engine (index build + candidates + verify),
-    # min-of-N at both scales — the contention-immune statistic
-    wall = {}
+    # min-of-N at both scales — the contention-immune statistic;
+    # calibration probes bracket each block so the persisted ratio has
+    # a host-drift-corrected twin (r15 verdict #2, same method as the
+    # asserted top-slots bound)
+    from bench import calibration
+
+    wall, cals = {}, [calibration(spark)[0]]
     for label in ("small", "big"):
         best = float("inf")
         for _ in range(CONT_PASSES):
@@ -439,7 +478,11 @@ def test_containment_prefix_scales_one_decade_up(spark, tmp_path):
             ).write.format("noop").mode("overwrite").save()
             best = min(best, _time.perf_counter() - t0)
         wall[label] = best
+        cals.append(calibration(spark)[0])
+    cal_s, cal_b = min(cals[0], cals[1]), min(cals[1], cals[2])
+    drift = round(cal_b / cal_s, 3) if cal_s > 0 else 1.0
     wall_ratio = round(wall["big"] / wall["small"], 2)
+    wall_ratio_norm = round(wall_ratio / drift, 2)
 
     # recall floor: every planted near-dup is a containment pair in
     # BOTH directions (115/120 shared tokens ⇒ C ≈ 0.958 ≥ 0.9)
@@ -453,7 +496,8 @@ def test_containment_prefix_scales_one_decade_up(spark, tmp_path):
     ).count()
     print(
         f"\ncontainment slope {n_small}→{n_big} docs: "
-        f"wall {wall['small']:.2f}s→{wall['big']:.2f}s ({wall_ratio}×); "
+        f"wall {wall['small']:.2f}s→{wall['big']:.2f}s ({wall_ratio}×, "
+        f"cal-normalized {wall_ratio_norm}× at drift {drift}×); "
         f"candidates {cands['small']}→{cands['big']} "
         f"(rates {rates['small']:.4%}→{rates['big']:.4%}); "
         f"pairs {pairs_small}/{pairs_big} "
@@ -470,6 +514,10 @@ def test_containment_prefix_scales_one_decade_up(spark, tmp_path):
                 "wall_small_sec": round(wall["small"], 3),
                 "wall_big_sec": round(wall["big"], 3),
                 "wall_ratio": wall_ratio,
+                "wall_ratio_cal_normalized": wall_ratio_norm,
+                "calibration_small_sec": round(cal_s, 4),
+                "calibration_big_sec": round(cal_b, 4),
+                "calibration_host_drift": drift,
                 "candidates_small": cands["small"],
                 "candidates_big": cands["big"],
                 "admission_rate_small": round(rates["small"], 6),

@@ -983,6 +983,9 @@ def test_orc_metadata_path_scheme_guards():
         # empty dir → empty inventory, but the path RESOLVED (no raise)
         assert orc_metadata(None, f"file://{d}") == []
         assert orc_metadata(None, f"file://localhost{d}") == []
+        # URI hosts are case-insensitive (RFC 3986 §3.2.2, ADVICE r15)
+        assert orc_metadata(None, f"file://LOCALHOST{d}") == []
+        assert orc_metadata(None, f"file://LocalHost{d}") == []
         assert orc_metadata(None, f"file:{d}") == []
     with pytest.raises(ValueError, match="authority"):
         orc_metadata(None, "file://otherhost/data/t.orc")
@@ -1153,6 +1156,62 @@ def test_orc_skippable_stripes_report(spark, tmp_path):
         assert r["skippable"] == (r["min"] > 999.0 or r["max"] < 0.0)
 
 
+def test_orc_stripe_skip_prediction_matches_executed_scan(spark, tmp_path):
+    """r15 verdict #4: the engine's stripe-skip PREDICTION is
+    reconciled with Spark's executed scan BEHAVIOR. On the value-sorted
+    multi-stripe fixture, under spark.sql.orc.filterPushdown with the
+    same SARG (v <= 999), the executed ORC scan's own metrics must be
+    consistent with skippable_stripes' envelope math:
+
+      exact matches  <=  scan rows emitted  <=  predicted candidate rows
+
+    — the left bound proves skipping lost no matching row, the right
+    bound proves the scan skipped AT LEAST what stripe envelopes prove
+    skippable (Spark's row-group-granular SARG is finer than the
+    stripe-granular prediction, never coarser). A scan emitting fewer
+    rows than the file total also witnesses that pushdown actually
+    engaged."""
+    import glob
+
+    from pim_orc_spark.plans import executed_scan_metrics
+    from pim_orc_spark.sources.orc_footer import skippable_stripes
+
+    out = str(tmp_path / "orc_sorted_scan")
+    (
+        spark.range(0, 400_000)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .sort("id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.stripe.size", str(256 * 1024))
+        .orc(out)
+    )
+    (f,) = glob.glob(os.path.join(out, "*.orc"))
+    rep = skippable_stripes(f, "v", upper=999.0)
+    assert sum(1 for r in rep if r["skippable"]) >= 1, rep
+    predicted_cand = sum(r["rows"] for r in rep if not r["skippable"])
+    total = sum(r["rows"] for r in rep)
+    assert predicted_cand < total  # the prediction is non-trivial
+
+    assert (
+        spark.conf.get("spark.sql.orc.filterPushdown").lower() == "true"
+    )
+    df = spark.read.orc(out).filter("v <= 999.0")
+    exact = df.count()
+    assert exact == 1000
+    df.collect()  # metrics are zero until the plan executes
+    pushed = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in pushed and "LessThanOrEqual(v,999.0)" in pushed
+    (scan,) = [
+        m for m in executed_scan_metrics(df) if "numOutputRows" in m
+    ]
+    emitted = scan["numOutputRows"]
+    assert exact <= emitted <= predicted_cand, (
+        exact, emitted, predicted_cand, rep,
+    )
+    assert emitted < total, "scan read every row — pushdown never engaged"
+
+
 def test_orc_column_stats_decimal_date_timestamp(spark, tmp_path):
     """The three stats kinds the JVM loop above doesn't exercise —
     DecimalStatistics (decimal strings), DateStatistics (zigzag epoch
@@ -1221,6 +1280,239 @@ def test_orc_column_stats_decimal_date_timestamp(spark, tmp_path):
     assert all(not r["skippable"] for r in rep)
     rep2 = skippable_stripes(f, "dec", lower=Decimal("999999.00"))
     assert all(r["skippable"] for r in rep2)
+
+
+def test_orc_footer_stats_map_matches_driver_loop(spark, sf_dir, monkeypatch):
+    """r15 verdict #3: orc_stats_skipping's facts are derivable with NO
+    per-file driver I/O — the distributed mapInPandas over the file
+    listing (executor tasks parse their own footers via
+    read_orc_stats_fileobj) emits per-file rollups identical to the
+    driver loop's, and forcing the query down the distributed path
+    returns the exact same exported row."""
+    import glob
+
+    from pim_orc_spark.sources.orc_footer import (
+        read_orc_column_stats,
+        read_orc_footer_facts,
+    )
+    from pim_orc_spark.sources.orc_io import (
+        ORC_STATS_PRED,
+        _rollup_orc_file,
+        orc_footer_stats_map,
+        orc_stats_skipping,
+    )
+
+    orc_io.orc_table(spark, sf_dir, "lineitem")
+    files = sorted(
+        glob.glob(
+            os.path.join(
+                versioned_cache_dir(
+                    orc_io._ORC_CACHE_ROOT, sf_dir, "lineitem"
+                ),
+                "*.orc",
+            )
+        )
+    )
+    col = "l_extendedprice"
+    driver = {
+        os.path.basename(f): _rollup_orc_file(
+            read_orc_footer_facts(f), read_orc_column_stats(f), col,
+            ORC_STATS_PRED,
+        )
+        for f in files
+    }
+    dist = {
+        r["file"]: r.asDict()
+        for r in orc_footer_stats_map(
+            spark, files, col, ORC_STATS_PRED
+        ).collect()
+    }
+    assert set(dist) == set(driver)
+    for name, d in driver.items():
+        got = dist[name]
+        for k in (
+            "n_rows", "cand_rows", "skip_rows", "null_free",
+            "stripe_consistent",
+        ):
+            assert got[k] == d[k], (name, k, got[k], d[k])
+        # double envelopes are exact for this double column
+        assert got["fmin"] == d["fmin"] and got["fmax"] == d["fmax"], name
+    # the exported row is path-independent: force the distributed
+    # branch and compare against the driver-loop branch (the footer
+    # rollup rides the artifact cache, so clear between runs or the
+    # second call would reuse the first branch's rollup)
+    import pim_orc_spark.artifacts as artifacts
+
+    artifacts.clear()
+    base = orc_stats_skipping(spark, sf_dir).collect()
+    monkeypatch.setattr(orc_io, "_ORC_FOOTER_DRIVER_MAX", 0)
+    artifacts.clear()
+    assert orc_stats_skipping(spark, sf_dir).collect() == base
+    artifacts.clear()  # drop the forced-branch rollup for later tests
+
+
+def test_rollup_orc_file_defensive_paths():
+    """ADVICE r15 #1/#2: the per-file rollup degrades, never raises —
+    an all-null envelope keeps every row with null_free off; decimal
+    stats compare as Decimal (not str*float); a Metadata section with
+    MORE stripe entries than the footer has stripes (or none at all)
+    flags stripe_consistent without indexing past the shorter list."""
+    from pim_orc_spark.sources.orc_io import _rollup_orc_file
+
+    def cs(kind, mn, mx, n, has_null=False):
+        return {
+            "kind": kind, "min": mn, "max": mx, "sum": None,
+            "n_values": n, "has_null": has_null,
+        }
+
+    facts = {
+        "file": "t.orc", "num_rows": 100, "num_stripes": 2,
+        "stripe_rows": [60, 40],
+    }
+
+    # all-null column: no envelope anywhere — keep all, null_free off
+    r = _rollup_orc_file(
+        facts,
+        {
+            "file_stats": {"v": cs("int", None, None, 0, True)},
+            "stripe_stats": [
+                {"v": cs("int", None, None, 0, True)},
+                {"v": cs("int", None, None, 0, True)},
+            ],
+        },
+        "v",
+        50.0,
+    )
+    assert r["cand_rows"] == 100 and r["skip_rows"] == 0
+    assert not r["null_free"] and r["stripe_consistent"]
+
+    # decimal stats: string envelopes route through Decimal; the
+    # second stripe's min 70.00 > pred 50.0 → its rows skip
+    r = _rollup_orc_file(
+        facts,
+        {
+            "file_stats": {"v": cs("decimal", "1.50", "99.00", 100)},
+            "stripe_stats": [
+                {"v": cs("decimal", "1.50", "49.00", 60)},
+                {"v": cs("decimal", "70.00", "99.00", 40)},
+            ],
+        },
+        "v",
+        50.0,
+    )
+    assert r["cand_rows"] == 60 and r["skip_rows"] == 40
+    assert r["null_free"] and r["stripe_consistent"]
+    assert float(r["fmin"]) == 1.5 and float(r["fmax"]) == 99.0
+
+    # Metadata carries MORE stripe entries than the footer has stripes:
+    # consistency flags, skip decision keeps every row, no IndexError
+    r = _rollup_orc_file(
+        facts,
+        {
+            "file_stats": {"v": cs("int", 0, 99, 100)},
+            "stripe_stats": [
+                {"v": cs("int", 0, 49, 60)},
+                {"v": cs("int", 70, 99, 40)},
+                {"v": cs("int", 70, 99, 40)},
+            ],
+        },
+        "v",
+        50.0,
+    )
+    assert not r["stripe_consistent"]
+    assert r["cand_rows"] == 100 and r["skip_rows"] == 0
+
+    # absent Metadata section entirely (ss = []): same degradation,
+    # named by the consistency flag rather than a silent skip_safe=False
+    r = _rollup_orc_file(
+        facts,
+        {
+            "file_stats": {"v": cs("int", 0, 99, 100)},
+            "stripe_stats": [],
+        },
+        "v",
+        50.0,
+    )
+    assert not r["stripe_consistent"]
+    assert r["cand_rows"] == 100 and r["skip_rows"] == 0
+
+    # empty part file: zero rollup, booleans stay neutral
+    r = _rollup_orc_file(
+        {"file": "e.orc", "num_rows": 0, "num_stripes": 0,
+         "stripe_rows": []},
+        {"file_stats": {}, "stripe_stats": []},
+        "v",
+        50.0,
+    )
+    assert r["n_rows"] == 0 and r["cand_rows"] == 0
+    assert r["null_free"] and r["stripe_consistent"]
+
+
+def test_orc_footer_facts_fast_path_is_one_read(spark, tmp_path, monkeypatch):
+    """ADVICE r15 #3: footer-facts-only callers never pay a tail
+    re-read for the stripe-statistics Metadata section they ignore —
+    with _TAIL_GUESS squeezed so footer+postscript fit but
+    footer+metadata does NOT, read_orc_footer_facts_fileobj performs
+    exactly ONE read and returns the unpatched facts, while the
+    stats-consuming combined call re-reads (two reads) and still
+    matches the path APIs byte-for-byte."""
+    import glob
+
+    import pim_orc_spark.sources.orc_footer as of
+
+    out = str(tmp_path / "orc_manystripe")
+    (
+        spark.range(0, 400_000)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .sort("id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.stripe.size", str(256 * 1024))
+        .orc(out)
+    )
+    (f,) = glob.glob(os.path.join(out, "*.orc"))
+    size = os.path.getsize(f)
+    # postscript fields: 1 = footerLength, 5 = metadataLength
+    ps, _k, _footer_raw, _meta_raw = of._read_tail(f)
+    footer_len, meta_len = ps[1], ps.get(5, 0)
+    with open(f, "rb") as raw:
+        raw.seek(size - 1)
+        ps_len = raw.read(1)[0]
+    assert meta_len > 0, "fixture must carry a Metadata section"
+
+    class CountingFile:
+        def __init__(self, fh):
+            self.fh, self.reads = fh, 0
+
+        def seek(self, *a):
+            return self.fh.seek(*a)
+
+        def read(self, *a):
+            self.reads += 1
+            return self.fh.read(*a)
+
+    base_facts = of.read_orc_footer_facts(f)
+    base_stats = of.read_orc_column_stats(f)
+    # squeeze the guess between the two tail shapes: covers
+    # footer+postscript, NOT footer+metadata+postscript
+    guess = footer_len + ps_len + 1 + 8
+    assert guess < meta_len + footer_len + ps_len + 1
+    monkeypatch.setattr(of, "_TAIL_GUESS", guess)
+    with open(f, "rb") as fh:
+        cf = CountingFile(fh)
+        facts = of.read_orc_footer_facts_fileobj(cf, size, "t.orc")
+        assert cf.reads == 1, "facts-only caller paid a metadata re-read"
+    assert {k: v for k, v in facts.items() if k != "file"} == {
+        k: v for k, v in base_facts.items() if k != "file"
+    }
+    with open(f, "rb") as fh:
+        cf = CountingFile(fh)
+        facts2, stats2 = of.read_orc_stats_fileobj(cf, size, base_stats["file"])
+        assert cf.reads == 2, "stats caller must re-read the true tail"
+    assert stats2 == base_stats
+    assert {k: v for k, v in facts2.items() if k != "file"} == {
+        k: v for k, v in base_facts.items() if k != "file"
+    }
 
 
 def test_orc_footer_fileobj_api_matches_path_api(spark, sf_dir):
