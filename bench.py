@@ -46,6 +46,14 @@ def current_round_n() -> int | None:
     bench_prev_cal.json ritual (SURVEY §8.5) is machine-checkable: a
     mis-copied base whose `"round"` is not N-1 is REFUSED instead of
     silently normalizing against a two-round-old quotient.
+
+    Known limitation (accepted): a MANUAL bench re-run after the
+    driver's BENCH_r{N}.json record lands is indistinguishable from
+    the next round's first run — it stamps r{N+1} and refuses the
+    r{N-1} base. That never happens in the driver's flow (the record
+    derives FROM the bench run, so bench always runs first); if done
+    by hand, the ritual meta-test flags the state with an actionable
+    message rather than letting normalization silently drift.
     """
     import glob
     import re

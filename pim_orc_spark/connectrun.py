@@ -62,9 +62,11 @@ def connect_gate_error() -> str | None:
 def rows_fingerprint(rows) -> list[str]:
     """Transport-comparable form of a collected result: one repr per
     row (exports are scalar-only columns by the entry contract, so
-    repr is total and deterministic), sorted — row order is not part
-    of any export's contract unless the plan sorts, and a sorted
-    comparison is strict for sorted plans too."""
+    repr is total and deterministic), sorted. NOTE: sorting certifies
+    SET equality — an ordering difference on a sorted/top-k plan is
+    deliberately not this harness's concern (the membership of a
+    top-k result already pins the sort's effect; per-row ordering is
+    certified transport-independently by the driver's oracle hash)."""
     return sorted(repr(tuple(r)) for r in rows)
 
 
@@ -85,7 +87,16 @@ def run_subset_under_connect(
     ``remote`` defaults to ``$SPARK_REMOTE`` or ``local[cpus]`` (the
     in-process server the pyspark distribution's connect jar backs).
     Raises ``NotImplementedError`` naming the missing dependency when
-    the client cannot load (the documented env-gate pattern)."""
+    the client cannot load (the documented env-gate pattern), and
+    ``RuntimeError`` when a CLASSIC session is already active in this
+    process — pyspark refuses to open a Connect session beside one
+    (SESSION_ALREADY_EXIST), so a comparison harness must collect its
+    classic results and then run this in a FRESH process
+    (``run_subset_in_subprocess`` below does exactly that).
+
+    The Connect session is stopped on exit only when this call created
+    it; a pre-existing active Connect session (a caller already
+    running over Connect) is left running."""
     gate = connect_gate_error()
     if gate is not None:
         raise NotImplementedError(
@@ -97,9 +108,28 @@ def run_subset_under_connect(
 
     from pim_orc_spark.session import ensure_parity_confs
 
+    classic = None
+    try:
+        classic = SparkSession.getActiveSession()
+    except Exception:
+        pass
+    if classic is not None:
+        raise RuntimeError(
+            "a classic SparkSession is active in this process; pyspark "
+            "cannot open a Connect session beside it "
+            "(SESSION_ALREADY_EXIST) — stop it first or use "
+            "run_subset_in_subprocess"
+        )
     names = CONNECT_SUBSET if names is None else names
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     remote = remote or os.environ.get("SPARK_REMOTE", f"local[{cpus}]")
+    preexisting = False
+    try:
+        from pyspark.sql.connect.session import SparkSession as CS
+
+        preexisting = CS.getActiveSession() is not None
+    except Exception:
+        pass
     spark = SparkSession.builder.remote(remote).getOrCreate()
     try:
         # parity confs are all RUNTIME confs, settable over Connect RPC
@@ -109,4 +139,51 @@ def run_subset_under_connect(
             for name in names
         }
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
+
+
+def run_subset_in_subprocess(
+    sf_dir: str,
+    names: list[str] | None = None,
+    repo_root: str | None = None,
+    timeout: int = 1800,
+) -> dict[str, list[str]]:
+    """Execute the Connect subset in a FRESH Python process (no classic
+    session to collide with) and return its fingerprints. The child
+    imports ``__spark_entry__.all_queries()`` from ``repo_root``
+    (default: this package's parent) and prints one JSON object; the
+    parent — typically holding the classic session whose results it
+    wants to compare against — parses it. This is the comparison
+    protocol the live test uses."""
+    import json
+    import subprocess
+    import sys
+
+    names = CONNECT_SUBSET if names is None else names
+    repo_root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    child = (
+        "import json, sys\n"
+        f"sys.path.insert(0, {repo_root!r})\n"
+        "import __spark_entry__ as entry\n"
+        "from pim_orc_spark.connectrun import run_subset_under_connect\n"
+        f"out = run_subset_under_connect({sf_dir!r}, entry.all_queries(), "
+        f"names={names!r})\n"
+        "print('CONNECT_FP ' + json.dumps(out))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=repo_root,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("CONNECT_FP "):
+            return json.loads(line[len("CONNECT_FP "):])
+    raise RuntimeError(
+        f"Connect subprocess produced no fingerprints (rc={proc.returncode});"
+        f" stderr tail: {proc.stderr[-2000:]}"
+    )

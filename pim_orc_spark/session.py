@@ -91,7 +91,10 @@ def application_id(spark: SparkSession) -> str:
         try:
             return spark.conf.get("spark.app.id")
         except Exception:
-            return "connect-app"
+            # last resort: unique per session OBJECT, so two Connect
+            # sessions in one process never share a cache-scoping key
+            # (a constant here would defeat artifacts.py's eviction)
+            return f"connect-app-{id(spark):x}"
 
 
 def ensure_parity_confs(spark: SparkSession) -> SparkSession:

@@ -113,13 +113,14 @@ def test_engine_executes_under_spark_connect(spark, sf_dir):
         pytest.skip(f"Spark Connect env gate: {gate}")
 
     # live path (grpc-enabled env): classic first, then the same plans
-    # over Connect — fingerprints must agree per query
+    # over Connect in a FRESH process (pyspark refuses a Connect
+    # session beside an active classic one — SESSION_ALREADY_EXIST)
     smoke = "/root/testdata/sf0.001"
     classic = {
         name: connectrun.rows_fingerprint(qs[name](spark, smoke).collect())
         for name in connectrun.CONNECT_SUBSET
     }
-    via_connect = connectrun.run_subset_under_connect(smoke, qs)
+    via_connect = connectrun.run_subset_in_subprocess(smoke)
     assert via_connect == classic
 
 
