@@ -1448,6 +1448,76 @@ def test_rollup_orc_file_defensive_paths():
     assert r["null_free"] and r["stripe_consistent"]
 
 
+def test_rollup_orc_file_partition_property():
+    """Property harness over the per-file rollup: for ANY well-formed
+    footer (num_rows = Σ stripe_rows) with arbitrary stats — None
+    envelopes anywhere, int/double/decimal kinds, stripe-stat lists
+    shorter/longer than the stripe count — the rollup never raises,
+    candidate+skipped rows always partition the file exactly, and a
+    stripe's rows are skipped only when its min provably exceeds the
+    predicate. The fixture tests above pin specific branches; this
+    pins the safety contract on inputs no fixture writer would emit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pim_orc_spark.sources.orc_io import _rollup_orc_file
+
+    def cs(kind, mn, mx, n, has_null):
+        if kind == "decimal":
+            mn = None if mn is None else f"{mn}.00"
+            mx = None if mx is None else f"{mx}.00"
+        return {
+            "kind": kind, "min": mn, "max": mx, "sum": None,
+            "n_values": n, "has_null": has_null,
+        }
+
+    env = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+    kind = st.sampled_from(["int", "double", "decimal"])
+    stripe = st.tuples(
+        env, env, st.integers(min_value=0, max_value=50), st.booleans()
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        k=kind,
+        fmin=env,
+        fmax=env,
+        has_null=st.booleans(),
+        stripes=st.lists(stripe, min_size=0, max_size=5),
+        extra=st.integers(min_value=-2, max_value=2),  # ss length skew
+        pred=st.integers(min_value=-100, max_value=100),
+    )
+    def prop(k, fmin, fmax, has_null, stripes, extra, pred):
+        rows = [r for _mn, _mx, r, _hn in stripes]
+        facts = {
+            "file": "t.orc",
+            "num_rows": sum(rows),
+            "num_stripes": len(stripes),
+            "stripe_rows": rows,
+        }
+        ss_len = max(0, len(stripes) + extra)
+        ss = [
+            {"v": cs(k, mn, mx, r, hn)}
+            for mn, mx, r, hn in (stripes * 2)[:ss_len]
+        ]
+        stats = {
+            "file_stats": {"v": cs(k, fmin, fmax, sum(rows), has_null)},
+            "stripe_stats": ss,
+        }
+        r = _rollup_orc_file(facts, stats, "v", float(pred))
+        # the partition invariant skip_safe rests on: no row vanishes
+        assert r["cand_rows"] + r["skip_rows"] == facts["num_rows"]
+        # rows are skipped only under a provable envelope exclusion
+        if r["skip_rows"] > 0:
+            assert fmin is not None and fmax is not None
+            assert len(ss) == len(rows)
+        # an absent file envelope can never report a null-free column
+        if facts["num_rows"] > 0 and (fmin is None or fmax is None):
+            assert not r["null_free"]
+
+    prop()
+
+
 def test_orc_footer_facts_fast_path_is_one_read(spark, tmp_path, monkeypatch):
     """ADVICE r15 #3: footer-facts-only callers never pay a tail
     re-read for the stripe-statistics Metadata section they ignore —
