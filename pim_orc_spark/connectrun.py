@@ -97,13 +97,7 @@ def run_subset_under_connect(
     The Connect session is stopped on exit only when this call created
     it; a pre-existing active Connect session (a caller already
     running over Connect) is left running."""
-    gate = connect_gate_error()
-    if gate is not None:
-        raise NotImplementedError(
-            "Spark Connect client dependencies are unavailable in this "
-            f"environment ({gate}); install grpcio + grpcio-status + "
-            "protobuf to execute the engine over Connect"
-        )
+    _require_connect()
     from pyspark.sql import SparkSession
 
     from pim_orc_spark.session import ensure_parity_confs
@@ -143,6 +137,19 @@ def run_subset_under_connect(
             spark.stop()
 
 
+def _require_connect() -> None:
+    """Raise the documented env-gate error when the Connect client
+    cannot load — shared by both entry points so they gate
+    identically."""
+    gate = connect_gate_error()
+    if gate is not None:
+        raise NotImplementedError(
+            "Spark Connect client dependencies are unavailable in this "
+            f"environment ({gate}); install grpcio + grpcio-status + "
+            "protobuf to execute the engine over Connect"
+        )
+
+
 def run_subset_in_subprocess(
     sf_dir: str,
     names: list[str] | None = None,
@@ -155,11 +162,15 @@ def run_subset_in_subprocess(
     (default: this package's parent) and prints one JSON object; the
     parent — typically holding the classic session whose results it
     wants to compare against — parses it. This is the comparison
-    protocol the live test uses."""
+    protocol the live test uses. Gates identically to
+    ``run_subset_under_connect`` (the parent shares the child's env,
+    so the dependency probe is checked here without paying a process
+    spawn)."""
     import json
     import subprocess
     import sys
 
+    _require_connect()
     names = CONNECT_SUBSET if names is None else names
     repo_root = repo_root or os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))

@@ -110,6 +110,12 @@ def test_engine_executes_under_spark_connect(spark, sf_dir):
             connectrun.run_subset_under_connect(
                 "/root/testdata/sf0.001", qs, names=["q01_flagship_sum"]
             )
+        # both entry points gate identically (the subprocess runner
+        # probes before paying a process spawn)
+        with pytest.raises(NotImplementedError, match="grpcio|protobuf"):
+            connectrun.run_subset_in_subprocess(
+                "/root/testdata/sf0.001", names=["q01_flagship_sum"]
+            )
         pytest.skip(f"Spark Connect env gate: {gate}")
 
     # live path (grpc-enabled env): classic first, then the same plans
