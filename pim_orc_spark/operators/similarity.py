@@ -472,6 +472,74 @@ def ann_ivf_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(v.unionByName(delta), c_ids, Cn, q_ids, Qn)
 
 
+def ivf_scan_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Counted probe evidence for the IVF index — the IVF analogue of
+    ``lsh_band_candidates``: the structural invariant host noise
+    cannot move (the admission-rate argument, test_scale_slope.py) is
+    how much of the corpus the queries' probed inverted lists cover.
+
+    Returns ``{n, n_centroids, probed_rows, scan_fraction}`` where
+    ``probed_rows`` = Σ_query |rows in that query's probed lists| and
+    ``scan_fraction`` = probed_rows / (n_queries · n) — the fraction
+    of per-query corpus work the probe admits (exact scan ≡ 1.0; the
+    tuning signal for N_PROBE alongside ``ann_recall``'s quality
+    signal). The assignment pass is DISTRIBUTED: the same Arrow-batched
+    argmax the search kernel runs, reduced inside each task to
+    per-centroid counts and finished by a JVM groupBy over ≤
+    IVF_MAX_CENTROIDS rows — no corpus rows reach the driver. The
+    routing table is the search's own lexsort (same tie-break), so the
+    counted lists are exactly the lists ``_ivf_search`` scans. In the
+    capped-quantizer regime (n ≥ CENTROID_STRIDE · IVF_MAX_CENTROIDS)
+    the expected fraction is ~N_PROBE / IVF_MAX_CENTROIDS independent
+    of corpus size — the flat-across-the-decade invariant the slope
+    harness bounds at two scales."""
+    import numpy as np
+    import pandas as pd
+
+    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+    c_ids, Cn, q_ids, Qn = _ivf_quantizer_and_queries(spark, sf_dir, v)
+
+    def assign_counts(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            assigned = c_ids[np.argmax(Vn @ Cn.T, axis=1)]
+            cid, cnt = np.unique(assigned, return_counts=True)
+            yield pd.DataFrame({"cid": cid, "list_size": cnt})
+
+    # ≤ IVF_MAX_CENTROIDS rows after the combine — checkpoint so the
+    # two roll-up actions below don't re-scan the corpus
+    sizes = (
+        v.mapInPandas(assign_counts, "cid long, list_size long")
+        .groupBy("cid")
+        .agg(F.sum("list_size").alias("list_size"))
+        .localCheckpoint()
+    )
+    qc = Qn @ Cn.T
+    routing = [
+        (int(q_ids[j]), int(c_ids[ci]))
+        for j in range(len(q_ids))
+        for ci in np.lexsort((c_ids, -qc[j]))[:N_PROBE]
+    ]
+    probed = spark.createDataFrame(routing, "query_id long, cid long")
+    n = sizes.agg(F.sum("list_size")).collect()[0][0] or 0
+    # inner join: a probed-but-empty list contributes 0 scanned rows
+    probed_rows = (
+        probed.join(sizes, "cid").agg(F.sum("list_size")).collect()[0][0]
+        or 0
+    )
+    frac = float(probed_rows) / (len(q_ids) * n) if n else 0.0
+    return {
+        "n": int(n),
+        "n_centroids": int(len(c_ids)),
+        "probed_rows": int(probed_rows),
+        "scan_fraction": frac,
+    }
+
+
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of each approximate ANN path against the exact baseline
     — the tuning signal a user of N_PLANES / N_PROBE flies blind

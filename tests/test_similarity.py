@@ -27,6 +27,62 @@ def test_ivf_stride_bounds_centroid_count():
     assert similarity._ivf_stride(3_000) == similarity.CENTROID_STRIDE
 
 
+def test_ivf_scan_stats_matches_local_recompute(spark, sf_dir):
+    """``ivf_scan_stats``' distributed assignment + probe roll-up must
+    equal a single-process numpy recomputation of the same quantizer,
+    argmax assignment, and lexsort routing on the fixture corpus — the
+    equality that licenses the helper as the slope harness's counted
+    invariant (the driver-loop-vs-distributed-map equality pattern,
+    test_sources.py's footer rollup)."""
+    import numpy as np
+
+    from pim_orc_spark.catalog import load_table
+    from pim_orc_spark.functions.vector import as_double_vec
+
+    stats = similarity.ivf_scan_stats(spark, sf_dir)
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", as_double_vec("embedding", similarity.DIM).alias("v")
+        )
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    stride = similarity._ivf_stride(len(rows))
+    corder = np.argsort(ids)
+    cmask = ids[corder] % stride == 0
+    c_ids = ids[corder][cmask]
+    Cn = Vn[corder][cmask]
+    qmask = ids[corder] < similarity.N_QUERIES
+    q_ids = ids[corder][qmask]
+    Qn = Vn[corder][qmask]
+
+    assigned = c_ids[np.argmax(Vn @ Cn.T, axis=1)]
+    sizes = {
+        int(c): int(n)
+        for c, n in zip(*np.unique(assigned, return_counts=True))
+    }
+    qc = Qn @ Cn.T
+    probed_rows = sum(
+        sizes.get(int(c_ids[ci]), 0)
+        for j in range(len(q_ids))
+        for ci in np.lexsort((c_ids, -qc[j]))[: similarity.N_PROBE]
+    )
+
+    assert stats["n"] == len(rows)
+    assert stats["n_centroids"] == len(c_ids)
+    assert stats["probed_rows"] == probed_rows
+    assert stats["scan_fraction"] == pytest.approx(
+        probed_rows / (len(q_ids) * len(rows))
+    )
+    # the probe must admit real work and strictly less than exact scan
+    assert 0 < stats["probed_rows"] <= len(q_ids) * len(rows)
+    assert 0.0 < stats["scan_fraction"] < 1.0
+
+
 def test_lsh_recall_vs_exact(spark, sf_dir):
     """LSH top-k is a subset constraint check: every LSH neighbor must
     appear in the same bucket as its query, and its similarity must be
