@@ -1204,7 +1204,17 @@ def multimodal_phash_dedup(
     equality certifies decode + hash + candidate join + verify end to
     end."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    payloads = d.mapInPandas(
+    return phash_pairs_from_ids(spark, d)
+
+
+def phash_hashes(spark: SparkSession, ids: DataFrame) -> DataFrame:
+    """Encode → decode → hash stage of ``multimodal_phash_dedup`` over
+    any (doc_id) frame, MATERIALIZED (localCheckpoint): the self-join
+    consumes the hash frame on BOTH sides; without a materialization
+    each side re-runs the whole Python encode→decode→hash pipeline
+    (the same multi-consumer trade _doc_signatures and _bitset_encode
+    make). One 16-byte row per doc."""
+    payloads = ids.mapInPandas(
         _encode_phash_batch,
         StructType(
             [
@@ -1213,7 +1223,7 @@ def multimodal_phash_dedup(
             ]
         ),
     )
-    hashed = payloads.mapInPandas(
+    return payloads.mapInPandas(
         _phash_batch,
         StructType(
             [
@@ -1221,17 +1231,44 @@ def multimodal_phash_dedup(
                 StructField("phash", LongType()),
             ]
         ),
-    ).localCheckpoint()  # the self-join consumes hashed on BOTH sides;
-    # without a materialization each side re-runs the whole Python
-    # encode→decode→hash pipeline (the same multi-consumer trade
-    # _doc_signatures and _bitset_encode make); one 16-byte row per doc
+    ).localCheckpoint()
+
+
+def _phash_banded(hashed: DataFrame) -> DataFrame:
+    """Block-pigeonhole equi-join of a (doc_id, phash) frame with
+    itself: ordered (doc_a, doc_b, ha, hb) rows agreeing on ≥1 of the
+    PHASH_T+1 disjoint 9-bit blocks — pre-distinct, pre-verify.
+
+    The blocks are bit-INTERLEAVED (block i = bits {i, i+7, ...,
+    i+56}), not contiguous: the pigeonhole guarantee holds for ANY
+    disjoint partition of bits 0..62 (Hamming distance is
+    per-position, so two hashes within distance PHASH_T must agree
+    exactly on ≥1 of the 7 blocks under every partition), which makes
+    the partition a free parameter — and adjacent ahash bits are
+    adjacent 8×8 sample positions, so contiguous blocks inherit
+    whole-row correlations (a near-constant first sample row left
+    block 0 with 2.7 bits of corpus entropy and the candidate join
+    admitting 26.4% of all pairs at 5k fixture-family images).
+    Stride-7 interleave scatters each block across the sample grid:
+    measured 12.4% admission on the same corpus — 2.1× fewer verify
+    rows for identical output. The residual density is the corpus's
+    limited total hash entropy (~6.5 bits/block), not the partition."""
     n_blocks = PHASH_T + 1
-    blocks = F.array(
-        *[
-            F.shiftright(F.col("phash"), 9 * i).bitwiseAND(F.lit(511))
-            for i in range(n_blocks)
-        ]
-    )
+
+    def blk_val(i: int) -> F.Column:
+        v = F.shiftright(F.col("phash"), i).bitwiseAND(F.lit(1))
+        for k in range(1, 9):
+            v = v.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("phash"), i + 7 * k).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    k,
+                )
+            )
+        return v
+
+    blocks = F.array(*[blk_val(i) for i in range(n_blocks)])
     banded = hashed.select(
         "doc_id", "phash", F.posexplode(blocks).alias("blk", "v")
     )
@@ -1247,10 +1284,28 @@ def multimodal_phash_dedup(
         "blk",
         "v",
     )
+    return left.join(right, ["blk", "v"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+
+
+def phash_band_candidates(hashed: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs surviving the pigeonhole block
+    join — a SUPERSET of the true pair set by construction, and the
+    counted frame for the slope harness's admission-rate invariant
+    (the ``lsh_band_candidates`` / ``_containment_prefix_candidates``
+    role for the image family)."""
+    return _phash_banded(hashed).select("doc_a", "doc_b").distinct()
+
+
+def phash_pairs_from_ids(spark: SparkSession, ids: DataFrame) -> DataFrame:
+    """The full phash engine over any (doc_id) frame — hash stage,
+    pigeonhole candidates, XOR+popcount verify. Semantics and scale
+    notes: see ``multimodal_phash_dedup``."""
+    hashed = phash_hashes(spark, ids)
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        left.join(right, ["blk", "v"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _phash_banded(hashed)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_T)
         .distinct()

@@ -566,7 +566,15 @@ IVF_VECS_SMALL = 250_000
 IVF_REPS = 10  # one decade: 250k → 2.5M vectors
 IVF_FRAC_MAX = 0.02  # ≤2% of per-query corpus work (expected ~0.05%)
 IVF_FRAC_GROWTH = 1.5  # fraction_big ≤ 1.5 × fraction_small
-IVF_MAX_RATIO = 13.0  # capped regime ⇒ ~linear; same band as MAX_RATIO
+# Capped regime ⇒ ~linear (cost model predicts ~10.15× for the decade:
+# n·centroids 250k·4033 → 2.5M·4092). Measured 5.58× (run 1) and
+# 10.02× (run 2, big block ~2× contended — within-block contention is
+# invisible to the bracketing probes, which min across block edges),
+# so the bound carries the LSH slot's noise band rather than hugging
+# the model: a quadratic regression (centroid cap broken, probe
+# widening with n) measures ~100×, far past either bound, and the
+# scan-fraction counting invariant below catches it first anyway.
+IVF_MAX_RATIO = 15.0
 IVF_PASSES = int(os.environ.get("SPARK_GRAFT_SLOPE_PASSES", "3"))
 
 
@@ -717,6 +725,8 @@ def test_ivf_scan_scales_one_decade_up(spark, tmp_path):
                 "planted_recalled_small": hits["small"],
                 "planted_recalled_big": hits["big"],
                 "planted_each": N_QUERIES,
+                "wall_ratio_bound": IVF_MAX_RATIO,
+                "wall_bound_applies_to": "wall_ratio_cal_normalized",
                 "fraction_bound": (
                     f"scan_fraction <= {IVF_FRAC_MAX} at both scales "
                     f"and fraction_big <= {IVF_FRAC_GROWTH} * "
@@ -739,3 +749,147 @@ def test_ivf_scan_scales_one_decade_up(spark, tmp_path):
         wall_ratio_norm,
         drift,
     )
+
+
+# ---------------------------------------------- phash Hamming slope
+# (the image family's banded engine: block-pigeonhole candidates over
+# 64-bit perceptual hashes. Like the LSH block, banding is an i.i.d.
+# per-pair filter over the background hash distribution, so the
+# candidate count is rate·n²/2 + planted and the scale-stable
+# counting invariant host noise cannot move is the admission RATE.
+# For ideal uniform hashes the rate would be the block birthday
+# 1−(1−1/512)^7 ≈ 1.4%; this image family's hashes carry ~6.5 bits
+# of corpus entropy per 9-bit block (shared gradient structure), so
+# the measured floor is ~12% under the stride-7 interleaved
+# partition (26% under the naive contiguous one — the measurement
+# that motivated the interleave, see _phash_banded). The invariant:
+# flat across the decade and far below a degenerate-hash regime
+# (pre-round-13 linear-gradient pixels concentrated the hash space so
+# badly that 32% of ALL pairs verified within Hamming 6). The corpus
+# is the operator's own closed-form image family — content is a
+# function of doc_id, so scaling the corpus IS scaling the id range;
+# every PHASH_DUP_EVERY-th doc renders its predecessor's image with a
+# +1 checkerboard retouch (Hamming ≤2), giving the planted recall
+# floor. Wall is persisted, not asserted (the containment
+# precedent): at the top scale the rate·n²/2 verify join dominates by
+# design, so a wall "linearity" bound would be ill-posed — the
+# counted rate is the regression tripwire.)
+PHASH_DOCS_SMALL = 5_000  # matches the fixture documents count at sf0.1
+PHASH_REPS = 10  # one decade: 5k → 50k images
+PHASH_RATE_MAX = 0.20  # measured ~12.4% + headroom; uniform ideal 1.4%
+PHASH_RATE_GROWTH = 1.5  # rate_big ≤ 1.5 × rate_small (flat ⇒ ~1.0)
+PHASH_PASSES = int(os.environ.get("SPARK_GRAFT_SLOPE_PASSES", "3"))
+
+
+@pytest.mark.perf
+def test_phash_hamming_scales_one_decade_up(spark):
+    from bench import calibration
+    from pim_orc_spark.operators.multimodal import (
+        PHASH_DUP_EVERY,
+        phash_band_candidates,
+        phash_hashes,
+        phash_pairs_from_ids,
+    )
+
+    import time as _time
+
+    n_of = {
+        "small": PHASH_DOCS_SMALL,
+        "big": PHASH_REPS * PHASH_DOCS_SMALL,
+    }
+    ids = {
+        label: spark.range(n).select(F.col("id").alias("doc_id"))
+        for label, n in n_of.items()
+    }
+
+    # counted invariant: distinct pairs surviving the pigeonhole
+    # block join, over unordered pairs n·(n−1)/2
+    cands, rates = {}, {}
+    for label, n in n_of.items():
+        hashed = phash_hashes(spark, ids[label])
+        cands[label] = phash_band_candidates(hashed).count()
+        rates[label] = cands[label] / (n * (n - 1) / 2)
+
+    # wall: full engine (encode → decode → hash → candidates →
+    # verify), min-of-N, calibration-bracketed — persisted beside the
+    # asserted counting invariants
+    wall, cals = {}, [calibration(spark)[0]]
+    for label in ("small", "big"):
+        best = float("inf")
+        for _ in range(PHASH_PASSES):
+            t0 = _time.perf_counter()
+            phash_pairs_from_ids(spark, ids[label]).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, _time.perf_counter() - t0)
+        wall[label] = best
+        cals.append(calibration(spark)[0])
+    cal_s, cal_b = min(cals[0], cals[1]), min(cals[1], cals[2])
+    drift = round(cal_b / cal_s, 3) if cal_s > 0 else 1.0
+    wall_ratio = round(wall["big"] / wall["small"], 2)
+    wall_ratio_norm = round(wall_ratio / drift, 2)
+
+    # recall floor: every planted retouch pair (i−1, i), i ≡ 1 mod
+    # PHASH_DUP_EVERY, must be in the OUTPUT at both scales
+    hits = {}
+    for label in ("small", "big"):
+        hits[label] = (
+            phash_pairs_from_ids(spark, ids[label])
+            .filter(
+                (F.col("doc_b") - F.col("doc_a") == 1)
+                & (F.col("doc_a") % PHASH_DUP_EVERY == 0)
+            )
+            .count()
+        )
+    planted = {label: n // PHASH_DUP_EVERY for label, n in n_of.items()}
+
+    print(
+        f"\nphash slope {n_of['small']}→{n_of['big']} images: "
+        f"wall {wall['small']:.2f}s→{wall['big']:.2f}s ({wall_ratio}×, "
+        f"cal-normalized {wall_ratio_norm}× at drift {drift}×); "
+        f"candidates {cands['small']}→{cands['big']} "
+        f"(rates {rates['small']:.4%}→{rates['big']:.4%}); "
+        f"planted recalled {hits['small']}/{planted['small']} and "
+        f"{hits['big']}/{planted['big']}"
+    )
+
+    _persist_slope(
+        {
+            "phash": {
+                "engine": "phash_pairs_from_ids",
+                "docs_small": n_of["small"],
+                "docs_big": n_of["big"],
+                "wall_small_sec": round(wall["small"], 3),
+                "wall_big_sec": round(wall["big"], 3),
+                "wall_ratio": wall_ratio,
+                "wall_ratio_cal_normalized": wall_ratio_norm,
+                "wall_asserted": False,
+                "wall_note": (
+                    "rate*n^2/2 verify join dominates the top scale "
+                    "by design; the admission rate is the asserted "
+                    "invariant (containment-block precedent)"
+                ),
+                "calibration_small_sec": round(cal_s, 4),
+                "calibration_big_sec": round(cal_b, 4),
+                "calibration_host_drift": drift,
+                "candidates_small": cands["small"],
+                "candidates_big": cands["big"],
+                "admission_rate_small": round(rates["small"], 6),
+                "admission_rate_big": round(rates["big"], 6),
+                "planted_recalled_small": hits["small"],
+                "planted_recalled_big": hits["big"],
+                "planted_small": planted["small"],
+                "planted_big": planted["big"],
+                "candidate_bound": (
+                    f"rate <= {PHASH_RATE_MAX} at both scales and "
+                    f"rate_big <= {PHASH_RATE_GROWTH} * rate_small"
+                ),
+            }
+        }
+    )
+
+    assert hits["small"] == planted["small"], hits
+    assert hits["big"] == planted["big"], hits
+    assert rates["small"] <= PHASH_RATE_MAX, rates
+    assert rates["big"] <= PHASH_RATE_MAX, rates
+    assert rates["big"] <= PHASH_RATE_GROWTH * rates["small"], rates
