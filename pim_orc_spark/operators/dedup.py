@@ -33,6 +33,8 @@ from pim_orc_spark.catalog import load_table
 from pim_orc_spark.session import default_parallelism
 from pim_orc_spark.functions.hashing import (
     MOD,
+    fmix32,
+    fmix32_sql,
     minhash_params,
     poly_hash,
     poly_hash_sql,
@@ -1211,11 +1213,28 @@ def dedup_exact_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document over the token multiset (portable
-    rolling hash per token; bit b votes ±1; majority sets the bit).
-    Explode → groupBy doc_id: one shuffle of (doc_id, token-hash)."""
+    rolling hash per token, FINALIZED with fmix32; bit b votes ±1;
+    majority sets the bit). Explode → groupBy doc_id: one shuffle of
+    (doc_id, token-hash).
+
+    The fmix32 finalizer is load-bearing, not cosmetic: raw poly_hash
+    values of short tokens concentrate below ~2^23, so without it
+    simhash bits 13..31 are corpus-constant on realistic vocabularies
+    (measured: a diverse 50k-word corpus left the top pigeonhole byte
+    of ``dedup_simhash_pairs`` identical for EVERY doc — 100.0000%
+    candidate admission, the banded join silently degraded to
+    all-pairs). Mixed, the same corpus measures ~1-2% admission. The
+    mix is applied inside a single-element-array transform so the
+    rolling-hash aggregate is evaluated once per row no matter how
+    many times the mixing stages reference their input (the
+    let-binding idiom poly_hash itself uses); the oracle applies the
+    identical arithmetic via ``fmix32_sql`` staged through a CTE."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
-    h = tok.select("doc_id", poly_hash("t").alias("h"))
+    h = tok.select(
+        "doc_id",
+        F.transform(F.array(poly_hash("t")), fmix32).getItem(0).alias("h"),
+    )
     bit_sums = [
         F.sum(
             (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -1668,11 +1687,16 @@ def _simhash_sql() -> str:
     compose = " + ".join(
         f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
     )
+    # h0 (the rolling hash) is staged through its own CTE so fmix32's
+    # multi-reference mixing stages see a plain column, not a computed
+    # expression (fmix32_sql's let-binding note)
     return f"""
         WITH t AS (
           SELECT doc_id, unnest({tok}) AS t FROM documents
+        ), h0 AS (
+          SELECT doc_id, {h} AS h0 FROM t
         ), h AS (
-          SELECT doc_id, {h} AS h FROM t
+          SELECT doc_id, {fmix32_sql('h0')} AS h FROM h0
         ), s AS (
           SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
         )

@@ -110,6 +110,69 @@ def test_poly_hash_contract(fuzz_df):
     _diff([(r["id"], r["h"]) for r in sp], dk)
 
 
+def test_fmix32_contract(spark):
+    """Three-way equality of the Murmur3 fmix32 finalizer — Spark
+    Column (split 16/16 multiplies), DuckDB fragment, and the textbook
+    unsplit Python form — across u32 range edges, the poly_hash output
+    range, and random values. The split form exists because h·c on a
+    full 32-bit h overflows signed int64; equality with the unsplit
+    reference proves the split introduces no wraparound error. Plus
+    avalanche sanity: the mix must actually spread poly_hash's
+    concentrated short-token range across the high bits (the dead-bit
+    regression that silently degraded dedup_simhash_pairs to
+    all-pairs on diverse corpora)."""
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.functions.hashing import (
+        MOD,
+        fmix32,
+        fmix32_py,
+        fmix32_sql,
+    )
+
+    rng = random.Random(7)
+    vals = [
+        0,
+        1,
+        2,
+        0xFFFF,
+        0x10000,
+        MOD - 1,
+        MOD,
+        (1 << 32) - 1,
+        0x12345678,
+        0xDEADBEEF,
+    ] + [rng.randrange(1 << 32) for _ in range(500)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, h bigint")
+    sp = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", fmix32(F.col("h")).alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (id BIGINT, h BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", rows)
+    dk = dict(
+        con.execute(
+            f"SELECT id, {fmix32_sql('h')} AS m FROM v ORDER BY id"
+        ).fetchall()
+    )
+    for i, v in rows:
+        ref = fmix32_py(v)
+        assert sp[i] == ref, (v, sp[i], ref)
+        assert dk[i] == ref, (v, dk[i], ref)
+        assert 0 <= ref < (1 << 32)
+    # avalanche: short-token poly_hash values (< 2^23) must populate
+    # the high bits post-mix — each of bits 23..31 set for a healthy
+    # fraction of a small input sample
+    sample = [fmix32_py(h) for h in range(0, 1 << 23, 9973)]
+    for b in range(23, 32):
+        frac = sum((m >> b) & 1 for m in sample) / len(sample)
+        assert 0.35 < frac < 0.65, (b, frac)
+
+
 def test_list_dot_product_is_sequential_fold():
     """The entire vector-oracle suite (cosine_sql, the SQ/RP/PQ unit
     vectors, the LM micro-nats) rests on ONE cross-engine assumption:
