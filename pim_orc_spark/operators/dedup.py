@@ -17,7 +17,9 @@ Scale design:
   fixture scale, exists to define the oracle semantics the LSH path
   must reproduce. Not the scale path, and says so.
 - ``dedup_simhash`` — 32-bit SimHash per doc from the portable rolling
-  hash; near-dup candidates = equal simhash (or small Hamming ball via
+  hash, fmix32-finalized (raw poly_hash of short tokens leaves the
+  high bits dead — see the dedup_simhash docstring); near-dup
+  candidates = equal simhash (or small Hamming ball via
   rotate-and-block at scale). Map-only + one groupBy shuffle.
 - ``dedup_embedding_cosine`` — cosine near-dup pairs; all-pairs at
   fixture scale, LSH-bucketed variant in similarity.py for scale.
