@@ -1267,6 +1267,23 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by block-collision rates, and skewed blocks (common
     prefixes) are split by AQE skew handling."""
     sim = dedup_simhash(spark, sf_dir)
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        _simhash_banded(sim)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .distinct()
+    )
+
+
+def _simhash_banded(sim: DataFrame) -> DataFrame:
+    """Byte-block pigeonhole equi-join of a (doc_id, simhash) frame
+    with itself: ordered (doc_a, doc_b, ha, hb) rows agreeing on ≥1
+    of the HAMMING_T+1 byte blocks — pre-distinct, pre-verify.
+    Contiguous byte blocks are fine HERE (unlike phash, whose
+    spatially-adjacent hash bits needed interleaving): post-fmix32
+    the bit positions carry no structure, so every disjoint partition
+    is equivalent in expectation."""
     n_blocks = HAMMING_T + 1
     blocks = F.array(
         *[
@@ -1283,14 +1300,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk", "v"
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        left.join(right, ["blk", "v"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= HAMMING_T)
-        .distinct()
+    return left.join(right, ["blk", "v"]).filter(
+        F.col("doc_a") < F.col("doc_b")
     )
+
+
+def simhash_band_candidates(sim: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs surviving the byte-block join —
+    a SUPERSET of the true Hamming-ball pair set by pigeonhole, and
+    the counted frame for the admission tripwire (the
+    ``lsh_band_candidates`` / ``phash_band_candidates`` role): the
+    dead-bit defect fmix32 fixed showed up here as 100.0000%
+    admission on a diverse corpus, two orders of magnitude past the
+    ~1.6% four-block birthday floor."""
+    return _simhash_banded(sim).select("doc_a", "doc_b").distinct()
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -672,6 +672,24 @@ def test_star_contraction_random_graphs_match_union_find(spark):
     check()
 
 
+def test_simhash_band_admission_stays_near_birthday_floor(spark, tmp_path):
+    """The sharper half of the dead-bit tripwire: the byte-block
+    candidate join's admission RATE on a diverse corpus must stay
+    near the four-block birthday floor (~1.6% for well-mixed 32-bit
+    hashes; measured 1.66% at 5k docs post-fmix32). The regression
+    this catches is categorical, not marginal: dead high bits made
+    one block corpus-constant and admission exactly 100%."""
+    from test_scale_slope import _synth_docs
+
+    out = str(tmp_path / "diverse")
+    n = 500
+    _synth_docs(spark, n, out)
+    sim = dedup.dedup_simhash(spark, out)
+    cand = dedup.simhash_band_candidates(sim).count()
+    rate = cand / (n * (n - 1) / 2)
+    assert rate < 0.05, (cand, rate)
+
+
 def test_simhash_bits_unbiased_on_diverse_corpus(spark, tmp_path):
     """Regression tripwire for the dead-bit defect fmix32 fixes: raw
     short-token poly_hash values sit below ~2^23, so simhash bits
