@@ -261,6 +261,7 @@ def _salted_band_candidates(
     hot_threshold: int = LSH_HOT_BUCKET,
     payload: tuple[str, ...] = (),
     n_bands: int = LSH_BANDS,
+    hot: tuple[DataFrame, bool] | None = None,
 ) -> DataFrame:
     """Self-join ``banded`` (doc_id, band, key) on (band, key) with hot
     band keys salted, yielding candidate pairs (doc_a, doc_b), doc_a <
@@ -316,8 +317,29 @@ def _salted_band_candidates(
     its replans) and cheap ONLY when ``banded`` is derived from a
     materialized (checkpointed/cached) input, as every in-repo caller
     guarantees; handing in an unmaterialized expensive lineage would
-    run that lineage once extra here.
+    run that lineage once extra here. Callers whose banded rows derive
+    from a RESIDENT index can pass ``hot=(hot_frame, is_empty)`` —
+    bucket-size statistics ARE part of such an index (they change only
+    when the documents do), so recounting them per query was the
+    anomaly; the LSH engine caches them beside the signatures (r16).
+
+    PARTITION PINNING (r16, guide §2.5 "synthetic keys" / the
+    bitset_pairs precedent): both join sides are explicitly
+    repartitioned on the join key to 2× cluster parallelism. The
+    banded input is SMALL in bytes (one narrow row per doc×band), so
+    AQE's coalescing sizes the post-shuffle partition count from
+    shuffle BYTES and cannot see that the join's OUTPUT explodes
+    ~100× on a high-background-similarity corpus — the per-pair
+    verify work then runs on a handful of cores. The explicit
+    key-hash repartition blocks the coalesce (user-specified
+    numPartitions) and keeps the pair evaluation spread across the
+    cluster; at scale the banded set is large and the count matches
+    what the exchange would have planned anyway (measured on the
+    sf0.1 slot, identical output: 3.48 s → 2.86 s min-of-3).
     """
+    from pim_orc_spark.session import default_parallelism
+
+    n_parts = default_parallelism(banded.sparkSession) * 2
     with_keys = "keys" in banded.columns
     pair_filter = F.col("doc_a") < F.col("doc_b")
     if with_keys:
@@ -378,10 +400,16 @@ def _salted_band_candidates(
     out_cols = ["doc_a", "doc_b"]
     out_cols += [f"{c}_a" for c in payload] + [f"{c}_b" for c in payload]
 
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-    hot = sizes.filter(F.col("n") > hot_threshold).select(
-        "band", "key", F.lit(True).alias("is_hot")
-    )
+    if hot is None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        hot_df = sizes.filter(F.col("n") > hot_threshold).select(
+            "band", "key", F.lit(True).alias("is_hot")
+        )
+        hot_empty = hot_df.limit(1).count() == 0
+    else:
+        hot_df, hot_empty = hot
     # The self-join is pinned to SORT-MERGE (hint) for two load-bearing
     # reasons: (1) at 100 TB the banded set is corpus-sized — a
     # broadcast of it is never right, and letting fixture-scale stats
@@ -391,15 +419,21 @@ def _salted_band_candidates(
     # between BHJ and SMJ on this join depending on checkpoint size
     # estimates, changing both the wall clock and which generated
     # class hits janino's 64 KB fallback.
-    if hot.limit(1).count() == 0:
-        left = banded.select(*side("doc_a", "ka", "a")).hint("shuffle_merge")
-        right = banded.select(*side("doc_b", "kb", "b"))
+    if hot_empty:
+        left = (
+            banded.select(*side("doc_a", "ka", "a"))
+            .repartition(n_parts, "band", "key")
+            .hint("shuffle_merge")
+        )
+        right = banded.select(*side("doc_b", "kb", "b")).repartition(
+            n_parts, "band", "key"
+        )
         return (
             left.join(right, ["band", "key"])
             .filter(pair_filter)
             .select(*out_cols)
         )
-    tagged = banded.join(F.broadcast(hot), ["band", "key"], "left")
+    tagged = banded.join(F.broadcast(hot_df), ["band", "key"], "left")
     left = tagged.select(
         *side("doc_a", "ka", "a"),
         F.when(
@@ -408,7 +442,7 @@ def _salted_band_candidates(
         .otherwise(F.lit(0))
         .cast("int")
         .alias("salt"),
-    ).hint("shuffle_merge")
+    ).repartition(n_parts, "band", "key", "salt").hint("shuffle_merge")
     right = tagged.select(
         *side("doc_b", "kb", "b"),
         F.explode(
@@ -416,7 +450,7 @@ def _salted_band_candidates(
                 F.col("is_hot"), F.sequence(F.lit(0), F.lit(salt - 1))
             ).otherwise(F.array(F.lit(0)))
         ).alias("salt"),
-    )
+    ).repartition(n_parts, "band", "key", "salt")
     return (
         left.join(right, ["band", "key", "salt"])
         .filter(pair_filter)
@@ -488,24 +522,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # value is deliberately ignored: an empty-but-alive frame is a
         # valid artifact.
         art[0].isEmpty()
+        if art[2] is not None:
+            art[2].isEmpty()
         return True
 
-    # cache key carries the carry-threshold: narrow and wide builds
-    # produce DIFFERENT per-doc schemas (mask words vs index set), so a
-    # threshold change (tests monkeypatch it; production may tune it)
-    # must never serve the other path's cached rows
-    per_doc, nb = cached_artifact(
-        f"minhash_sigs_c{CARRY_MASK_MAX_WORDS}",
+    def _build():
+        per_doc, nb = _doc_signatures(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+        if nb == 0:
+            return None, 0, None, True
+        # Hot-bucket statistics are part of the resident index (they
+        # change only when the signatures do — r16): computing them
+        # here deletes the per-query eager count job the salting
+        # branch-probe otherwise runs inside _salted_band_candidates.
+        hot_df = (
+            per_doc.select(
+                "doc_id", F.posexplode("keys").alias("band", "key")
+            )
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > LSH_HOT_BUCKET)
+            .select("band", "key", F.lit(True).alias("is_hot"))
+            .localCheckpoint()
+        )
+        return per_doc, nb, hot_df, hot_df.isEmpty()
+
+    # cache key carries the carry-threshold AND the hot threshold:
+    # narrow and wide builds produce DIFFERENT per-doc schemas (mask
+    # words vs index set), and the cached hot set is only valid for
+    # the threshold it was counted against (tests monkeypatch both;
+    # production may tune them)
+    per_doc, nb, hot_df, hot_empty = cached_artifact(
+        f"minhash_sigs_c{CARRY_MASK_MAX_WORDS}_h{LSH_HOT_BUCKET}",
         spark,
         sf_dir,
-        lambda: _doc_signatures(
-            spark, load_table(spark, sf_dir, "documents")
-        ),
+        _build,
         probe=_sig_probe,
     )
     if nb == 0:
         return _empty_pairs(spark)
-    return _pairs_from_sigs(per_doc, nb)
+    return _pairs_from_sigs(per_doc, nb, hot=(hot_df, hot_empty))
 
 
 def _empty_pairs(spark: SparkSession) -> DataFrame:
@@ -652,12 +709,37 @@ def _doc_signatures(
     return per_doc, nb
 
 
-def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
+def _pairs_from_sigs(
+    per_doc: DataFrame,
+    nb: int,
+    hot: tuple[DataFrame, bool] | None = None,
+) -> DataFrame:
     """Stages 2-4 of the LSH engine (the per-QUERY work once the
     signature index exists): salted band self-join, in-join or
-    attach-join Jaccard verification, exactly-once output."""
+    attach-join Jaccard verification, exactly-once output. ``hot``
+    forwards a resident-index hot-bucket statistic to the salting
+    branch probe (see _salted_band_candidates)."""
     if nb <= CARRY_MASK_MAX_WORDS:
-        jac = _popcount_jaccard(nb, "mask_a", "mask_b", "sz_a", "sz_b")
+        # Masks ride the band join as nb FLAT LONG COLUMNS, not one
+        # array<long> (r16, guide §2.3 — shuffle/sort fewer bytes per
+        # row): an UnsafeRow array field carries header+offset words
+        # and every sort/copy/condition-eval pays the indirection,
+        # where flat longs are fixed-offset word reads. Same rows,
+        # same verify arithmetic; measured on identical output at
+        # sf0.1, interleaved: 3.12 s → 2.42 s min-of-3 (on top of the
+        # repartition pinning). Bounded by CARRY_MASK_MAX_WORDS = 64
+        # columns per side by construction of this branch.
+        inter = _tree_sum(
+            [
+                F.bit_count(
+                    F.col(f"m{w}_a").bitwiseAND(F.col(f"m{w}_b"))
+                )
+                for w in range(nb)
+            ]
+        )
+        jac = inter.cast("double") / (
+            F.col("sz_a") + F.col("sz_b") - inter
+        )
         # Inline verify-then-distinct: mask+size ride the banded rows
         # (WITHOUT the keys array — 32 longs/row lighter through the
         # shuffle), the Jaccard test evaluates INSIDE the join
@@ -676,14 +758,21 @@ def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
         # colliding in k bands pays k Jaccard evaluations (~4 on this
         # corpus) of ~3 instructions per mask word — still far below
         # one fallback-evaluated CASE walk.
+        mask_cols = tuple(f"m{w}" for w in range(nb))
         banded = per_doc.select(
             "doc_id",
-            "mask",
+            *[
+                F.col("mask").getItem(w).alias(c)
+                for w, c in enumerate(mask_cols)
+            ],
             "sz",
             F.posexplode("keys").alias("band", "key"),
         )
         cands = _salted_band_candidates(
-            banded, payload=("mask", "sz"), n_bands=LSH_BANDS
+            banded,
+            payload=(*mask_cols, "sz"),
+            n_bands=LSH_BANDS,
+            hot=hot,
         )
         # NO _size_gate here, deliberately: this branch's verify runs
         # inside the join condition on the FALLBACK evaluator (see
@@ -726,7 +815,7 @@ def _pairs_from_sigs(per_doc: DataFrame, nb: int) -> DataFrame:
             "doc_id", F.posexplode("keys").alias("band", "key")
         )
         cands = (
-            _salted_band_candidates(banded, n_bands=LSH_BANDS)
+            _salted_band_candidates(banded, n_bands=LSH_BANDS, hot=hot)
             .distinct()
             .join(
                 per_doc.select(
@@ -972,18 +1061,18 @@ def _containment_grams_artifact(
     return g, enc, nb
 
 
-def _containment_prefix_candidates(g: DataFrame) -> DataFrame:
-    """The prefix-filter candidate stage of
-    ``containment_pairs_prefix`` over a (doc_id, grams) frame: returns
-    (doc_inner, doc_b, sza) ordered pairs that survive the pigeonhole
-    prefix join and the asymmetric size gate — a SUPERSET of the true
-    pairs by construction (the pruning pytest counts this frame).
-    Callers must pass a MATERIALIZED frame (localCheckpoint): this
-    stage explodes it three ways (prefix side, posting side, sizes),
-    and plain ``explode`` is used because the word-shingle path can
-    produce EMPTY gram arrays (token-free text) — explode drops them;
-    the InferFiltersFromGenerate hazard explode_nonempty exists for
-    does not apply to a materialized column."""
+def _prefix_and_posting(g: DataFrame):
+    """The shared pigeonhole machinery of the prefix-filter engines
+    over a (doc_id, grams) frame: returns ``(prefix, per_gram,
+    (num, den))`` where ``prefix`` is the (doc_id, gram, sz) rows
+    surviving the rare-first pigeonhole bound, ``per_gram`` is the
+    exploded posting relation, and num/den is the integer gate
+    fraction. Callers must pass a MATERIALIZED frame (localCheckpoint):
+    this stage explodes it three ways (prefix side, posting side,
+    sizes), and plain ``explode`` is used because the word-shingle
+    path can produce EMPTY gram arrays (token-free text) — explode
+    drops them; the InferFiltersFromGenerate hazard explode_nonempty
+    exists for does not apply to a materialized column."""
     per_gram = g.select(
         "doc_id", F.explode("grams").alias("gram")
     )
@@ -1006,6 +1095,22 @@ def _containment_prefix_candidates(g: DataFrame) -> DataFrame:
             f"rnk <= sz - ((({num}L * sz) + {den} - 1) div {den}) + 1"
         )
     )
+    return prefix, per_gram, sz, (num, den)
+
+
+def _containment_prefix_candidates(g: DataFrame) -> DataFrame:
+    """The prefix-filter candidate stage of
+    ``containment_pairs_prefix_words`` over a (doc_id, grams) frame:
+    returns (doc_inner, doc_b, sza) ordered pairs that survive the
+    pigeonhole prefix join and the asymmetric size gate — a SUPERSET
+    of the true pairs by construction (the pruning pytest counts this
+    frame). The narrow bitset engine verifies INLINE instead
+    (``_prefix_pairs_from_artifact``) and never materializes this
+    distinct; the wide word-shingle regime keeps it because its
+    verify step attaches unbounded gram ARRAYS, which must ride a
+    candidate-distinct-sized join, not the full pre-distinct
+    multiplicity."""
+    prefix, per_gram, sz, (num, den) = _prefix_and_posting(g)
     # posting side carries szb (broadcast dim join, map-side) so the
     # asymmetric size gate prunes BEFORE the candidate distinct — on
     # the dense fixture that halves the distinct's shuffle input; the
@@ -1073,12 +1178,36 @@ def _prefix_pairs_from_artifact(
 ) -> DataFrame:
     """Candidate + verify stages of ``containment_pairs_prefix`` over
     a prebuilt (grams, encode) artifact — what a query pays when the
-    index is resident."""
+    index is resident.
+
+    VERIFY-INLINE (r16 optimization, guide §2.3/§2.4 — shuffle fewer
+    bytes, remove shuffles outright): the bitsets RIDE the pigeonhole
+    gram join (ma on the prefix side via one doc-keyed linear join, mb
+    on the posting side beside the szb it already attached), the
+    AND+popcount containment evaluates in the join stage's codegen
+    Project+Filter, and only the SURVIVORS are deduplicated — the
+    same verify-then-DISTINCT move the MinHash narrow path made in
+    round 3. The previous shape materialized a candidate DISTINCT
+    (O(candidate pairs) shuffled rows — 13M on the dense sf0.1
+    fixture) and then re-attached both masks with two candidate-keyed
+    SortMergeJoins (two more full-candidate-set exchanges + sorts,
+    Exchanges (41)/(43)/(48)/(52)/(57) of
+    plans/r16/dedup_containment_prefix_before.txt); all three
+    candidate-sized shuffles are gone, at the price of evaluating the
+    ~nb-word popcount once per pre-distinct (pair, gram) occurrence
+    (~2.4× multiplicity on the fixture) instead of once per distinct
+    pair. Measured on identical output (160,775 pairs, sf0.1,
+    interleaved in one process): 11.15 s → 4.51 s min-of-3. Gated on
+    nb ≤ CARRY_MASK_MAX_WORDS exactly like the MinHash engine: past
+    that, carrying O(nb)-word masks on every posting row re-creates
+    the quadratic stage-1 cost the wide branch exists to avoid, so
+    the distinct-then-attach shape remains the wide fallback (and the
+    word-shingle engine keeps it unconditionally — its verify payload
+    is unbounded gram arrays)."""
     if nb == 0:
         return spark.createDataFrame(
             [], "doc_inner long, doc_outer long, containment double"
         )
-    cand = _containment_prefix_candidates(g)
     inter = _tree_sum(
         [
             F.bit_count(
@@ -1087,6 +1216,47 @@ def _prefix_pairs_from_artifact(
             for w in range(nb)
         ]
     )
+    if nb <= CARRY_MASK_MAX_WORDS:
+        prefix, per_gram, sz, (num, den) = _prefix_and_posting(g)
+        posting = per_gram.select(
+            F.col("doc_id").alias("doc_b"), "gram"
+        ).join(
+            # same broadcast discipline as the candidate engine's szb
+            # attach: one narrow per-doc relation shipped map-side to
+            # the posting explode
+            F.broadcast(
+                enc.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("mask").alias("mb"),
+                    F.col("sz").alias("szb"),
+                )
+            ),
+            "doc_b",
+        )
+        return (
+            prefix.join(
+                enc.select("doc_id", F.col("mask").alias("ma")), "doc_id"
+            )
+            .select(
+                F.col("doc_id").alias("doc_inner"),
+                "gram",
+                F.col("sz").alias("sza"),
+                "ma",
+            )
+            .join(posting, "gram")
+            .where("doc_inner <> doc_b")
+            .where(f"szb * {den} >= sza * {num}")
+            .select(
+                "doc_inner",
+                F.col("doc_b").alias("doc_outer"),
+                F.round(inter.cast("double") / F.col("sza"), 6).alias(
+                    "containment"
+                ),
+            )
+            .filter(F.col("containment") >= CONTAIN_T)
+            .distinct()
+        )
+    cand = _containment_prefix_candidates(g)
     return (
         cand.join(
             enc.select(

@@ -377,6 +377,32 @@ def test_minhash_lsh_join_attach_path(spark, sf_dir, monkeypatch):
     assert attached == carried
 
 
+def test_containment_prefix_attach_path_equals_inline(
+    spark, sf_dir, monkeypatch
+):
+    """The containment engine's two verify shapes must agree pair-for-
+    pair: the narrow inline path (bitsets ride the pigeonhole gram
+    join, verify in the join stage, DISTINCT over survivors) and the
+    wide fallback (candidate DISTINCT, then two doc-keyed mask-attach
+    joins) — the latter is what a past-CARRY_MASK_MAX_WORDS dictionary
+    takes, forced here by zeroing the threshold."""
+    from pim_orc_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = lambda r: (r.doc_inner, r.doc_outer, r.containment)
+    inline = {
+        key(r)
+        for r in dedup.containment_pairs_prefix(spark, docs).collect()
+    }
+    monkeypatch.setattr(dedup, "CARRY_MASK_MAX_WORDS", 0)
+    attached = {
+        key(r)
+        for r in dedup.containment_pairs_prefix(spark, docs).collect()
+    }
+    assert attached == inline
+    assert inline  # non-degenerate: the fixture corpus has pairs
+
+
 def test_clusters_edge_source_has_no_cross_join(spark, sf_dir):
     """The clusters pipeline's edge stage must be the bucketed LSH plan:
     a 100 TB run dies on any all-pairs product, so the physical plan of
