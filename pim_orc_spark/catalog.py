@@ -66,9 +66,38 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Resolved-schema cache: (absolute path, mtime_ns) → StructType. A
+# table's schema is immutable per file generation, but the bare
+# ``spark.read.parquet(path)`` re-infers it from the footer on EVERY
+# call — ~97 ms/table measured at r16, paid by every query
+# construction (up to 6× for the deep join trees). Passing the cached
+# schema to an explicit ``read.schema(...)`` reader costs ~15 ms and
+# still builds a FRESH plan with fresh expression ids per call (so
+# two loads of one table keep behaving as distinct relations — a
+# shared-plan cache broke cogroup's two nation-ranked sides with an
+# ambiguous-self-join analysis error). This is what a production
+# catalog does: schema resolved once at registration, not per query.
+# The mtime_ns key invalidates on fixture regeneration.
+_SCHEMA_CACHE: dict[tuple[str, int], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_parity_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        mt = os.stat(path).st_mtime_ns
+    except OSError:
+        mt = -1
+    key = (path, mt)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        # prune superseded generations of the same path so a rewritten
+        # fixture directory doesn't pin dead schemas
+        for k in [k for k in _SCHEMA_CACHE if k[0] == path and k != key]:
+            del _SCHEMA_CACHE[k]
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     return df

@@ -20,10 +20,31 @@ from pyspark.sql import functions as F
 _DEC = "decimal(18,2)"
 
 
+def _sum_cents(c: Column) -> Column:
+    """Exact Σ of a 2-dp column as total CENTS in decimal(38,0),
+    ACCUMULATED AS A PRIMITIVE LONG (r16 optimization, guide §1.2
+    per-task work): Spark widens a decimal(18,2) SUM to a
+    decimal(28,2) buffer, which no longer fits the compact long-backed
+    representation — every row's add goes through java.math.BigDecimal
+    (measured ~0.5 µs/row; the q04 slot halved when this moved to long
+    adds). ``cents`` is the repo's one rounding authority and equals
+    the old per-row ``CAST(x AS DECIMAL(18,2))`` on every value in the
+    2-dp monetary domain; the long accumulator is exact up to 2⁶³−1
+    total cents ≈ 9.2e16 dollars per group — ~6× the TOTAL
+    extendedprice of 100 TB of TPC-H in ONE group, and growing
+    workloads past that take the split-accumulator form
+    ``exact_revenue`` uses (two long sums recombined in decimal).
+    The single cast decimal(38,0) → /100 → double at the END converts
+    the exact integer once, so the presented double is bit-identical
+    to the old decimal-sum cast (both correctly round the same exact
+    rational)."""
+    return F.sum(cents(c)).cast("decimal(38,0)")
+
+
 def exact_sum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a 2-decimal monetary double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+    return (_sum_cents(c) / 100).cast("double").alias(alias)
 
 
 def exact_sum_sql(expr: str, alias: str) -> str:
@@ -36,7 +57,7 @@ def exact_avg(col: Column | str, alias: str) -> Column:
     double (IEEE division is deterministic given identical operands)."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+        (_sum_cents(c) / 100).cast("double") / F.count(c)
     ).alias(alias)
 
 
@@ -89,14 +110,30 @@ def exact_revenue(
     """The TPC-H revenue aggregate SUM(price × (1 − discount)) in exact
     integer-cents arithmetic: both factors are 2-dp values, so price in
     cents × (100 − discount in percent-points) is an exact int64
-    product per row, summed into decimal(38,0) (overflow-safe past
-    ~9e9 rows/group) and presented as double ÷ 1e4. Order-independent
-    and hash-comparable — the q08 round-2 fix, shared by every revenue
-    query so the contract lives in ONE place (``revenue_item``)."""
-    return (
-        F.sum(revenue_item(price_col, disc_col)).cast("double")
-        / F.lit(10000.0)
-    ).alias(alias)
+    product per row, summed exactly and presented as double ÷ 1e4.
+    Order-independent and hash-comparable — the q08 round-2 fix,
+    shared by every revenue query so the contract lives in ONE place
+    (``revenue_item`` defines the per-row term).
+
+    SPLIT LONG ACCUMULATOR (r16 optimization, guide §1.2): summing the
+    decimal(38,0) per-row term pays a java.math.BigDecimal add per row
+    (the sum buffer exceeds the compact-long precision). The same
+    exact total comes from two PRIMITIVE long sums — the term split as
+    hi = term div 10⁴ and lo = term rem 10⁴ (an exact identity,
+    truncating div/rem pair, valid for negatives) — recombined ONCE at
+    the end in decimal(38,0): Σterm = 10⁴·Σhi + Σlo with no per-row
+    BigDecimal. Overflow-safe far past 100 TB (Σhi ≤ rows × 10⁵:
+    ~4e16 at 4e11 rows, 2⁶³ ≈ 9.2e18), where a single long sum of the
+    raw ~1e9-magnitude terms would wrap near 9e9 rows/group. The final
+    cast-to-double and IEEE ÷ 1e4 are unchanged, so the presented
+    value is bit-identical to the decimal-sum form."""
+    term = cents(price_col) * (F.lit(100) - cents(disc_col))
+    lo = term % F.lit(10000)
+    # (term - lo) is exactly divisible; the double division is exact
+    # for |term| < 2⁵³ (per-row terms are ≲1e9 by the 2-dp contract)
+    hi = ((term - lo) / F.lit(10000)).cast("long")
+    total = F.sum(hi).cast("decimal(38,0)") * 10000 + F.sum(lo)
+    return (total.cast("double") / F.lit(10000.0)).alias(alias)
 
 
 def exact_revenue_sql(

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from pim_orc_spark.catalog import load_table
+from pim_orc_spark.plans import spread
 
 CHECKSUM_MOD = 997
 
@@ -139,7 +140,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: payload → mapInPandas feature extraction.
     Map-only plan: FileScan → Project(encode) → ArrowEvalPython; scales
     linearly, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA)
 
@@ -204,7 +205,7 @@ def multimodal_features_arrow(
     batch transport for byte-dense payload columns. Identical map-only
     plan shape and the identical oracle; a pytest also diffs it
     row-for-row against the pandas twin."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d).select("doc_id", "payload")
     return payloads.mapInArrow(_extract_features_arrow, FEATURE_SCHEMA)
 
@@ -261,7 +262,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     features. Map-only (the fan-out happens inside the Arrow batch);
     at 100 TB the same kernel wraps a real video decoder and the
     partitioning/schema/batch shape is unchanged."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(_sample_frames, FRAME_SCHEMA)
 
@@ -321,7 +322,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the brief's decode/feature/resize/frame-sample set. Map-only like
     its siblings: FileScan → Project(encode) → ArrowEvalPython, linear
     at any corpus size, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(_resize_payloads, RESIZE_SCHEMA)
 
@@ -339,7 +340,7 @@ def multimodal_integrity_audit(
 
     Scale shape: pure Catalyst (length(payload) vs meta.declared_len
     — NO Python), map-side partial aggregate, |origins| output rows."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     p = with_binary_payload(d)
     drift = F.abs(
         F.length(F.col("payload")) - F.col("meta.declared_len")
@@ -498,7 +499,9 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (header grammar, geometry, pixel-plane layout) end to end. This
     closes the one gap the stub decode_image left: the family's decode
     stage has now run a real image format in this container."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     payloads = d.mapInPandas(
         _encode_ppm_batch,
         StructType(
@@ -648,7 +651,9 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     every padding residue). The oracle recomputes the channel sums
     from the closed-form pixel functions — equality proves the decoder
     undid all three transforms exactly."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     payloads = d.mapInPandas(
         _encode_bmp_batch,
         StructType(
@@ -793,7 +798,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes every statistic from the closed-form sample
     function without parsing a byte. Same map-only Arrow-batched
     plan as the image path."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     payloads = d.mapInPandas(
         _encode_wav_batch,
         StructType(
@@ -1059,7 +1066,9 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the channel sums from the closed-form pixel functions
     without parsing a byte, so equality proves signature + chunk walk
     + CRC + inflate + all five scanline unfilters end to end."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     payloads = d.mapInPandas(
         _encode_png_batch,
         StructType(
@@ -1203,7 +1212,9 @@ def multimodal_phash_dedup(
     closed-form pixel functions (all-integer threshold L·64 > ΣL), so
     equality certifies decode + hash + candidate join + verify end to
     end."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return phash_pairs_from_ids(spark, d)
 
 
@@ -1378,7 +1389,9 @@ def snappy_block_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     element families, and the overlapping-copy window logic end to
     end (the same loop dpu_decompress.c:224-300 runs per block).
     Map-only at any corpus size; the per-doc payload is bounded."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return d.mapInPandas(
         _snappy_batch,
         StructType(

@@ -3912,7 +3912,12 @@ def q65_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # iteration (the same recursion the k-means centroid
             # update hits — see _km_assignments). Rank state is one
             # row per node by construction, exactly what a production
-            # PageRank persists between iterations.
+            # PageRank persists between iterations. (r16 note: lazy
+            # checkpointing and/or coalescing the ≤25-row state to one
+            # partition were A/B-measured four ways at sf0.1 —
+            # 1.24-1.31 s mins, all within host noise — so the eager
+            # per-iteration checkpoint stays; the slot's cost is
+            # per-iteration scheduling floor, not a removable shuffle.)
             .localCheckpoint()
         )
     nation = load_table(spark, sf_dir, "nation").select(

@@ -143,7 +143,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _vectorized_topk_scan(v: DataFrame) -> DataFrame:
+def _vectorized_topk_scan(
+    v: DataFrame, q_source: DataFrame | None = None
+) -> DataFrame:
     """The shared 100 TB exact-ANN scan kernel, dimension-agnostic:
     Arrow-batched numpy matmul with per-partition PARTIAL top-k, then
     a final top-k over the tiny candidate set. ``v`` is any
@@ -161,8 +163,16 @@ def _vectorized_topk_scan(v: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # Collect the bounded query block from ``q_source`` (the
+    # UNSPREAD relation) when given: filtering the spread frame runs
+    # the full repartition shuffle just to pull N_QUERIES rows (the
+    # vec_id predicate cannot push below a repartition) — measured
+    # 0.56 s/warm-invocation at sf0.1 vs a pushed-down parquet filter
+    # on the raw scan (r16, guide §5 — the collect is bounded either
+    # way, only WHERE it reads from changes; same rows by definition).
     qrows = (
-        v.filter(F.col("vec_id") < N_QUERIES)
+        (v if q_source is None else q_source)
+        .filter(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
         .collect()
     )
@@ -224,9 +234,9 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact baseline (``ann_cosine_topk``) and the same oracle, but the
     shuffle is corpus-size-independent where the baseline shuffles
     O(|corpus| × |queries|) similarity rows."""
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
-    return _vectorized_topk_scan(v)
+    e = load_table(spark, sf_dir, "embeddings")
+    v0 = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+    return _vectorized_topk_scan(spread(spark, v0), q_source=v0)
 
 
 RP_DIM = 16  # Johnson-Lindenstrauss target dimension (64 → 16)
@@ -251,7 +261,7 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (16 × 64 multiply-adds per row); the scan is the shared
     partial-top-k kernel — shuffle O(parts × q × k)."""
     planes = _hyperplanes(n_planes=RP_DIM, dim=DIM, seed=11)
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
     v0 = e.select("vec_id", as_double_vec("embedding", DIM).alias("v0"))
     proj = F.array(
         *[
@@ -268,7 +278,7 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     v = v0.select("vec_id", proj.alias("v"))
-    return _vectorized_topk_scan(v)
+    return _vectorized_topk_scan(spread(spark, v), q_source=v)
 
 
 CENTROID_STRIDE = 61  # coarse quantizer: centroids = vec_id % stride == 0
@@ -315,13 +325,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall < 1 by design (unprobed lists are never scored); ties in
     assignment break to the smaller centroid id in both engines.
     """
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
-    c_ids, Cn, q_ids, Qn = _ivf_quantizer_and_queries(spark, sf_dir, v)
+    e = load_table(spark, sf_dir, "embeddings")
+    v0 = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
+    v = spread(spark, v0)
+    c_ids, Cn, q_ids, Qn = _ivf_quantizer_and_queries(
+        spark, sf_dir, v, q_source=v0
+    )
     return _ivf_search(v, c_ids, Cn, q_ids, Qn)
 
 
-def _ivf_quantizer_and_queries(spark, sf_dir, v):
+def _ivf_quantizer_and_queries(spark, sf_dir, v, q_source=None):
     """The shipped-quantizer artifact plus the collected query block,
     shared by ``ann_ivf_topk`` and ``ann_ivf_add_batch`` — ONE
     definition of the stride/centroid derivation, because both write
@@ -353,7 +366,8 @@ def _ivf_quantizer_and_queries(spark, sf_dir, v):
     stride, c_ids, Cn = cached_artifact(
         "ivf_quantizer", spark, sf_dir, _build_ivf
     )
-    qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    qs = v if q_source is None else q_source
+    qrows = qs.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -47,13 +47,30 @@ from pim_orc_spark.session import ensure_parity_confs
 WINDOW = "10 minutes"
 
 
+# (path, mtime_ns) → schema: a stream's declared schema is immutable
+# per file generation; re-inferring it from the footer on every query
+# START (each bench iteration, each test) re-paid a batch footer read
+# + plan analysis (~0.14 s/start measured at r16). A production stream
+# declares its schema once at deployment — this cache is that.
+_STREAM_SCHEMA_CACHE: dict[tuple[str, int], "object"] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. Schema comes from a
-    batch footer read (streams must declare schemas up front); the
-    nanos→micros ts normalization matches the batch catalog exactly."""
+    batch footer read (streams must declare schemas up front, cached
+    per file generation); the nanos→micros ts normalization matches
+    the batch catalog exactly."""
     ensure_parity_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    try:
+        mt = os.stat(path).st_mtime_ns
+    except OSError:
+        mt = -1
+    skey = (os.path.abspath(path), mt)
+    schema = _STREAM_SCHEMA_CACHE.get(skey)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _STREAM_SCHEMA_CACHE[skey] = schema
     # File streams take a directory; select just the events file from the
     # fixture dir. A production deployment points at a growing directory
     # (or Kafka) — everything downstream is unchanged.
