@@ -100,21 +100,41 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grams_of(spark, load_table(spark, sf_dir, "documents"))
 
 
-def _gram_dictionary(g: DataFrame) -> tuple[DataFrame, int]:
+def _gram_dictionary(
+    g: DataFrame, rare_first: bool = False
+) -> tuple[DataFrame, int]:
     """Global gram → bit-index dictionary: a bounded distinct (char-
     3-gram alphabet ≲ 47k entries) with ids assigned by a window over
     that bounded dictionary, never over documents. Returns the cached
     dictionary and its cardinality (the count is a metadata-scale
-    action over ≲47k rows)."""
-    grams_dict = (
-        g.select(explode_nonempty("grams").alias("gram"))
-        .distinct()
-        .select(
+    action over ≲47k rows).
+
+    ``rare_first=True`` assigns indices in ascending (document
+    frequency, gram) order instead of alphabetical — the containment
+    engine's global prefix order baked INTO the index space (r16): a
+    doc's p rarest grams are then simply its p smallest indices, so
+    prefix extraction becomes a map-side array slice instead of a
+    corpus-wide rank window. Bitset semantics are layout-invariant
+    (AND+popcount doesn't care which gram owns which bit), so masks
+    built over either ordering verify identically."""
+    base = g.select(explode_nonempty("grams").alias("gram"))
+    if rare_first:
+        order = (
+            base.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(
+                "gram",
+                (
+                    F.row_number().over(Window.orderBy("df", "gram")) - 1
+                ).alias("idx"),
+            )
+        )
+    else:
+        order = base.distinct().select(
             "gram",
             (F.row_number().over(Window.orderBy("gram")) - 1).alias("idx"),
         )
-        .cache()  # bounded (≲47k rows); reused by the encode join below
-    )
+    grams_dict = order.cache()  # bounded; reused by the encode join
     return grams_dict, grams_dict.count()
 
 
@@ -128,15 +148,24 @@ def _mask_expr(nb: int) -> str:
     )
 
 
-def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
+def _bitset_encode(
+    spark: SparkSession,
+    g: DataFrame,
+    rare_first: bool = False,
+    keep_idxs: bool = False,
+) -> tuple[DataFrame, int]:
     """Dictionary-encode each doc's gram set as a fixed-width bitset
     (array of longs), so set intersection is AND+popcount instead of
     string-array intersect (~100× less work per pair).
 
     Returns ``(enc, nb)``: ``enc`` has (doc_id, mask array<long>, sz),
-    ``nb`` is the number of 64-bit words.
+    ``nb`` is the number of 64-bit words. ``rare_first`` picks the
+    dictionary's index order (see _gram_dictionary); ``keep_idxs``
+    additionally materializes each doc's SORTED index array on the
+    row — with a rare-first dictionary that array's prefix IS the
+    containment engine's pigeonhole prefix.
     """
-    grams_dict, n_grams = _gram_dictionary(g)
+    grams_dict, n_grams = _gram_dictionary(g, rare_first=rare_first)
     nb = (n_grams + 63) // 64
 
     doc_idx = (
@@ -145,9 +174,10 @@ def _bitset_encode(spark: SparkSession, g: DataFrame) -> tuple[DataFrame, int]:
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("idxs"))
     )
-    enc = doc_idx.selectExpr(
-        "doc_id", f"{_mask_expr(nb)} AS mask", "size(idxs) AS sz"
-    )
+    cols = ["doc_id", f"{_mask_expr(nb)} AS mask", "size(idxs) AS sz"]
+    if keep_idxs:
+        cols.append("sort_array(idxs) AS idxs")
+    enc = doc_idx.selectExpr(*cols)
     # Both consumers attach masks to BOTH pair sides; without a
     # materialization Spark re-runs the whole explode→join→collect_set
     # encode pipeline once per side. One row of a few mask words per doc
@@ -1055,9 +1085,12 @@ def _containment_grams_artifact(
     encoding — the containment family's persistent index artifact."""
     # materialize the shingle frame ONCE (~100× a scan per byte,
     # dedup.py:89): the dictionary pass, the encode pass, and the
-    # candidate stage's three explodes all re-consume it
+    # candidate stage's three explodes all re-consume it. The encode
+    # is rare-first + idx-carrying (r16): the narrow verify-inline
+    # path then derives BOTH candidate-join sides from `enc` alone,
+    # map-side (see _prefix_pairs_from_artifact).
     g = _grams_of(spark, docs).localCheckpoint()
-    enc, nb = _bitset_encode(spark, g)
+    enc, nb = _bitset_encode(spark, g, rare_first=True, keep_idxs=True)
     return g, enc, nb
 
 
@@ -1216,34 +1249,44 @@ def _prefix_pairs_from_artifact(
             for w in range(nb)
         ]
     )
-    if nb <= CARRY_MASK_MAX_WORDS:
-        prefix, per_gram, sz, (num, den) = _prefix_and_posting(g)
-        posting = per_gram.select(
-            F.col("doc_id").alias("doc_b"), "gram"
-        ).join(
-            # same broadcast discipline as the candidate engine's szb
-            # attach: one narrow per-doc relation shipped map-side to
-            # the posting explode
-            F.broadcast(
-                enc.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("mask").alias("mb"),
-                    F.col("sz").alias("szb"),
-                )
-            ),
-            "doc_b",
+    if nb <= CARRY_MASK_MAX_WORDS and "idxs" in enc.columns:
+        # INDEX-SPACE candidate join (r16, second pass): the artifact's
+        # dictionary is RARE-FIRST ordered and each enc row carries its
+        # sorted index array, so a doc's pigeonhole prefix (its p
+        # rarest grams, ties by gram — the exact set the window-ranked
+        # form picks) is slice(idxs, 1, p): BOTH join sides are now
+        # map-side explodes of the cached enc frame. Deleted per query
+        # vs the gram-string form: the df groupBy, the corpus-wide
+        # doc_id exchange + sort + rank window (~1.6 s of the slot),
+        # and the per-doc ma attach join; the join key shrinks from a
+        # string to an int. Explicit key-hash repartition pins the
+        # pair-enumeration parallelism (the band-join precedent — AQE
+        # sizes partitions from the small explode bytes, not the join
+        # output).
+        from pim_orc_spark.session import default_parallelism
+
+        fr = _gate_fraction(CONTAIN_T)
+        num, den = fr.numerator, fr.denominator
+        n_parts = default_parallelism(enc.sparkSession) * 2
+        p_expr = f"(sz - ((({num}L * sz) + {den} - 1) div {den}) + 1)"
+        prefix = (
+            enc.where(f"sz >= {CONTAIN_MIN_GRAMS}")
+            .selectExpr(
+                "doc_id AS doc_inner",
+                "sz AS sza",
+                "mask AS ma",
+                f"explode(slice(idxs, 1, cast({p_expr} AS int))) AS idx",
+            )
+            .repartition(n_parts, "idx")
         )
+        posting = enc.selectExpr(
+            "doc_id AS doc_b",
+            "sz AS szb",
+            "mask AS mb",
+            "explode(idxs) AS idx",
+        ).repartition(n_parts, "idx")
         return (
-            prefix.join(
-                enc.select("doc_id", F.col("mask").alias("ma")), "doc_id"
-            )
-            .select(
-                F.col("doc_id").alias("doc_inner"),
-                "gram",
-                F.col("sz").alias("sza"),
-                "ma",
-            )
-            .join(posting, "gram")
+            prefix.join(posting, "idx")
             .where("doc_inner <> doc_b")
             .where(f"szb * {den} >= sza * {num}")
             .select(
