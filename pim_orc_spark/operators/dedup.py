@@ -1196,11 +1196,17 @@ def containment_pairs_prefix(
     shrinks, never the answer (equality pytest-asserted on both the
     fixture corpus and a sparse synthetic one).
 
-    Scale: three shuffles (df count by gram, per-doc rank by doc_id,
-    candidate join by gram) each linear in corpus grams; the
-    quadratic all-pairs crossJoin is gone. On the dense fixture
-    corpus the df tail is heavy and candidates ≈ all pairs — the
-    honest regime boundary the all-pairs docstring records; on
+    Scale (r16 shape): the rare-first order is baked into the index
+    artifact's dictionary at BUILD time, so the narrow-regime query
+    is one int-keyed candidate join between two map-side explodes of
+    the resident index (prefix side = slice of each doc's sorted
+    index array) plus a survivor-sized distinct — all linear in
+    corpus grams; the per-query df aggregate and per-doc rank window
+    of the original three-shuffle form survive only in the
+    wide-dictionary fallback (`_containment_prefix_candidates`). The
+    quadratic all-pairs crossJoin is gone either way. On the dense
+    fixture corpus the df tail is heavy and candidates ≈ all pairs —
+    the honest regime boundary the all-pairs docstring records; on
     sparse corpora (the 100 TB case) the prefix join is the plan."""
     g, enc, nb = _containment_grams_artifact(spark, docs)
     return _prefix_pairs_from_artifact(spark, g, enc, nb)
@@ -1213,30 +1219,40 @@ def _prefix_pairs_from_artifact(
     a prebuilt (grams, encode) artifact — what a query pays when the
     index is resident.
 
-    VERIFY-INLINE (r16 optimization, guide §2.3/§2.4 — shuffle fewer
-    bytes, remove shuffles outright): the bitsets RIDE the pigeonhole
-    gram join (ma on the prefix side via one doc-keyed linear join, mb
-    on the posting side beside the szb it already attached), the
-    AND+popcount containment evaluates in the join stage's codegen
-    Project+Filter, and only the SURVIVORS are deduplicated — the
-    same verify-then-DISTINCT move the MinHash narrow path made in
-    round 3. The previous shape materialized a candidate DISTINCT
-    (O(candidate pairs) shuffled rows — 13M on the dense sf0.1
-    fixture) and then re-attached both masks with two candidate-keyed
-    SortMergeJoins (two more full-candidate-set exchanges + sorts,
-    Exchanges (41)/(43)/(48)/(52)/(57) of
-    plans/r16/dedup_containment_prefix_before.txt); all three
-    candidate-sized shuffles are gone, at the price of evaluating the
-    ~nb-word popcount once per pre-distinct (pair, gram) occurrence
-    (~2.4× multiplicity on the fixture) instead of once per distinct
-    pair. Measured on identical output (160,775 pairs, sf0.1,
-    interleaved in one process): 11.15 s → 4.51 s min-of-3. Gated on
-    nb ≤ CARRY_MASK_MAX_WORDS exactly like the MinHash engine: past
-    that, carrying O(nb)-word masks on every posting row re-creates
-    the quadratic stage-1 cost the wide branch exists to avoid, so
-    the distinct-then-attach shape remains the wide fallback (and the
-    word-shingle engine keeps it unconditionally — its verify payload
-    is unbounded gram arrays)."""
+    VERIFY-INLINE IN INDEX SPACE (r16 optimization, guide §2.3/§2.4 —
+    shuffle fewer bytes, remove shuffles outright, done in two
+    measured passes):
+
+    Pass 1 replaced the old candidate DISTINCT (O(candidate pairs)
+    shuffled rows — 13M on the dense sf0.1 fixture) plus two
+    candidate-keyed mask-attach SortMergeJoins (Exchanges
+    (41)/(43)/(48)/(52)/(57) of
+    plans/r16/dedup_containment_prefix_before.txt) with bitsets
+    riding the pigeonhole gram join, AND+popcount evaluated in the
+    join stage's codegen Project+Filter, and a SURVIVOR-sized
+    distinct — the verify-then-DISTINCT move the MinHash narrow path
+    made in round 3. Identical 160,775-pair output, 11.15 → 4.51 s
+    min-of-3 interleaved.
+
+    Pass 2 removed the per-query prefix construction itself (df
+    aggregate → corpus-wide doc_id exchange → sort → rank window,
+    1.56 s of the remainder): the artifact's dictionary is rare-first
+    ordered and enc carries each doc's sorted index array, so the
+    pigeonhole prefix is slice(idxs, 1, p) and BOTH join sides are
+    map-side explodes of the resident index joined on an INT. The
+    popcount is evaluated once per pre-distinct (pair, idx)
+    occurrence (~2.4× multiplicity on the fixture) instead of once
+    per distinct pair — far cheaper than the three candidate-sized
+    shuffles it replaces. Slot warm 9.13 s (round start) → 2.12 s;
+    plan 61 operators/24 exchanges → 18/3
+    (plans/r16/dedup_containment_prefix_after.txt).
+
+    Gated on nb ≤ CARRY_MASK_MAX_WORDS exactly like the MinHash
+    engine: past that, carrying O(nb)-word masks on every posting row
+    re-creates the quadratic stage-1 cost the wide branch exists to
+    avoid, so the distinct-then-attach shape remains the wide
+    fallback (and the word-shingle engine keeps it unconditionally —
+    its verify payload is unbounded gram arrays)."""
     if nb == 0:
         return spark.createDataFrame(
             [], "doc_inner long, doc_outer long, containment double"
