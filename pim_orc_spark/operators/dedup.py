@@ -285,10 +285,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hot_band_buckets(
+    banded: DataFrame,
+    hot_threshold: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """(hot_frame, is_empty): the band buckets whose SELF-JOIN WORK
+    makes them stragglers. An explicit ``hot_threshold`` is the legacy
+    absolute doc-count rule (tests pin behavior with it); the default
+    ``None`` is WORK-RELATIVE (r16, guide §2.5 — skew is about a
+    partition's share of work, not an absolute row count): a bucket is
+    hot when its pair count n(n−1)/2 exceeds the FAIR PER-PARTITION
+    SHARE of the total pair work at the join's pinned parallelism,
+    still capped by the absolute LSH_HOT_BUCKET bound. The fixture
+    corpus measured why: its largest band bucket (2,427 of 5,000 docs)
+    owns 2.9M of 19.7M pairs — 10× the fair share, a one-core
+    straggler the 10k absolute threshold never catches, while on a
+    100 TB corpus the fair share is enormous and only genuinely
+    degenerate buckets qualify. Salting is output-identical either
+    way (property-tested), so the rule only moves work, never pairs.
+    Cost: one aggregate + one scalar collect over the bucket-size
+    relation — per artifact build on the resident-index path, per
+    invocation on rebuild-per-call paths."""
+    import math
+
+    from pim_orc_spark.session import default_parallelism
+
+    sizes = banded.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if hot_threshold is None:
+        n_parts = default_parallelism(banded.sparkSession) * 2
+        total_pairs = sizes.agg(
+            F.coalesce(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0.0)
+            )
+        ).collect()[0][0]
+        fair = total_pairs / n_parts
+        n_cut = (
+            int(math.ceil((1 + math.sqrt(1 + 8 * fair)) / 2))
+            if fair > 1
+            else 2
+        )
+        hot_threshold = min(LSH_HOT_BUCKET, max(n_cut, 2))
+    hot_df = sizes.filter(F.col("n") > hot_threshold).select(
+        "band", "key", F.lit(True).alias("is_hot")
+    )
+    return hot_df, hot_df.limit(1).count() == 0
+
+
 def _salted_band_candidates(
     banded: DataFrame,
     salt: int = LSH_SALT,
-    hot_threshold: int = LSH_HOT_BUCKET,
+    hot_threshold: int | None = None,
     payload: tuple[str, ...] = (),
     n_bands: int = LSH_BANDS,
     hot: tuple[DataFrame, bool] | None = None,
@@ -431,13 +479,7 @@ def _salted_band_candidates(
     out_cols += [f"{c}_a" for c in payload] + [f"{c}_b" for c in payload]
 
     if hot is None:
-        sizes = banded.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        hot_df = sizes.filter(F.col("n") > hot_threshold).select(
-            "band", "key", F.lit(True).alias("is_hot")
-        )
-        hot_empty = hot_df.limit(1).count() == 0
+        hot_df, hot_empty = _hot_band_buckets(banded, hot_threshold)
     else:
         hot_df, hot_empty = hot
     # The self-join is pinned to SORT-MERGE (hint) for two load-bearing
@@ -564,19 +606,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             return None, 0, None, True
         # Hot-bucket statistics are part of the resident index (they
         # change only when the signatures do — r16): computing them
-        # here deletes the per-query eager count job the salting
+        # here deletes the per-query eager jobs the salting
         # branch-probe otherwise runs inside _salted_band_candidates.
-        hot_df = (
+        # Same work-relative straggler rule as the direct path
+        # (_hot_band_buckets).
+        hot_df, hot_empty = _hot_band_buckets(
             per_doc.select(
                 "doc_id", F.posexplode("keys").alias("band", "key")
             )
-            .groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > LSH_HOT_BUCKET)
-            .select("band", "key", F.lit(True).alias("is_hot"))
-            .localCheckpoint()
         )
-        return per_doc, nb, hot_df, hot_df.isEmpty()
+        return per_doc, nb, hot_df.localCheckpoint(), hot_empty
 
     # cache key carries the carry-threshold AND the hot threshold:
     # narrow and wide builds produce DIFFERENT per-doc schemas (mask
