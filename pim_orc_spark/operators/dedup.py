@@ -72,6 +72,18 @@ LSH_HOT_BUCKET = 10_000
 # in the band join; wider masks are attached to the (smaller-per-row)
 # candidate set with two doc-keyed joins instead. See dedup_minhash_lsh.
 CARRY_MASK_MAX_WORDS = 64
+# Posting-mask attach strategy bound (r17): the containment engine's
+# index-space join attaches the posting side's verify bitset AFTER the
+# candidate join with a doc_b-keyed join against the doc-sized encoded
+# index. When the index's estimated footprint (docs × mask row bytes)
+# fits below this bound it is broadcast — a map-side probe, zero
+# additional shuffle; past it the join is left to the planner (on the
+# sparse corpora that reach that size the gated candidate set is ≈ the
+# true pair set, so a keyed attach shuffles pair-sized, not
+# posting-sized, rows). Same deliberate size-keyed strategy choice
+# Spark's own autoBroadcastJoinThreshold makes (guide §3.1), made
+# explicit because the localCheckpoint'd index has no catalog stats.
+MASK_ATTACH_BROADCAST_BYTES = 64 << 20
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1105,7 +1117,7 @@ def dedup_containment_prefix(
         art[1].isEmpty()
         return True
 
-    g, enc, nb = cached_artifact(
+    g, enc, nb, n_docs = cached_artifact(
         "containment_grams",
         spark,
         sf_dir,
@@ -1114,14 +1126,18 @@ def dedup_containment_prefix(
         ),
         probe=_probe,
     )
-    return _prefix_pairs_from_artifact(spark, g, enc, nb)
+    return _prefix_pairs_from_artifact(spark, g, enc, nb, n_docs)
 
 
 def _containment_grams_artifact(
     spark: SparkSession, docs: DataFrame
-) -> tuple[DataFrame, DataFrame, int]:
-    """(g, enc, nb): the materialized gram frame plus its bitset
-    encoding — the containment family's persistent index artifact."""
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """(g, enc, nb, n_docs): the materialized gram frame plus its
+    bitset encoding — the containment family's persistent index
+    artifact. ``n_docs`` (one count over the checkpointed per-doc
+    index, paid at build time like the dictionary count) sizes the
+    posting-mask attach strategy at query time
+    (MASK_ATTACH_BROADCAST_BYTES) without a per-query job."""
     # materialize the shingle frame ONCE (~100× a scan per byte,
     # dedup.py:89): the dictionary pass, the encode pass, and the
     # candidate stage's three explodes all re-consume it. The encode
@@ -1130,7 +1146,7 @@ def _containment_grams_artifact(
     # map-side (see _prefix_pairs_from_artifact).
     g = _grams_of(spark, docs).localCheckpoint()
     enc, nb = _bitset_encode(spark, g, rare_first=True, keep_idxs=True)
-    return g, enc, nb
+    return g, enc, nb, enc.count()
 
 
 def _prefix_and_posting(g: DataFrame):
@@ -1247,12 +1263,16 @@ def containment_pairs_prefix(
     fixture corpus the df tail is heavy and candidates ≈ all pairs —
     the honest regime boundary the all-pairs docstring records; on
     sparse corpora (the 100 TB case) the prefix join is the plan."""
-    g, enc, nb = _containment_grams_artifact(spark, docs)
-    return _prefix_pairs_from_artifact(spark, g, enc, nb)
+    g, enc, nb, n_docs = _containment_grams_artifact(spark, docs)
+    return _prefix_pairs_from_artifact(spark, g, enc, nb, n_docs)
 
 
 def _prefix_pairs_from_artifact(
-    spark: SparkSession, g: DataFrame, enc: DataFrame, nb: int
+    spark: SparkSession,
+    g: DataFrame,
+    enc: DataFrame,
+    nb: int,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Candidate + verify stages of ``containment_pairs_prefix`` over
     a prebuilt (grams, encode) artifact — what a query pays when the
@@ -1334,16 +1354,38 @@ def _prefix_pairs_from_artifact(
             )
             .repartition(n_parts, "idx")
         )
+        # POSTING SIDE SHIPS NO MASK (r17, guide §2.3/§5 — the round-16
+        # driver run's one regression): carrying the nb-word `mb` array
+        # on EVERY exploded gram occurrence made the posting exchange +
+        # its 2×parallelism concurrent merge-sorts the dominant memory
+        # load of the query (~4× the bytes of the narrow row below),
+        # and at 32 cores the warm path went bimodal (driver median
+        # 15.4 s vs 3.9 s min; stable 3.96 s at 8 cores where only 8
+        # sorts run). The posting explode now shuffles three fixed-width
+        # columns; the verify bitset is re-attached AFTER the int join
+        # and both gates by a doc_b-keyed probe of the doc-sized
+        # resident index — broadcast (map-side, zero extra shuffle)
+        # while n_docs × mask-row bytes fits MASK_ATTACH_BROADCAST_BYTES,
+        # planner-chosen past it (where the sparse regime's gated
+        # candidates ≈ true pairs, so the keyed attach is linear).
         posting = enc.selectExpr(
             "doc_id AS doc_b",
             "sz AS szb",
-            "mask AS mb",
             "explode(idxs) AS idx",
         ).repartition(n_parts, "idx")
+        mask_b = enc.select(
+            F.col("doc_id").alias("doc_b"), F.col("mask").alias("mb")
+        )
+        if (
+            n_docs is not None
+            and n_docs * (nb * 8 + 40) <= MASK_ATTACH_BROADCAST_BYTES
+        ):
+            mask_b = F.broadcast(mask_b)
         return (
             prefix.join(posting, "idx")
             .where("doc_inner <> doc_b")
             .where(f"szb * {den} >= sza * {num}")
+            .join(mask_b, "doc_b")
             .select(
                 "doc_inner",
                 F.col("doc_b").alias("doc_outer"),
