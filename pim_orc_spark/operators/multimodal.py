@@ -39,6 +39,18 @@ from pyspark.sql.types import (
 from pim_orc_spark.catalog import load_table
 from pim_orc_spark.plans import spread
 
+# Minimum rows per codec-kernel partition (r17; see plans.spread's
+# rows_per_part contract): the image/audio kernels are Arrow-batched
+# mapInPandas stages, usually two chained per pipeline, so each
+# partition costs TWO Python-worker round trips. Measured on the
+# 5000-doc fixture (identical output, interleaved min-of-6): the PNG
+# encode+inflate+unfilter pipeline at 32 partitions min 0.85 s vs 8
+# partitions 0.49 s - round-trip overhead dominates below ~512 rows
+# per partition even for these real-codec kernels. Keyed on parquet
+# footer row counts, so past 512 x parallelism rows the fan-out is
+# unchanged (real corpora keep full parallelism).
+MM_ROWS_PER_PART = 512
+
 CHECKSUM_MOD = 997
 
 FEATURE_SCHEMA = StructType(
@@ -140,7 +152,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: payload → mapInPandas feature extraction.
     Map-only plan: FileScan → Project(encode) → ArrowEvalPython; scales
     linearly, no shuffle."""
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d = spread(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_per_part=MM_ROWS_PER_PART,
+    )
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA)
 
@@ -205,7 +221,11 @@ def multimodal_features_arrow(
     batch transport for byte-dense payload columns. Identical map-only
     plan shape and the identical oracle; a pytest also diffs it
     row-for-row against the pandas twin."""
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d = spread(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_per_part=MM_ROWS_PER_PART,
+    )
     payloads = with_binary_payload(d).select("doc_id", "payload")
     return payloads.mapInArrow(_extract_features_arrow, FEATURE_SCHEMA)
 
@@ -262,7 +282,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     features. Map-only (the fan-out happens inside the Arrow batch);
     at 100 TB the same kernel wraps a real video decoder and the
     partitioning/schema/batch shape is unchanged."""
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d = spread(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_per_part=MM_ROWS_PER_PART,
+    )
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(_sample_frames, FRAME_SCHEMA)
 
@@ -322,7 +346,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the brief's decode/feature/resize/frame-sample set. Map-only like
     its siblings: FileScan → Project(encode) → ArrowEvalPython, linear
     at any corpus size, no shuffle."""
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d = spread(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_per_part=MM_ROWS_PER_PART,
+    )
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(_resize_payloads, RESIZE_SCHEMA)
 
@@ -340,7 +368,11 @@ def multimodal_integrity_audit(
 
     Scale shape: pure Catalyst (length(payload) vs meta.declared_len
     — NO Python), map-side partial aggregate, |origins| output rows."""
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    d = spread(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_per_part=MM_ROWS_PER_PART,
+    )
     p = with_binary_payload(d)
     drift = F.abs(
         F.length(F.col("payload")) - F.col("meta.declared_len")
@@ -500,7 +532,9 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes the one gap the stub decode_image left: the family's decode
     stage has now run a real image format in this container."""
     d = spread(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        rows_per_part=MM_ROWS_PER_PART,
     )
     payloads = d.mapInPandas(
         _encode_ppm_batch,
@@ -652,7 +686,9 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the closed-form pixel functions — equality proves the decoder
     undid all three transforms exactly."""
     d = spread(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        rows_per_part=MM_ROWS_PER_PART,
     )
     payloads = d.mapInPandas(
         _encode_bmp_batch,
@@ -799,7 +835,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     function without parsing a byte. Same map-only Arrow-batched
     plan as the image path."""
     d = spread(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        rows_per_part=MM_ROWS_PER_PART,
     )
     payloads = d.mapInPandas(
         _encode_wav_batch,
@@ -1067,7 +1105,9 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     without parsing a byte, so equality proves signature + chunk walk
     + CRC + inflate + all five scanline unfilters end to end."""
     d = spread(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        rows_per_part=MM_ROWS_PER_PART,
     )
     payloads = d.mapInPandas(
         _encode_png_batch,
@@ -1213,7 +1253,9 @@ def multimodal_phash_dedup(
     equality certifies decode + hash + candidate join + verify end to
     end."""
     d = spread(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        rows_per_part=MM_ROWS_PER_PART,
     )
     return phash_pairs_from_ids(spark, d)
 
@@ -1390,7 +1432,9 @@ def snappy_block_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     end (the same loop dpu_decompress.c:224-300 runs per block).
     Map-only at any corpus size; the per-doc payload is bounded."""
     d = spread(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        rows_per_part=MM_ROWS_PER_PART,
     )
     return d.mapInPandas(
         _snappy_batch,

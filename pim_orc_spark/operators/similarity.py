@@ -31,13 +31,30 @@ from pim_orc_spark.functions.vector import (
 )
 from pim_orc_spark.plans import spread
 
+# Minimum rows a vector-scan partition must hold before fanning out
+# further (r17, guide §4 / the spread docstring's rows_per_part
+# contract): every partition of the mapInPandas kernels costs one
+# Python-worker round trip (~10-20 ms task launch + Arrow
+# (de)serialization) while the numpy batch kernels score >1M rows/s/
+# core — below ~512 rows/partition the round trip outweighs the
+# compute. Keyed on input size (parquet footer row counts), so the cap
+# only binds under 512 × parallelism rows (16k at local[32]); at real
+# corpus sizes the fan-out is unchanged. Measured at sf0.1 (2000-row
+# embeddings, identical output): 32 parts min 1.65 s vs 4 parts
+# 0.60 s for the shared cosine scan kernel.
+VEC_ROWS_PER_PART = 512
+
 
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings as L2-normalized double vectors, spread past the
     single file split BEFORE normalization so the per-row unit_vec work
     parallelizes (computed after a later repartition it would run on
     one core)."""
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    e = spread(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        rows_per_part=VEC_ROWS_PER_PART,
+    )
     return e.select("vec_id", as_double_vec("embedding", DIM).alias("v0")).select(
         "vec_id", unit_vec(F.col("v0"), DIM).alias("v")
     )
@@ -236,7 +253,9 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|corpus| × |queries|) similarity rows."""
     e = load_table(spark, sf_dir, "embeddings")
     v0 = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
-    return _vectorized_topk_scan(spread(spark, v0), q_source=v0)
+    return _vectorized_topk_scan(
+        spread(spark, v0, rows_per_part=VEC_ROWS_PER_PART), q_source=v0
+    )
 
 
 RP_DIM = 16  # Johnson-Lindenstrauss target dimension (64 → 16)
@@ -278,7 +297,9 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     v = v0.select("vec_id", proj.alias("v"))
-    return _vectorized_topk_scan(spread(spark, v), q_source=v)
+    return _vectorized_topk_scan(
+        spread(spark, v, rows_per_part=VEC_ROWS_PER_PART), q_source=v
+    )
 
 
 CENTROID_STRIDE = 61  # coarse quantizer: centroids = vec_id % stride == 0
@@ -327,7 +348,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     v0 = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
-    v = spread(spark, v0)
+    v = spread(spark, v0, rows_per_part=VEC_ROWS_PER_PART)
     c_ids, Cn, q_ids, Qn = _ivf_quantizer_and_queries(
         spark, sf_dir, v, q_source=v0
     )
@@ -470,7 +491,11 @@ def ann_ivf_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``INCR_ID_SHIFT``, or clone ids would collide with real vectors
     and the contract silently corrupts — a corpus with ≥1M vectors
     needs the shift raised above ``max(vec_id)``."""
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    e = spread(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        rows_per_part=VEC_ROWS_PER_PART,
+    )
     v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
     max_id = v.agg(F.max("vec_id")).collect()[0][0]  # 1-row collect
     if max_id is not None and max_id >= INCR_ID_SHIFT:
@@ -510,7 +535,11 @@ def ivf_scan_stats(spark: SparkSession, sf_dir: str) -> dict:
     import numpy as np
     import pandas as pd
 
-    e = spread(spark, load_table(spark, sf_dir, "embeddings"))
+    e = spread(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        rows_per_part=VEC_ROWS_PER_PART,
+    )
     v = e.select("vec_id", as_double_vec("embedding", DIM).alias("v"))
     c_ids, Cn, q_ids, Qn = _ivf_quantizer_and_queries(spark, sf_dir, v)
 

@@ -135,6 +135,19 @@ def get_spark(app_name: str = "pim_orc_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Whole-stage-codegen class cache sized to the RESIDENT WORKLOAD,
+        # not the 100-entry default (static conf, so set here). Measured
+        # (r17): one pass of the 19-slot bench generates ~200+ distinct
+        # codegen classes (dedup_minhash_lsh alone 76, containment 42,
+        # each TPC-H slot 10-15), so at 100 entries every bench pass
+        # EVICTED and RECOMPILED the working set — CodegenMetrics showed
+        # +4200 ms of janino+JIT churn per warm dedup invocation inside
+        # the suite vs +0 with the slots isolated (the "in-bench
+        # elevation" of r16). A resident cluster serving a recurring
+        # query mix is exactly this shape at any scale; the cache holds
+        # class METADATA (~tens of KB/entry), so 2000 entries cost a few
+        # tens of MB of metaspace against a steady-state win.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     ensure_parity_confs(spark)
