@@ -85,7 +85,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_parity_confs(spark)
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     try:
+        # max of the entry's own mtime and (for a directory table) its
+        # direct children's — an in-place part-file rewrite moves only
+        # the file's mtime, not the directory entry's, and a stale
+        # schema served to read.schema() would surface as nulls or an
+        # analysis error (the artifacts._dir_mtime rule, r16 ADVICE).
         mt = os.stat(path).st_mtime_ns
+        if os.path.isdir(path):
+            for child in os.listdir(path):
+                try:
+                    mt = max(
+                        mt, os.stat(os.path.join(path, child)).st_mtime_ns
+                    )
+                except OSError:
+                    continue
     except OSError:
         mt = -1
     key = (path, mt)

@@ -180,6 +180,16 @@ def _bitset_encode(
     grams_dict, n_grams = _gram_dictionary(g, rare_first=rare_first)
     nb = (n_grams + 63) // 64
 
+    # The collect_set form is the MEASURED winner here (r17 A/B, guide
+    # §1.1's "the ideal plan is usually slower at first"): a bit_or
+    # word-aggregate variant (the minhash fused build's formulation,
+    # with idxs re-derived from the mask map-side) produced identical
+    # output but ran 1.31 s vs 0.97 s median interleaved at sf0.1 —
+    # this aggregate's input is one narrow (doc_id, idx) row per gram
+    # occurrence and its groups are doc-sized, where the minhash case
+    # fuses the bit_ors beside 128 min() columns whose codegen the
+    # single collect_set would demote. Reverted, recorded here so the
+    # next round doesn't re-try it.
     doc_idx = (
         g.select("doc_id", explode_nonempty("grams").alias("gram"))
         .join(F.broadcast(grams_dict), "gram")
@@ -191,8 +201,8 @@ def _bitset_encode(
         cols.append("sort_array(idxs) AS idxs")
     enc = doc_idx.selectExpr(*cols)
     # Both consumers attach masks to BOTH pair sides; without a
-    # materialization Spark re-runs the whole explode→join→collect_set
-    # encode pipeline once per side. One row of a few mask words per doc
+    # materialization Spark re-runs the whole explode→join→encode
+    # pipeline once per side. One row of a few mask words per doc
     # — executor-local storage linear in the corpus, the same trade as
     # the `g` checkpoint — and the materialized stats let AQE pick a
     # broadcast attach when the encoded table is small.
@@ -325,13 +335,21 @@ def _hot_band_buckets(
     sizes = banded.groupBy("band", "key").agg(
         F.count(F.lit(1)).alias("n")
     )
+    hot_empty = None
     if hot_threshold is None:
         n_parts = default_parallelism(banded.sparkSession) * 2
-        total_pairs = sizes.agg(
+        # ONE probe job for both decisions (r16 ADVICE: this used to
+        # be two eager actions per plan construction on the
+        # rebuild-per-call paths): the same bucket-size aggregate
+        # yields the total pair work (threshold input) AND the largest
+        # bucket (whose comparison against the threshold IS the
+        # emptiness answer — no separate limit(1).count probe).
+        total_pairs, max_n = sizes.agg(
             F.coalesce(
                 F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0.0)
-            )
-        ).collect()[0][0]
+            ),
+            F.coalesce(F.max("n"), F.lit(0)),
+        ).collect()[0]
         fair = total_pairs / n_parts
         n_cut = (
             int(math.ceil((1 + math.sqrt(1 + 8 * fair)) / 2))
@@ -339,10 +357,13 @@ def _hot_band_buckets(
             else 2
         )
         hot_threshold = min(LSH_HOT_BUCKET, max(n_cut, 2))
+        hot_empty = max_n <= hot_threshold
     hot_df = sizes.filter(F.col("n") > hot_threshold).select(
         "band", "key", F.lit(True).alias("is_hot")
     )
-    return hot_df, hot_df.limit(1).count() == 0
+    if hot_empty is None:  # explicit-threshold (legacy/test) path
+        hot_empty = hot_df.limit(1).count() == 0
+    return hot_df, hot_empty
 
 
 def _salted_band_candidates(
@@ -604,8 +625,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hit; that per-hit cost is the price of detecting lost blocks
         # BEFORE the pair stage wastes a full pass on them. The return
         # value is deliberately ignored: an empty-but-alive frame is a
-        # valid artifact.
-        art[0].isEmpty()
+        # valid artifact. The nb==0 build stores (None, 0, None, True)
+        # — guard both touches, or every cache hit on an empty corpus
+        # would raise, evict, and rebuild per call (r16 ADVICE: the
+        # cache was permanently defeated for that case).
+        if art[0] is not None:
+            art[0].isEmpty()
         if art[2] is not None:
             art[2].isEmpty()
         return True
@@ -633,9 +658,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow and wide builds produce DIFFERENT per-doc schemas (mask
     # words vs index set), and the cached hot set is only valid for
     # the threshold it was counted against (tests monkeypatch both;
-    # production may tune them)
+    # production may tune them). It also carries the parallelism the
+    # work-relative hot rule was sized against (r16 ADVICE: a
+    # mid-application shuffle-partition change under the Connect
+    # fallback would otherwise reuse a hot set sized for a different
+    # fair share — perf-only, but the key is the cheap fix).
     per_doc, nb, hot_df, hot_empty = cached_artifact(
-        f"minhash_sigs_c{CARRY_MASK_MAX_WORDS}_h{LSH_HOT_BUCKET}",
+        f"minhash_sigs_c{CARRY_MASK_MAX_WORDS}_h{LSH_HOT_BUCKET}"
+        f"_p{default_parallelism(spark)}",
         spark,
         sf_dir,
         _build,
