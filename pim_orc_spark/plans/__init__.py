@@ -123,9 +123,12 @@ def spread(
     on input size (parquet footer row counts, cached), NOT on the local
     core count: past ``rows_per_part × parallelism`` rows the cap never
     binds, so real-scale plans keep full fan-out. Callers pick the
-    value by kernel weight: per-row-heavy kernels (codec decode,
-    shingling) must NOT set it — their per-partition compute dwarfs the
-    round trip at any size worth spreading.
+    value by MEASURED kernel weight: the vector and codec kernels both
+    won at 512 (similarity.VEC_ROWS_PER_PART / multimodal
+    .MM_ROWS_PER_PART record the sweeps); per-row-heavy JVM kernels
+    (n-gram shingling, token stats) deliberately do not set it — their
+    per-partition compute dwarfs the round trip at any size worth
+    spreading.
 
     The parallelism probe is ``df.inputFiles()`` — pure plan metadata.
     (``df.rdd.getNumPartitions()`` would be exact but converts the

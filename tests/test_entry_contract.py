@@ -173,9 +173,17 @@ def test_bench_round_stamp_and_stale_base_detection():
     import glob
     import os
 
+    # parse with bench.py's own rule (strict BENCH_r(\d+).json): the
+    # driver's record also writes variant files like BENCH_r16_c8.json
+    # (the 8-core run), which the stamp derivation must skip — the old
+    # slice-parse here crashed on them (found at r17 round start)
+    import re
+
     on_disk = {
-        int(os.path.basename(p)[7:-5].lstrip("r") or 0)
+        int(m.group(1))
         for p in glob.glob(os.path.join(bench._REPO_ROOT, "BENCH_r*.json"))
+        for m in [re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))]
+        if m
     }
     assert n == max(on_disk) + 1
     # round-id parsing tolerates zero-padded and bare forms
