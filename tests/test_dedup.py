@@ -403,6 +403,34 @@ def test_containment_prefix_attach_path_equals_inline(
     assert inline  # non-degenerate: the fixture corpus has pairs
 
 
+def test_containment_mask_attach_strategy_is_output_invariant(
+    spark, sf_dir
+):
+    """r17: the narrow index-space path attaches the posting-side
+    verify bitset after the candidate join, broadcast only while the
+    index's known footprint fits MASK_ATTACH_BROADCAST_BYTES. The
+    strategy choice must be OUTPUT-invariant: the planner-chosen
+    (non-broadcast) attach a past-threshold corpus takes must produce
+    the identical pair set — forced here by lying that the index is
+    huge (n_docs=None disables the hint) — and the plan must carry the
+    broadcast only on the hinted side."""
+    from pim_orc_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    g, enc, nb, n_docs = dedup._containment_grams_artifact(spark, docs)
+    assert n_docs == docs.count()
+    key = lambda r: (r.doc_inner, r.doc_outer, r.containment)
+    hinted_df = dedup._prefix_pairs_from_artifact(spark, g, enc, nb, n_docs)
+    planner_df = dedup._prefix_pairs_from_artifact(spark, g, enc, nb, None)
+    hinted = {key(r) for r in hinted_df.collect()}
+    planner = {key(r) for r in planner_df.collect()}
+    assert hinted == planner
+    assert hinted  # non-degenerate
+    # the fixture-sized index must take the broadcast attach
+    plan = hinted_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
 def test_clusters_edge_source_has_no_cross_join(spark, sf_dir):
     """The clusters pipeline's edge stage must be the bucketed LSH plan:
     a 100 TB run dies on any all-pairs product, so the physical plan of

@@ -909,3 +909,27 @@ def test_containment_prefix_plan_has_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_spread_rows_per_part_caps_fanout_by_input_rows(spark, sf_dir):
+    """r17: spread(rows_per_part=N) must fan a tiny parquet input out
+    to ceil(rows/N) partitions instead of full parallelism (each
+    mapInPandas partition costs a Python-worker round trip), must keep
+    the parallelism cap when the input is large relative to N, and
+    must be keyed on the file's footer row count, not the core count."""
+    from pim_orc_spark.plans import _input_rows, spread
+
+    e = load_table(spark, sf_dir, "embeddings")  # 500 rows at sf0.01
+    rows = _input_rows(e)
+    assert rows == e.count()  # footer metadata == actual rows
+    par = spark.sparkContext.defaultParallelism
+    capped = spread(spark, e, rows_per_part=200)
+    want = min(par, -(-rows // 200))
+    assert capped.rdd.getNumPartitions() == want
+    # N=1: the rows/N bound (500) exceeds parallelism, so the cap must
+    # NOT bind and the fan-out equals plain spread()'s
+    uncapped = spread(spark, e, rows_per_part=1)
+    assert uncapped.rdd.getNumPartitions() == par
+    # non-file plans fall back to plain spread behavior (no crash)
+    mem = spark.range(0, 100).coalesce(1)
+    assert spread(spark, mem, rows_per_part=10).rdd.getNumPartitions() == par
