@@ -249,6 +249,30 @@ def _gate_fraction(threshold: float | None = None):
     return fr
 
 
+def _round6_boundary(threshold: float) -> int:
+    """The exact integer-arithmetic form of the verify predicate
+    ``round(n / sz, 6) >= threshold`` (Spark HALF_UP double round):
+    returns odd ``B`` such that the predicate ⟺ ``2_000_000·n ≥ B·sz``
+    for every integer 0 ≤ n ≤ sz ≤ 10⁵ (the gram/shingle-count
+    domain). Derivation: round(x, 6) ≥ T compares the double nearest
+    k/10⁶ (k = half-up of x·10⁶) against the double T; by
+    monotonicity that holds iff k ≥ K where K is the smallest integer
+    with double(K/10⁶) ≥ T (computed below by direct search — Python
+    and Java both produce the correctly-rounded double for k/10⁶),
+    iff x ≥ (2K−1)/(2·10⁶) with x = double(n/sz). The exact rational
+    n/sz can never equal that boundary (B = 2K−1 is odd and shares no
+    factor 2·10⁶ with sz ≤ 10⁵: equality needs 2·10⁶ | B·sz, i.e.
+    2⁷·5⁶ | sz — impossible), so it sits ≥ 1/(2·10⁶·sz) ≥ 5·10⁻¹²
+    away, far beyond the ≤ 2⁻⁵³ double-division error — the EXACT
+    integer compare and the double compare agree on every row.
+    Pinned exhaustively against Spark's own round in
+    tests/test_dedup.py::test_containment_integer_gate_matches_round_filter."""
+    k = int(threshold * 10**6) - 2
+    while not (k / 10**6) >= threshold:
+        k += 1
+    return 2 * k - 1
+
+
 def _size_gate(sza: str, szb: str) -> Column:
     """Lossless size-ratio prefilter: J ≥ t forces min(|A|,|B|) /
     max(|A|,|B|) ≥ t (the intersection can never exceed the smaller
@@ -1426,6 +1450,27 @@ def _prefix_pairs_from_artifact(
         # 32.0M verify evaluations on the size-skewed dense fixture
         # (output hash-equal), far more on size-concentrated corpora
         # where szb−j0 < ceil(t·sza) kills every deep-posting match.
+        #
+        # NO PER-OCCURRENCE DECIMAL ROUNDING (r17, guide §1.2 step 2):
+        # Spark's Round(double) constructs java.math.BigDecimal per
+        # row, and this select used to evaluate it on every surviving
+        # (pair, gram) occurrence — a thread dump of the verify stage
+        # showed ~30 of 32 workers RUNNABLE inside BigDecimal.<init>.
+        # The pre-distinct pipeline now stays in LONG arithmetic:
+        # popcount plus ``2e6·n ≥ B·sz``, the provably-EXACT integer
+        # form of ``round(n/sz, 6) >= CONTAIN_T`` (_round6_boundary —
+        # it fully REPLACES the round-filter: a filter kept after the
+        # distinct gets pushed back below it by Catalyst, re-inlining
+        # the BigDecimal round AND a second popcount into the join
+        # condition, which is also the round-4 fallback-evaluator
+        # hazard), then a distinct on (pair, n_common, sza) — integers
+        # that determine containment 1:1 — and round() runs once per
+        # DISTINCT pair in the aggregate's result projection (~200×
+        # fewer evaluations on the fixture). Output identity:
+        # sorted-collect MD5 equal on sf0.1 (160,775 pairs), boundary
+        # pinned exhaustively in test_containment_integer_gate_*.
+        # Interleaved A/B min-of-7: 1.57 s (inline round) → 1.30 s.
+        bnd = _round6_boundary(CONTAIN_T)
         return (
             prefix.join(posting, "idx")
             .where("doc_inner <> doc_b")
@@ -1438,14 +1483,26 @@ def _prefix_pairs_from_artifact(
             .select(
                 "doc_inner",
                 F.col("doc_b").alias("doc_outer"),
-                F.round(inter.cast("double") / F.col("sza"), 6).alias(
-                    "containment"
-                ),
+                inter.alias("n_common"),
+                "sza",
             )
-            .filter(F.col("containment") >= CONTAIN_T)
+            .where(f"n_common * 2000000L >= sza * {bnd}L")
             .distinct()
+            .select(
+                "doc_inner",
+                "doc_outer",
+                F.round(
+                    F.col("n_common").cast("double") / F.col("sza"), 6
+                ).alias("containment"),
+            )
         )
     cand = _containment_prefix_candidates(g)
+    # Same long-arithmetic verify as the narrow branch above: popcount
+    # + the exact integer form of the round-filter per candidate
+    # (_round6_boundary — it IS the filter), round() only on the
+    # survivors (candidates here are already-distinct pairs, so no
+    # distinct is needed).
+    bnd = _round6_boundary(CONTAIN_T)
     return (
         cand.join(
             enc.select(
@@ -1464,11 +1521,17 @@ def _prefix_pairs_from_artifact(
         .select(
             "doc_inner",
             F.col("doc_b").alias("doc_outer"),
-            F.round(inter.cast("double") / F.col("sza"), 6).alias(
-                "containment"
-            ),
+            inter.alias("n_common"),
+            "sza",
         )
-        .filter(F.col("containment") >= CONTAIN_T)
+        .where(f"n_common * 2000000L >= sza * {bnd}L")
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.round(
+                F.col("n_common").cast("double") / F.col("sza"), 6
+            ).alias("containment"),
+        )
     )
 
 

@@ -431,6 +431,43 @@ def test_containment_mask_attach_strategy_is_output_invariant(
     assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
+def test_containment_integer_gate_matches_round_filter(spark):
+    """r17: the verify pipeline REPLACES the per-row
+    ``round(n/sz, 6) >= CONTAIN_T`` filter (a BigDecimal construction
+    per occurrence, and — kept post-distinct — pushed back into the
+    join condition by Catalyst) with the exact LONG predicate
+    ``2e6·n ≥ B·sz`` from _round6_boundary. Exhaustively over every
+    (n_common, sza) with sza ≤ 600, the two predicates must agree —
+    pinned with Spark's own round/compare semantics, not a Python
+    replica — and the grid must exercise both sides of the boundary."""
+    from pyspark.sql import functions as F
+
+    from pim_orc_spark.operators.dedup import CONTAIN_T, _round6_boundary
+
+    bnd = _round6_boundary(CONTAIN_T)
+    assert bnd % 2 == 1  # odd by construction: boundary can't be hit
+    grid = spark.range(1, 601).selectExpr(
+        "id AS sza", "explode(sequence(0, id)) AS n_common"
+    )
+    both = grid.select(
+        "sza",
+        "n_common",
+        (
+            F.col("n_common") * F.lit(2_000_000) >= F.col("sza") * F.lit(bnd)
+        ).alias("gate"),
+        (
+            F.round(
+                F.col("n_common").cast("double") / F.col("sza"), 6
+            )
+            >= F.lit(CONTAIN_T)
+        ).alias("rounded"),
+    )
+    assert both.filter("gate != rounded").count() == 0
+    # the grid exercises both sides of the boundary
+    assert both.filter("gate").count() > 0
+    assert both.filter("NOT gate").count() > 0
+
+
 def test_clusters_edge_source_has_no_cross_join(spark, sf_dir):
     """The clusters pipeline's edge stage must be the bucketed LSH plan:
     a 100 TB run dies on any all-pairs product, so the physical plan of
